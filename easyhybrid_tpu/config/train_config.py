@@ -1,0 +1,141 @@
+"""Training / data configuration records and results.
+
+Parity: reference ``TrainConfig`` (src/config/TrainingConfig.jl:9-160,
+24 fields), ``validate_config`` (:162-185), ``TrainResults`` (:190-223) and
+``DataConfig`` (src/config/DataConfig.jl:7-59). Device knobs (``gdev``/
+``cdev``) are replaced by JAX platform/sharding options; the autodiff-backend
+knob is gone (jax.grad end-to-end); an optional ``donate`` / ``jit`` toggle
+pair exposes XLA-level controls instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+from ..losses.metrics import check_training_loss
+from ..losses.specs import LossSpec
+
+__all__ = ["TrainConfig", "DataConfig", "TrainResults", "validate_config"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Knobs for :func:`easyhybrid_tpu.train`.
+
+    ``optimizer`` accepts an optax ``GradientTransformation``, a name string
+    (``"adam"``, ``"adamw"``, ``"rmsprop"``, ``"sgd"``, ``"lbfgs"``, …), a
+    ``(name, lr)`` tuple, or a dict mapping top-level param branches to any
+    of those (per-branch optimizers via ``optax.multi_transform`` — parity
+    with the reference's per-branch rules, train.jl:74-93).
+    """
+
+    nepochs: int = 200
+    batchsize: Optional[int] = 64
+    optimizer: Any = ("adam", 0.01)
+    patience: Optional[int] = None
+    training_loss: Any = "mse"
+    loss_types: Sequence[Any] = ("mse", "r2")
+    extra_loss: Optional[Callable] = None
+    agg: Union[str, Callable] = "sum"
+    train_from: Any = None          # (params, state) | TrainResults | ckpt path
+    random_seed: int = 161803
+    model_name: str = "hybrid_model"
+    return_model: str = "best"      # "best" | "final"
+    keep_history: bool = False      # keep per-epoch prediction snapshots
+    save_training: bool = False
+    monitor_names: Sequence[str] = ()
+    tracked_params: Sequence[str] = ()
+    output_folder: Optional[str] = None
+    plotting: bool = False
+    show_progress: bool = True
+    yscale: str = "log"
+    shuffle_each_epoch: bool = True
+    # second-order / Optimization.jl-path knobs (train_optimization.jl)
+    full_batch: bool = False
+    promote_f64: bool = False
+    eval_every: int = 1
+    inner_maxiters: int = 10
+    # TPU-native knobs
+    jit: bool = True
+    multi_device: bool = False      # shard batches over the mesh data axis
+    mesh: Any = None                # optional jax.sharding.Mesh
+    checkpoint_every: int = 1
+
+    def replace(self, **kwargs) -> "TrainConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Data handling knobs (parity: src/config/DataConfig.jl:7-59)."""
+
+    shuffleobs: bool = False
+    split_by_id: Union[None, str, Sequence] = None
+    split_data_at: float = 0.8
+    folds: Union[None, str, Sequence] = None
+    val_fold: Optional[int] = None
+    sequence_length: Optional[int] = None
+    sequence_kwargs: Optional[dict] = None   # input/output_window, shift, lead_time
+    input_batchnorm: bool = False
+
+    def replace(self, **kwargs) -> "DataConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def validate_config(cfg: TrainConfig) -> None:
+    """Sanity checks (parity: validate_config, TrainingConfig.jl:162-185)."""
+    if cfg.nepochs < 0:
+        raise ValueError("nepochs must be >= 0")
+    if cfg.batchsize is not None and cfg.batchsize <= 0:
+        raise ValueError("batchsize must be positive (or None for full batch)")
+    if cfg.patience is not None and cfg.patience <= 0:
+        raise ValueError("patience must be positive (or None to disable)")
+    if not (cfg.return_model in ("best", "final")):
+        raise ValueError("return_model must be 'best' or 'final'")
+    if isinstance(cfg.training_loss, str):
+        check_training_loss(cfg.training_loss)
+    if not cfg.loss_types:
+        raise ValueError("loss_types must not be empty")
+
+
+@dataclasses.dataclass
+class TrainResults:
+    """Training outcome record (parity: TrainResults, TrainingConfig.jl:190-223).
+
+    ``train_history``/``val_history`` are lists of nested metric dicts
+    (one per epoch, epoch 0 = initial state); ``*_obs``/``*_pred`` are
+    DataFrames of observations and final-model predictions; ``*_diffs``
+    expose non-target model outputs (learned physical parameters)."""
+
+    train_history: Any = None
+    val_history: Any = None
+    train_obs: Any = None
+    train_pred: Any = None
+    val_obs: Any = None
+    val_pred: Any = None
+    train_diffs: Any = None
+    val_diffs: Any = None
+    params: Any = None
+    state: Any = None
+    best_epoch: int = 0
+    best_loss: float = float("nan")
+    history: Any = None            # TrainingHistory (epoch snapshots)
+    paths: Any = None              # TrainingPaths when save_training=true
+
+    @property
+    def ps_st(self) -> Tuple[Any, Any]:
+        return self.params, self.state
+
+    def __repr__(self):
+        n_ep = len(self.train_history) - 1 if self.train_history else 0
+        return (
+            "TrainResults(\n"
+            f"  epochs trained = {n_ep}\n"
+            f"  best epoch     = {self.best_epoch}\n"
+            f"  best val loss  = {self.best_loss}\n"
+            f"  fields: train_history, val_history, train_obs, train_pred,\n"
+            f"          val_obs, val_pred, train_diffs, val_diffs, params,\n"
+            f"          state, history, paths\n"
+            ")"
+        )

@@ -1,0 +1,183 @@
+"""Checkpointing: per-epoch params/state snapshots, best model, histories.
+
+Parity: the reference's JLD2 checkpoint writers/readers and training save
+hooks (reference: src/io/save.jl:3-96, src/io/checkpoints.jl:1-37) —
+per-epoch groups of (ps, st) + tracked physical params + losses, a separate
+best-model file, and a final predictions/observations dump.
+
+Format: pytrees (nested dicts of numpy arrays) pickled per epoch under
+``<run>/checkpoints/epoch_NNNN.pkl``; losses in ``history_*.json``; config
+snapshot via :mod:`..config.yaml_io`. Pickle keeps arbitrary pytrees
+(params, optax states) without a schema, mirroring JLD2's role.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .paths import TrainingPaths, resolve_paths
+
+__all__ = [
+    "save_pytree",
+    "load_pytree",
+    "load_checkpoint",
+    "load_group",
+    "get_all_groups",
+    "CheckpointWriter",
+    "resolve_paths",
+]
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_pytree(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint file or, given a run directory, its best model."""
+    if os.path.isdir(path):
+        for candidate in sorted(os.listdir(path)):
+            if candidate.startswith("best_") and candidate.endswith(".pkl"):
+                return load_pytree(os.path.join(path, candidate))
+        ckpt_dir = os.path.join(path, "checkpoints")
+        if os.path.isdir(ckpt_dir):
+            epochs = sorted(os.listdir(ckpt_dir))
+            if epochs:
+                return load_pytree(os.path.join(ckpt_dir, epochs[-1]))
+        raise FileNotFoundError(f"no checkpoint found under {path}")
+    return load_pytree(path)
+
+
+def load_group(run_dir: str, group: str = "params") -> List[Any]:
+    """Epoch-sorted collection of one field across all epoch checkpoints
+    (parity: ``load_group``, save.jl:66-77)."""
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    out = []
+    for fname in sorted(os.listdir(ckpt_dir)):
+        if re.match(r"epoch_\d+\.pkl$", fname):
+            ck = load_pytree(os.path.join(ckpt_dir, fname))
+            out.append(ck.get(group))
+    return out
+
+
+def get_all_groups(run_dir: str) -> List[str]:
+    """Keys stored per epoch (parity: ``get_all_groups``, save.jl:79-96)."""
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    for fname in sorted(os.listdir(ckpt_dir)):
+        if re.match(r"epoch_\d+\.pkl$", fname):
+            return sorted(load_pytree(os.path.join(ckpt_dir, fname)).keys())
+    return []
+
+
+class CheckpointWriter:
+    """Training save hooks (parity: save_initial_state!/save_epoch!/
+    save_final!, src/io/checkpoints.jl:1-37)."""
+
+    def __init__(self, paths: TrainingPaths, model, cfg):
+        self.paths = paths
+        self.model = model
+        self.cfg = cfg
+        self._history: List[Dict[str, Any]] = []
+
+    def _tracked(self, params, state) -> Dict[str, float]:
+        """Tracked physical parameters per epoch (save.jl:20-30 analog)."""
+        tracked = {}
+        for name in getattr(self.cfg, "tracked_params", ()) or ():
+            if name in params.get("globals", {}):
+                from ..params import scale_param
+
+                lo = self.model.parameters.lower_of(name)
+                up = self.model.parameters.upper_of(name)
+                tracked[name] = float(
+                    np.asarray(scale_param(params["globals"][name], lo, up))[0]
+                )
+            elif name in state.get("fixed", {}):
+                tracked[name] = float(np.asarray(state["fixed"][name])[0])
+        return tracked
+
+    def save_initial(self, params, state) -> None:
+        self.save_epoch(params, state, None, 0)
+        try:
+            from ..config.yaml_io import save_hybrid_config
+
+            save_hybrid_config(self.paths.config_yaml, self.model, self.cfg)
+        except Exception as e:  # config snapshot is best-effort
+            import logging
+
+            logging.getLogger("easyhybrid_tpu").warning(
+                "could not write config snapshot: %s", e
+            )
+
+    def save_epoch(self, params, state, snapshot, epoch: int) -> None:
+        record = {
+            "params": _to_numpy(params),
+            "state": _to_numpy(state),
+            "epoch": epoch,
+            "physical_params": self._tracked(params, state),
+        }
+        if snapshot is not None:
+            record["training_loss"] = snapshot.l_train
+            record["validation_loss"] = snapshot.l_val
+            self._history.append(
+                {
+                    "epoch": epoch,
+                    "training_loss": snapshot.l_train,
+                    "validation_loss": snapshot.l_val,
+                    "physical_params": record["physical_params"],
+                }
+            )
+        save_pytree(
+            os.path.join(self.paths.checkpoint_dir, f"epoch_{epoch:04d}.pkl"),
+            record,
+        )
+        with open(self.paths.history_json, "w") as f:
+            json.dump(self._history, f)
+
+    def save_final(self, results) -> None:
+        save_pytree(
+            self.paths.best_model,
+            {
+                "params": results.params,
+                "state": results.state,
+                "best_epoch": results.best_epoch,
+                "best_loss": results.best_loss,
+                "predictions": {
+                    "train": {
+                        c: np.asarray(results.train_pred[c])
+                        for c in results.train_pred.columns
+                    },
+                    "val": {
+                        c: np.asarray(results.val_pred[c])
+                        for c in results.val_pred.columns
+                    },
+                },
+                "observations": {
+                    "train": {
+                        c: np.asarray(results.train_obs[c])
+                        for c in results.train_obs.columns
+                    },
+                    "val": {
+                        c: np.asarray(results.val_obs[c])
+                        for c in results.val_obs.columns
+                    },
+                },
+            },
+        )

@@ -1,0 +1,93 @@
+"""Early stopping + best-model tracking.
+
+Parity: reference ``EarlyStopping`` (src/training/early_stopping.jl:1-70) —
+direction-aware comparison on the aggregated scalar of the FIRST entry of
+``loss_types``, patience counter, best params/state snapshot kept on host.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+import jax
+
+from ..losses.metrics import is_better
+from ..losses.specs import loss_name
+from .history import EpochSnapshot, TrainingHistory, _agg_loss
+
+__all__ = ["EarlyStopping"]
+
+log = logging.getLogger("easyhybrid_tpu")
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: jax.device_get(a), tree)
+
+
+class EarlyStopping:
+    def __init__(self, init_snapshot: EpochSnapshot, params, state, cfg):
+        self.agg_name = (
+            cfg.agg if isinstance(cfg.agg, str) else getattr(cfg.agg, "__name__", "sum")
+        )
+        self.metric = loss_name(
+            cfg.loss_types[0] if cfg.loss_types else cfg.training_loss
+        )
+        self.best_loss = _agg_loss(init_snapshot.l_val, self.agg_name)
+        self.best_params = _to_host(params)
+        self.best_state = _to_host(state)
+        self.best_epoch = 0
+        self.counter = 0
+        self.patience = cfg.patience
+        self.done = False
+
+    def update(
+        self,
+        history: TrainingHistory,
+        snapshot: EpochSnapshot,
+        params,
+        state,
+        epoch: int,
+        keep_history: bool,
+    ) -> None:
+        current = _agg_loss(snapshot.l_val, self.agg_name)
+        if keep_history:
+            history.append(snapshot)
+        if is_better(current, self.best_loss, self.metric):
+            self.best_loss = current
+            self.best_params = _to_host(params)
+            self.best_state = _to_host(state)
+            self.best_epoch = epoch
+            self.counter = 0
+            if not keep_history:
+                # keep only the best snapshot's predictions (parity:
+                # early_stopping.jl:28-30)
+                history.snapshots[0] = snapshot
+        else:
+            self.counter += 1
+        if self.patience is not None and self.counter >= self.patience:
+            log.warning(
+                "Early stopping at epoch %d, best validation loss wrt %s: "
+                "%.6g at epoch %d",
+                epoch,
+                self.metric,
+                self.best_loss,
+                self.best_epoch,
+            )
+            self.done = True
+
+    def best_or_final(self, params, state, return_model: str):
+        """Parity: ``best_or_final`` (early_stopping.jl:51-70)."""
+        if return_model == "best":
+            log.info(
+                "Returning best model from epoch %d with validation loss %.6g",
+                self.best_epoch,
+                self.best_loss,
+            )
+            return self.best_params, self.best_state
+        log.info(
+            "Returning final model; best validation loss was %.6g at epoch %d",
+            self.best_loss,
+            self.best_epoch,
+        )
+        return _to_host(params), _to_host(state)

@@ -1,0 +1,210 @@
+"""Jit-compiled training epoch and evaluation programs.
+
+TPU-native redesign of the reference's per-batch host loop
+(reference: src/training/epoch.jl — ``run_epoch!`` :13-33,
+``collect_dim_data`` :1-11, ``evaluate_epoch`` :53-66): instead of a Julia
+``for`` loop doing a host→device transfer plus a ``single_train_step!``
+launch per batch, the whole epoch is ONE XLA program:
+
+* the padded epoch tensors live on device across epochs;
+* an in-program PRNG permutation reshuffles samples (padding rows carry zero
+  weight, so wherever they land they contribute nothing);
+* ``lax.scan`` walks the ``(num_batches, batch, ...)`` leading axis carrying
+  ``(params, opt_state, nn_state)``;
+* each step is value_and_grad(fused hybrid forward) + optax update — all
+  fused by XLA, zero dispatch overhead per batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..data.loaders import EpochTensors
+from ..losses.compute import compute_loss
+from ..losses.specs import LoggingLoss
+
+__all__ = ["make_train_epoch", "make_evaluator", "make_loss_fn"]
+
+
+def _tree_gather(tree, idx):
+    """Gather leading-axis samples across a pytree of flat arrays."""
+    return jax.tree.map(lambda a: a[idx], tree)
+
+
+def _flatten_batches(tensors: EpochTensors):
+    """(nb, B, ...) → (nb*B, ...) views across the epoch pytree."""
+
+    def flat(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    return EpochTensors(
+        x=jax.tree.map(flat, tensors.x),
+        forcing={k: flat(v) for k, v in tensors.forcing.items()},
+        y={k: flat(v) for k, v in tensors.y.items()},
+        mask={k: flat(v) for k, v in tensors.mask.items()},
+        weight=tensors.weight.reshape(-1),
+        n_samples=tensors.n_samples,
+    )
+
+
+def _rebatch(tree, num_batches: int, batch: int):
+    def reb(a):
+        return a.reshape((num_batches, batch) + a.shape[1:])
+
+    return jax.tree.map(reb, tree)
+
+
+def make_train_epoch(
+    model,
+    logging: LoggingLoss,
+    optimizer,
+    *,
+    shuffle: bool = True,
+    jit: bool = True,
+) -> Callable:
+    """Build ``epoch_fn(params, opt_state, state, tensors, key) ->
+    (params, opt_state, state, mean_batch_loss)``.
+
+    ``tensors`` is an :class:`EpochTensors`; its ``(num_batches, batch)``
+    leading shape is static per compilation.
+    """
+    train_logging = LoggingLoss(
+        loss_types=logging.loss_types,
+        training_loss=logging.training_loss,
+        extra_loss=logging.extra_loss,
+        agg=logging.agg,
+        train_mode=True,
+    )
+
+    def loss_for_batch(params, state, batch):
+        return compute_loss(model, params, state, batch, train_logging)
+
+    grad_fn = jax.value_and_grad(loss_for_batch, has_aux=True)
+
+    def epoch_fn(params, opt_state, state, tensors: EpochTensors, key):
+        num_batches = tensors.weight.shape[0]
+        batch = tensors.weight.shape[1]
+
+        if shuffle and num_batches > 1:
+            flat = _flatten_batches(tensors)
+            perm = jax.random.permutation(key, num_batches * batch)
+            shuffled = EpochTensors(
+                x=_tree_gather(flat.x, perm),
+                forcing=_tree_gather(flat.forcing, perm),
+                y=_tree_gather(flat.y, perm),
+                mask=_tree_gather(flat.mask, perm),
+                weight=flat.weight[perm],
+                n_samples=flat.n_samples,
+            )
+            tensors = EpochTensors(
+                x=_rebatch(shuffled.x, num_batches, batch),
+                forcing=_rebatch(shuffled.forcing, num_batches, batch),
+                y=_rebatch(shuffled.y, num_batches, batch),
+                mask=_rebatch(shuffled.mask, num_batches, batch),
+                weight=shuffled.weight.reshape(num_batches, batch),
+                n_samples=tensors.n_samples,
+            )
+
+        def body(carry, slice_):
+            params, opt_state, state = carry
+            x_b, forcing_b, y_b, mask_b = slice_
+            batch_data = ((x_b, forcing_b), (y_b, mask_b))
+            (loss, new_state), grads = grad_fn(params, state, batch_data)
+
+            # skip all-masked batches (parity: isemptybatch, epoch.jl:35-37):
+            # keep params/opt_state/state untouched when no valid targets.
+            any_valid = (
+                sum(jnp.sum(m) for m in mask_b.values()) > 0
+                if mask_b
+                else jnp.asarray(True)
+            )
+
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax_apply_updates(params, updates)
+
+            params = jax.tree.map(
+                lambda new, old: jnp.where(any_valid, new, old), new_params, params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(any_valid, new, old),
+                new_opt_state,
+                opt_state,
+            )
+            state = jax.tree.map(
+                lambda new, old: jnp.where(any_valid, new, old), new_state, state
+            )
+            return (params, opt_state, state), jnp.where(any_valid, loss, 0.0)
+
+        xs = (tensors.x, tensors.forcing, tensors.y, tensors.mask)
+        (params, opt_state, state), losses = lax.scan(
+            body, (params, opt_state, state), xs
+        )
+        return params, opt_state, state, jnp.mean(losses)
+
+    if jit:
+        epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+    return epoch_fn
+
+
+def optax_apply_updates(params, updates):
+    """optax.apply_updates with dtype preservation."""
+    return jax.tree.map(
+        lambda p, u: (p + u.astype(p.dtype)) if u is not None else p,
+        params,
+        updates,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_evaluator(
+    model,
+    logging: LoggingLoss,
+    *,
+    jit: bool = True,
+    with_outputs: bool = False,
+) -> Callable:
+    """Build ``eval_fn(params, state, batch) -> metrics`` (or
+    ``(metrics, outputs)``) over a full ``((x, forcing), (y, mask))`` split
+    in test mode. Parity: ``evaluate_acc`` (train.jl:347-355) — but jitted
+    and device-resident; only scalar metrics come back to host per epoch.
+    """
+    eval_logging = LoggingLoss(
+        loss_types=logging.loss_types,
+        training_loss=logging.training_loss,
+        extra_loss=logging.extra_loss,
+        agg=logging.agg,
+        train_mode=False,
+    )
+
+    def eval_fn(params, state, batch):
+        metrics, _, outputs = compute_loss(model, params, state, batch, eval_logging)
+        if with_outputs:
+            return metrics, outputs
+        return metrics
+
+    if jit:
+        eval_fn = jax.jit(eval_fn)
+    return eval_fn
+
+
+def make_loss_fn(model, logging: LoggingLoss) -> Callable:
+    """Scalar loss closure ``f(params, state, batch) -> (loss, new_state)``
+    for external optimizers (L-BFGS path; parity: ``_build_optim_loss``,
+    train_optimization.jl:121-133)."""
+    train_logging = LoggingLoss(
+        loss_types=logging.loss_types,
+        training_loss=logging.training_loss,
+        extra_loss=logging.extra_loss,
+        agg=logging.agg,
+        train_mode=True,
+    )
+
+    def loss_fn(params, state, batch):
+        return compute_loss(model, params, state, batch, train_logging)
+
+    return loss_fn

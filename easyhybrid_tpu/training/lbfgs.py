@@ -1,0 +1,211 @@
+"""Second-order (L-BFGS) training driver.
+
+Parity: the reference's Optimization.jl path (reference:
+src/training/train_optimization.jl — ``_train_optimization`` :33-119,
+full-batch solve + eval/early-stop callback every ``eval_every`` iterations
+:66-80/:195-220, and the Le et al. 2011 repeated-minibatch scheme
+``_run_minibatch!`` :148-193) implemented with ``optax.lbfgs`` + zoom
+linesearch, jit-compiled per step.
+
+TPU note: L-BFGS runs in float32 by default; ``promote_f64`` enables x64
+(useful on the CPU backend for strict parity — TPUs prefer f32).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.train_config import DataConfig, TrainConfig, TrainResults
+from ..data.loaders import batch_iterator, build_epoch_tensors
+from ..data.split import split_data
+from ..losses.specs import LoggingLoss
+from .early_stopping import EarlyStopping
+from .epoch import make_evaluator, make_loss_fn
+from .history import EpochSnapshot, TrainingHistory
+from .train import (
+    _extract_diffs,
+    _full_batch,
+    _host_metrics,
+    _obs_pred_frames,
+    _outputs_to_host,
+)
+
+__all__ = ["train_lbfgs"]
+
+log = logging.getLogger("easyhybrid_tpu")
+
+
+def train_lbfgs(
+    model,
+    data,
+    cfg: TrainConfig,
+    dcfg: DataConfig,
+    *,
+    maxiters: Optional[int] = None,
+    **solve_kwargs,
+) -> TrainResults:
+    if solve_kwargs:
+        log.warning("ignoring solver kwargs: %s", ", ".join(solve_kwargs))
+    if cfg.promote_f64:
+        jax.config.update("jax_enable_x64", True)
+
+    key = jax.random.PRNGKey(cfg.random_seed)
+    key, init_key = jax.random.split(key)
+
+    train_data, val_data = split_data(
+        data,
+        model,
+        split_by_id=dcfg.split_by_id,
+        folds=dcfg.folds,
+        val_fold=dcfg.val_fold,
+        shuffleobs=dcfg.shuffleobs,
+        split_data_at=dcfg.split_data_at,
+        sequence_kwargs=dcfg.sequence_kwargs,
+        seed=cfg.random_seed,
+    )
+    train_eval_batch = _full_batch(train_data)
+    val_eval_batch = _full_batch(val_data)
+
+    params, state = model.init(init_key)
+    if cfg.promote_f64:
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+
+    logging_loss = LoggingLoss(
+        loss_types=tuple(cfg.loss_types),
+        training_loss=cfg.training_loss,
+        extra_loss=cfg.extra_loss,
+        agg=cfg.agg,
+    )
+    loss_with_state = make_loss_fn(model, logging_loss)
+
+    optimizer = optax.lbfgs()
+    opt_state = optimizer.init(params)
+
+    evaluator = make_evaluator(model, logging_loss, jit=cfg.jit)
+
+    def snapshot_of(p, s) -> EpochSnapshot:
+        return EpochSnapshot(
+            _host_metrics(evaluator(p, s, train_eval_batch)),
+            _host_metrics(evaluator(p, s, val_eval_batch)),
+        )
+
+    init_snapshot = snapshot_of(params, state)
+    history = TrainingHistory([init_snapshot])
+    stopper = EarlyStopping(init_snapshot, params, state, cfg)
+
+    def make_step(batch):
+        def scalar_loss(p):
+            loss, _ = loss_with_state(p, state, batch)
+            return loss
+
+        value_and_grad = optax.value_and_grad_from_state(scalar_loss)
+
+        def step(p, o):
+            value, grad = value_and_grad(p, state=o)
+            updates, o = optimizer.update(
+                grad, o, p, value=value, grad=grad, value_fn=scalar_loss
+            )
+            p = optax.apply_updates(p, updates)
+            return p, o, value
+
+        return jax.jit(step) if cfg.jit else step
+
+    t0 = time.perf_counter()
+
+    if cfg.full_batch:
+        # one problem over the full training split; evaluate every
+        # eval_every iterations (parity: train_optimization.jl:66-80)
+        step = make_step(train_eval_batch)
+        iters = int(maxiters or cfg.nepochs)
+        epoch = 0
+        for it in range(1, iters + 1):
+            params, opt_state, value = step(params, opt_state)
+            if it % cfg.eval_every == 0 or it == iters:
+                epoch += 1
+                snapshot = snapshot_of(params, state)
+                stopper.update(
+                    history, snapshot, params, state, epoch, cfg.keep_history
+                )
+                if cfg.show_progress:
+                    log.info(
+                        "lbfgs iter %4d/%d  loss=%.6g  best val=%.6g  (%.1fs)",
+                        it,
+                        iters,
+                        float(value),
+                        stopper.best_loss,
+                        time.perf_counter() - t0,
+                    )
+                if stopper.done:
+                    break
+    else:
+        # repeated-minibatch scheme: inner_maxiters L-BFGS iterations per
+        # fixed minibatch (parity: _run_minibatch!, :148-193)
+        batchsize = cfg.batchsize or train_data.n_samples
+        for epoch in range(1, cfg.nepochs + 1):
+            for (x, forcing), y in batch_iterator(
+                train_data,
+                batchsize,
+                shuffle=cfg.shuffle_each_epoch,
+                seed=cfg.random_seed + epoch,
+            ):
+                mask = {k: np.isfinite(v).astype(np.float32) for k, v in y.items()}
+                y_safe = {k: np.nan_to_num(v) for k, v in y.items()}
+                batch = (
+                    (jax.tree.map(jnp.asarray, x), jax.tree.map(jnp.asarray, forcing)),
+                    (
+                        {k: jnp.asarray(v) for k, v in y_safe.items()},
+                        {k: jnp.asarray(v) for k, v in mask.items()},
+                    ),
+                )
+                step = make_step(batch)
+                fresh_opt_state = optimizer.init(params)
+                for _ in range(cfg.inner_maxiters):
+                    params, fresh_opt_state, value = step(params, fresh_opt_state)
+            snapshot = snapshot_of(params, state)
+            stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+            if cfg.show_progress:
+                log.info(
+                    "lbfgs epoch %4d/%d  best val=%.6g  (%.1fs)",
+                    epoch,
+                    cfg.nepochs,
+                    stopper.best_loss,
+                    time.perf_counter() - t0,
+                )
+            if stopper.done:
+                break
+
+    best_params, best_state = stopper.best_or_final(params, state, cfg.return_model)
+    best_params = jax.tree.map(jnp.asarray, best_params)
+    best_state = jax.tree.map(jnp.asarray, best_state)
+
+    final_eval = make_evaluator(model, logging_loss, jit=cfg.jit, with_outputs=True)
+    _, out_tr = final_eval(best_params, best_state, train_eval_batch)
+    _, out_va = final_eval(best_params, best_state, val_eval_batch)
+    out_tr = _outputs_to_host(out_tr, train_data.n_samples)
+    out_va = _outputs_to_host(out_va, val_data.n_samples)
+    targets = tuple(model.targets)
+    train_obs, train_pred = _obs_pred_frames(train_data, out_tr, targets)
+    val_obs, val_pred = _obs_pred_frames(val_data, out_va, targets)
+
+    return TrainResults(
+        train_history=history.train_losses(),
+        val_history=history.val_losses(),
+        train_obs=train_obs,
+        train_pred=train_pred,
+        val_obs=val_obs,
+        val_pred=val_pred,
+        train_diffs=_extract_diffs(out_tr, targets, train_data.n_samples),
+        val_diffs=_extract_diffs(out_va, targets, val_data.n_samples),
+        params=jax.device_get(best_params),
+        state=jax.device_get(best_state),
+        best_epoch=stopper.best_epoch,
+        best_loss=stopper.best_loss,
+        history=history,
+    )

@@ -1,0 +1,336 @@
+"""The ``train`` public API: config overlay, jitted epoch loop, results.
+
+Parity with the reference's training driver (reference:
+src/training/train.jl — public ``train`` :211-237, kwargs→configs :272-345,
+``_train`` orchestration :95-136) re-architected for TPU:
+
+* the whole training split is resident on device as padded epoch tensors;
+* one jitted ``lax.scan`` program runs the epoch (see epoch.py);
+* evaluation is a second jitted program; only scalar metrics cross to host
+  per epoch; predictions transfer once at the end (or per epoch only when
+  ``keep_history``/``plotting`` ask for them);
+* early stopping, history, checkpointing and progress live on host, as in
+  the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.train_config import DataConfig, TrainConfig, TrainResults, validate_config
+from ..data.loaders import EpochTensors, build_epoch_tensors
+from ..data.prepare import HybridData
+from ..data.split import split_data
+from ..losses.specs import LoggingLoss
+from .early_stopping import EarlyStopping
+from .epoch import make_evaluator, make_train_epoch
+from .history import EpochSnapshot, TrainingHistory
+from .optimizers import is_second_order, resolve_optimizer
+
+__all__ = ["train"]
+
+log = logging.getLogger("easyhybrid_tpu")
+
+#: kwarg renames kept for reference-API familiarity
+#: (parity: rename_deprecated_kwargs, train.jl:328-345)
+_RENAMED_KWARGS = {
+    "opt": "optimizer",
+    "hybrid_name": "model_name",
+    "file_name": "model_name",
+    "loss_fn": "training_loss",
+    "random_seed!": "random_seed",
+}
+
+_TRAIN_FIELDS = {f.name for f in dataclasses.fields(TrainConfig)}
+_DATA_FIELDS = {f.name for f in dataclasses.fields(DataConfig)}
+
+
+def kwargs_to_configs(
+    kwargs: Dict[str, Any],
+    train_cfg: Optional[TrainConfig],
+    data_cfg: Optional[DataConfig],
+) -> Tuple[TrainConfig, DataConfig, Dict[str, Any]]:
+    """Overlay flat kwargs onto typed configs; leftover kwargs returned for
+    the second-order solver (parity: train.jl:272-314)."""
+    train_cfg = train_cfg or TrainConfig()
+    data_cfg = data_cfg or DataConfig()
+    leftovers: Dict[str, Any] = {}
+    renamed = {}
+    for k, v in kwargs.items():
+        if k in _RENAMED_KWARGS:
+            log.warning(
+                "keyword %r is deprecated; use %r", k, _RENAMED_KWARGS[k]
+            )
+            k = _RENAMED_KWARGS[k]
+        renamed[k] = v
+    for k, v in renamed.items():
+        if k in _TRAIN_FIELDS:
+            train_cfg = train_cfg.replace(**{k: v})
+        elif k in _DATA_FIELDS:
+            data_cfg = data_cfg.replace(**{k: v})
+        elif k == "sequence_kwargs":
+            data_cfg = data_cfg.replace(sequence_kwargs=dict(v) if v else None)
+        else:
+            leftovers[k] = v
+    return train_cfg, data_cfg, leftovers
+
+
+def _get_ps_st(train_from):
+    """Warm-start source → (params, state) (parity: get_ps_st,
+    train.jl:376-382)."""
+    if train_from is None:
+        return None
+    if isinstance(train_from, TrainResults):
+        return train_from.params, train_from.state
+    if isinstance(train_from, tuple) and len(train_from) == 2:
+        return train_from
+    if isinstance(train_from, str):
+        from ..io.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(train_from)
+        return ckpt["params"], ckpt["state"]
+    raise TypeError(f"cannot warm-start from {type(train_from).__name__}")
+
+
+def _full_batch(data: HybridData) -> Tuple[Any, Tuple[Dict, Dict]]:
+    """Full-split eval batch ((x, forcing), (y, mask)) with NaN masks."""
+    tensors = build_epoch_tensors(data, None)
+    x = jax.tree.map(lambda a: a[0], tensors.x)
+    forcing = {k: v[0] for k, v in tensors.forcing.items()}
+    y = {k: v[0] for k, v in tensors.y.items()}
+    mask = {k: v[0] for k, v in tensors.mask.items()}
+    return ((x, forcing), (y, mask))
+
+
+def _trim(arr, n: int):
+    arr = np.asarray(arr)
+    if arr.ndim >= 1 and arr.shape[0] >= n:
+        return arr[:n]
+    return arr
+
+
+def _host_metrics(metrics) -> Dict[str, Dict[str, float]]:
+    return jax.tree.map(lambda v: float(v), jax.device_get(metrics))
+
+
+def _outputs_to_host(outputs, n: int):
+    out = {}
+    for k, v in outputs.items():
+        if isinstance(v, Mapping):
+            out[k] = {kk: _trim(jax.device_get(vv), n) for kk, vv in v.items()}
+        else:
+            out[k] = _trim(jax.device_get(v), n)
+    return out
+
+
+def _obs_pred_frames(data: HybridData, outputs, targets):
+    """Observation and prediction DataFrames (parity: build_results,
+    early_stopping.jl:73-100)."""
+    import pandas as pd
+
+    n = data.n_samples
+
+    def col(arr):
+        arr = np.asarray(arr)
+        return arr.reshape(n, -1).squeeze(-1) if arr.ndim > 1 and arr.shape[-1] == 1 else (
+            arr if arr.ndim == 1 else list(arr)
+        )
+
+    obs = pd.DataFrame({t: col(np.asarray(data.y[t])) for t in targets})
+    pred = pd.DataFrame(
+        {f"{t}_pred": col(_trim(outputs[t], n)) for t in targets if t in outputs}
+    )
+    return obs, pred
+
+
+def _extract_diffs(outputs, targets, n: int):
+    """Non-target outputs (learned physical params etc.); parity:
+    extract_diffs (early_stopping.jl:102-111)."""
+    diffs = {}
+    for k, v in outputs.items():
+        if k in targets:
+            continue
+        diffs[k] = v
+    return diffs or None
+
+
+def train(
+    model,
+    data,
+    *,
+    train_cfg: Optional[TrainConfig] = None,
+    data_cfg: Optional[DataConfig] = None,
+    **kwargs,
+) -> TrainResults:
+    """Train a hybrid model. Accepts typed configs, flat kwargs, or both
+    (kwargs override config fields) — parity: train (train.jl:211-237).
+    """
+    cfg, dcfg, leftovers = kwargs_to_configs(kwargs, train_cfg, data_cfg)
+    validate_config(cfg)
+
+    if is_second_order(cfg.optimizer):
+        from .lbfgs import train_lbfgs
+
+        return train_lbfgs(model, data, cfg, dcfg, **leftovers)
+    if leftovers:
+        log.warning(
+            "Unknown kwargs ignored on the optax path: %s", ", ".join(leftovers)
+        )
+
+    key = jax.random.PRNGKey(cfg.random_seed)
+    key, init_key = jax.random.split(key)
+
+    # ---- data ----
+    sequence_kwargs = dcfg.sequence_kwargs
+    if dcfg.sequence_length and not sequence_kwargs:
+        sequence_kwargs = dict(input_window=dcfg.sequence_length)
+    train_data, val_data = split_data(
+        data,
+        model,
+        split_by_id=dcfg.split_by_id,
+        folds=dcfg.folds,
+        val_fold=dcfg.val_fold,
+        shuffleobs=dcfg.shuffleobs,
+        split_data_at=dcfg.split_data_at,
+        sequence_kwargs=sequence_kwargs,
+        seed=cfg.random_seed,
+    )
+
+    train_tensors = build_epoch_tensors(train_data, cfg.batchsize)
+    train_eval_batch = _full_batch(train_data)
+    val_eval_batch = _full_batch(val_data)
+
+    # ---- model/optimizer state ----
+    warm = _get_ps_st(cfg.train_from)
+    if warm is not None:
+        params, state = jax.tree.map(jnp.asarray, warm)
+    else:
+        params, state = model.init(init_key)
+    optimizer = resolve_optimizer(cfg.optimizer, params)
+    opt_state = optimizer.init(params)
+
+    logging_loss = LoggingLoss(
+        loss_types=tuple(cfg.loss_types),
+        training_loss=cfg.training_loss,
+        extra_loss=cfg.extra_loss,
+        agg=cfg.agg,
+    )
+
+    # ---- compiled programs ----
+    epoch_fn = make_train_epoch(
+        model,
+        logging_loss,
+        optimizer,
+        shuffle=cfg.shuffle_each_epoch,
+        jit=cfg.jit,
+    )
+    want_outputs = bool(cfg.keep_history or cfg.plotting or cfg.monitor_names)
+    evaluator = make_evaluator(
+        model, logging_loss, jit=cfg.jit, with_outputs=want_outputs
+    )
+
+    def snapshot_of(params, state) -> EpochSnapshot:
+        if want_outputs:
+            m_tr, out_tr = evaluator(params, state, train_eval_batch)
+            m_va, out_va = evaluator(params, state, val_eval_batch)
+            return EpochSnapshot(
+                _host_metrics(m_tr),
+                _host_metrics(m_va),
+                _outputs_to_host(out_tr, train_data.n_samples),
+                _outputs_to_host(out_va, val_data.n_samples),
+            )
+        m_tr = evaluator(params, state, train_eval_batch)
+        m_va = evaluator(params, state, val_eval_batch)
+        return EpochSnapshot(_host_metrics(m_tr), _host_metrics(m_va))
+
+    # ---- initial snapshot / history / stopper / io ----
+    init_snapshot = snapshot_of(params, state)
+    history = TrainingHistory([init_snapshot])
+    stopper = EarlyStopping(init_snapshot, params, state, cfg)
+
+    paths = None
+    if cfg.save_training:
+        from ..io.checkpoint import CheckpointWriter, resolve_paths
+
+        paths = resolve_paths(cfg)
+        writer = CheckpointWriter(paths, model, cfg)
+        writer.save_initial(params, state)
+    else:
+        writer = None
+
+    t0 = time.perf_counter()
+    epoch = 0
+    for epoch in range(1, cfg.nepochs + 1):
+        key, shuffle_key = jax.random.split(key)
+        params, opt_state, state, mean_loss = epoch_fn(
+            params, opt_state, state, train_tensors, shuffle_key
+        )
+        snapshot = snapshot_of(params, state)
+        stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+        if writer is not None and epoch % cfg.checkpoint_every == 0:
+            writer.save_epoch(params, state, snapshot, epoch)
+        if cfg.show_progress and (
+            epoch == 1 or epoch == cfg.nepochs or epoch % max(1, cfg.nepochs // 10) == 0
+        ):
+            agg = stopper.agg_name
+            metric = stopper.metric
+            tr = snapshot.l_train.get(metric, {}).get(agg, float("nan"))
+            va = snapshot.l_val.get(metric, {}).get(agg, float("nan"))
+            log.info(
+                "epoch %4d/%d  train %s(%s)=%.6g  val=%.6g  best=%.6g@%d  "
+                "(%.1fs)",
+                epoch,
+                cfg.nepochs,
+                metric,
+                agg,
+                tr,
+                va,
+                stopper.best_loss,
+                stopper.best_epoch,
+                time.perf_counter() - t0,
+            )
+        if stopper.done:
+            break
+
+    best_params, best_state = stopper.best_or_final(params, state, cfg.return_model)
+    best_params = jax.tree.map(jnp.asarray, best_params)
+    best_state = jax.tree.map(jnp.asarray, best_state)
+
+    # ---- final predictions + results ----
+    final_eval = make_evaluator(model, logging_loss, jit=cfg.jit, with_outputs=True)
+    _, out_tr = final_eval(best_params, best_state, train_eval_batch)
+    _, out_va = final_eval(best_params, best_state, val_eval_batch)
+    out_tr = _outputs_to_host(out_tr, train_data.n_samples)
+    out_va = _outputs_to_host(out_va, val_data.n_samples)
+
+    targets = tuple(model.targets)
+    train_obs, train_pred = _obs_pred_frames(train_data, out_tr, targets)
+    val_obs, val_pred = _obs_pred_frames(val_data, out_va, targets)
+
+    results = TrainResults(
+        train_history=history.train_losses(),
+        val_history=history.val_losses(),
+        train_obs=train_obs,
+        train_pred=train_pred,
+        val_obs=val_obs,
+        val_pred=val_pred,
+        train_diffs=_extract_diffs(out_tr, targets, train_data.n_samples),
+        val_diffs=_extract_diffs(out_va, targets, val_data.n_samples),
+        params=jax.device_get(best_params),
+        state=jax.device_get(best_state),
+        best_epoch=stopper.best_epoch,
+        best_loss=stopper.best_loss,
+        history=history,
+        paths=paths,
+    )
+
+    if writer is not None:
+        writer.save_final(results)
+    return results
