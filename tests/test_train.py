@@ -1,0 +1,246 @@
+"""End-to-end micro-trainings over every split mode + training semantics
+(reference parity: test/test_split_data_train.jl:69-168,
+test_autodiff_backend.jl, test_extract_weights.jl)."""
+
+import numpy as np
+import pytest
+
+import easyhybrid_tpu as eh
+
+
+def _quick(model, data, **kw):
+    kw.setdefault("nepochs", 1)
+    kw.setdefault("batchsize", 32)
+    kw.setdefault("show_progress", False)
+    return eh.train(model, data, **kw)
+
+
+def test_train_basic(rbq10_model, rbq10_df):
+    res = _quick(rbq10_model, rbq10_df, nepochs=2)
+    assert isinstance(res, eh.TrainResults)
+    assert np.isfinite(res.best_loss)
+    assert len(res.train_history) == 3  # epoch 0 + 2
+    assert "reco_pred" in res.train_pred.columns
+    assert "reco" in res.train_obs.columns
+    assert res.train_diffs is not None and "parameters" in res.train_diffs
+
+
+@pytest.mark.parametrize(
+    "split_kwargs",
+    [
+        dict(),
+        dict(shuffleobs=True),
+        dict(split_data_at=0.7),
+    ],
+)
+def test_train_split_modes(rbq10_model, rbq10_df, split_kwargs):
+    res = _quick(rbq10_model, rbq10_df, **split_kwargs)
+    assert np.isfinite(res.best_loss)
+
+
+def test_train_by_id(rbq10_model):
+    df = eh.gen_rbq10_data(120, seed=3)
+    df["site"] = np.repeat(np.arange(12), 10)
+    res = _quick(rbq10_model, df, split_by_id="site")
+    assert np.isfinite(res.best_loss)
+
+
+def test_train_folds(rbq10_model, rbq10_df):
+    folds = eh.make_folds(rbq10_df, k=4, seed=0)
+    res = _quick(rbq10_model, rbq10_df, folds=folds, val_fold=1)
+    assert np.isfinite(res.best_loss)
+
+
+def test_train_presplit(rbq10_model, rbq10_df):
+    tr, va = eh.split_data(rbq10_df, rbq10_model)
+    res = _quick(rbq10_model, (tr, va))
+    assert np.isfinite(res.best_loss)
+
+
+def test_train_learns(rbq10_model):
+    """Loss decreases and Q10 moves toward truth on the synthetic recipe."""
+    df = eh.gen_rbq10_data(1024, seed=42)
+    res = eh.train(
+        rbq10_model, df, nepochs=30, batchsize=256,
+        optimizer=("adam", 0.02), show_progress=False,
+    )
+    first = res.val_history[0]["mse"]["sum"]  # epoch-0 (untrained) loss
+    assert res.best_loss < first * 0.5
+    q10 = float(np.asarray(eh.scale_param(res.params["globals"]["Q10"], 1.0, 4.0))[0])
+    assert 1.3 < q10 < 2.7
+
+
+def test_keep_history_semantics(rbq10_model, rbq10_df):
+    res = _quick(rbq10_model, rbq10_df, nepochs=3, keep_history=True)
+    # history snapshots: epoch0 + 3 epochs, each with predictions
+    assert len(res.history) == 4
+    assert res.history[1].y_hat_val is not None
+    res2 = _quick(rbq10_model, rbq10_df, nepochs=3, keep_history=False)
+    # scalar metric history is always complete; predictions are not kept
+    assert len(res2.history) == 4
+    assert len(res2.train_history) == 4
+    assert res2.history[1].y_hat_val is None
+
+
+def test_early_stopping(rbq10_model, rbq10_df):
+    res = _quick(
+        rbq10_model, rbq10_df, nepochs=50, patience=2, optimizer=("sgd", 1e-9)
+    )
+    # with a tiny LR nothing improves -> stop after ~patience epochs
+    assert len(res.train_history) < 10
+
+
+def test_return_model_final_vs_best(rbq10_model, rbq10_df):
+    res_b = _quick(rbq10_model, rbq10_df, nepochs=2, return_model="best")
+    res_f = _quick(rbq10_model, rbq10_df, nepochs=2, return_model="final")
+    assert res_b.best_epoch <= 2 and res_f.best_epoch <= 2
+
+
+def test_warm_start(rbq10_model, rbq10_df):
+    res1 = _quick(rbq10_model, rbq10_df, nepochs=2)
+    res2 = _quick(rbq10_model, rbq10_df, nepochs=1, train_from=res1)
+    assert np.isfinite(res2.best_loss)
+    res3 = _quick(rbq10_model, rbq10_df, nepochs=1, train_from=res1.ps_st)
+    assert np.isfinite(res3.best_loss)
+
+
+def test_extra_loss_weight_l2(rbq10_model, rbq10_df):
+    """weight_l2 as extra_loss changes the training objective; its gradient
+    is nonzero on every weight leaf (reference test_extract_weights.jl)."""
+    import jax
+
+    params, _ = rbq10_model.init(jax.random.PRNGKey(0))
+    g = jax.grad(lambda p: eh.weight_l2(p))(params)
+    for w in eh.extract_weights(g):
+        assert np.any(np.asarray(w) != 0)
+    assert len(eh.extract_weights(params)) == 3  # 2 hidden + 1 output layer
+
+    res = _quick(
+        rbq10_model, rbq10_df, extra_loss=eh.l2_extra_loss(0.1), nepochs=1
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_per_branch_optimizer(rbq10_model, rbq10_df):
+    res = _quick(
+        rbq10_model,
+        rbq10_df,
+        optimizer={"nn": ("adam", 0.01), "globals": ("sgd", 0.1)},
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_custom_training_loss_and_loss_types(rbq10_model, rbq10_df):
+    def pinball(yh, yv, m, tau=0.5):
+        import jax.numpy as jnp
+
+        e = yv - yh
+        return eh.masked_mean(jnp.maximum(tau * e, (tau - 1) * e), m)
+
+    res = _quick(
+        rbq10_model,
+        rbq10_df,
+        training_loss=(pinball, {"tau": 0.3}),
+        loss_types=["mse", "mae", "r2"],
+    )
+    assert set(res.val_history[0]) == {"mse", "mae", "r2"}
+
+
+def test_nan_targets_train(rbq10_model):
+    df = eh.gen_rbq10_data(200, seed=5, nan_frac=0.4)
+    res = _quick(rbq10_model, df, nepochs=2)
+    assert np.isfinite(res.best_loss)
+
+
+def test_unjitted_matches_jitted(rbq10_model, rbq10_df):
+    """AD-backend matrix analog: jit on/off gives the same training result
+    (reference test_autodiff_backend.jl:21-40)."""
+    res_j = _quick(rbq10_model, rbq10_df, nepochs=1, jit=True,
+                   shuffle_each_epoch=False)
+    res_n = _quick(rbq10_model, rbq10_df, nepochs=1, jit=False,
+                   shuffle_each_epoch=False)
+    np.testing.assert_allclose(res_j.best_loss, res_n.best_loss, rtol=1e-4)
+
+
+def test_lbfgs_full_batch(rbq10_model, rbq10_df):
+    res = eh.train(
+        rbq10_model,
+        rbq10_df,
+        optimizer="lbfgs",
+        full_batch=True,
+        nepochs=5,
+        show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_lbfgs_minibatch(rbq10_model, rbq10_df):
+    res = eh.train(
+        rbq10_model,
+        rbq10_df,
+        optimizer="lbfgs",
+        full_batch=False,
+        nepochs=1,
+        batchsize=128,
+        inner_maxiters=3,
+        show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_deprecated_kwarg_rename(rbq10_model, rbq10_df):
+    res = _quick(rbq10_model, rbq10_df, opt=("adam", 0.01))
+    assert np.isfinite(res.best_loss)
+
+
+def test_multi_nn_training():
+    def mech(*, f, a, b):
+        return {"t": a * f + b}
+
+    m = eh.construct_hybrid_model(
+        predictors={"a": ["p1", "p2"], "b": ["p3"]},
+        forcing=["f"],
+        targets=["t"],
+        mechanistic_model=mech,
+        parameters={"a": (1.0, 0.0, 2.0), "b": (0.5, 0.0, 1.0)},
+        global_param_names=[],
+        hidden_layers=[4],
+        scale_nn_outputs=True,
+    )
+    rng = np.random.default_rng(0)
+    n = 128
+    import pandas as pd
+
+    df = pd.DataFrame({k: rng.random(n).astype(np.float32)
+                       for k in ["p1", "p2", "p3", "f", "t"]})
+    res = _quick(m, df, nepochs=2)
+    assert np.isfinite(res.best_loss)
+
+
+def test_sequence_lstm_training():
+    """LSTM hybrid over windowed sequences (reference Q10_lstm analog)."""
+    def mech(*, ta, rb, Q10):
+        return {"reco": rb * Q10 ** (0.1 * (ta - 15.0))}
+
+    m = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"],
+        forcing=["ta"],
+        targets=["reco"],
+        mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"],
+        global_param_names=["Q10"],
+        hidden_layers={"lstm": 8},
+        scale_nn_outputs=True,
+        input_batchnorm=True,
+    )
+    df = eh.gen_rbq10_data(300, seed=11)
+    res = eh.train(
+        m,
+        df,
+        nepochs=2,
+        batchsize=32,
+        show_progress=False,
+        sequence_kwargs=dict(input_window=8, output_window=2, lead_time=0),
+    )
+    assert np.isfinite(res.best_loss)
