@@ -75,6 +75,10 @@ from .training.history import TrainingHistory, EpochSnapshot
 from .training.early_stopping import EarlyStopping
 from .training.optimizers import resolve_optimizer
 
+# parallel
+from .parallel.mesh import make_mesh, shard_batch, replicate
+from .parallel.multisite import MultiSiteHybridModel
+
 # io
 from .io.checkpoint import (
     save_pytree,
@@ -150,6 +154,11 @@ __all__ = [
     "EpochSnapshot",
     "EarlyStopping",
     "resolve_optimizer",
+    # parallel
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "MultiSiteHybridModel",
     # io
     "save_pytree",
     "load_pytree",

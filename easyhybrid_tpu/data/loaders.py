@@ -69,9 +69,9 @@ def build_epoch_tensors(
     padding samples get ``weight = 0`` and all-0 masks.
     """
     n = data.n_samples
-    if batch_size is None or batch_size >= n:
+    if batch_size is None:
         batch_size = n
-    num_batches = math.ceil(n / batch_size)
+    num_batches = max(1, math.ceil(n / batch_size))
 
     def prep(arr):
         return _pad_reshape(np.asarray(arr, np.float32), num_batches, batch_size)

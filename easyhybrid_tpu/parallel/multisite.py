@@ -1,0 +1,100 @@
+"""Multi-site hybrid modeling: vmap across sites, shard sites over the mesh.
+
+TPU-native addition (no reference counterpart — the reference is
+single-series; SURVEY.md §5 and BASELINE.json's FLUXNET-scale config call for
+"vmapped per-site hybrids, data-parallel batches over a v5e mesh").
+
+Semantics: one :class:`~easyhybrid_tpu.models.hybrid.SingleNNHybridModel`
+(or MultiNN) spec is lifted over a leading ``site`` axis.  Two modes:
+
+* ``share_nn=True`` (default): the NN weights are shared across sites while
+  global physical parameters are learned PER SITE (e.g. one Q10 per site) —
+  the common scientific setup.
+* ``share_nn=False``: every site gets its own NN weights too (vmapped init).
+
+Data layout: ``x (S, N, F)``, forcing/targets ``(S, N)``. The vmapped fused
+forward stays one XLA program; sharding the site axis over the mesh gives
+embarrassing parallelism with zero collectives in the forward and one psum
+for shared-weight gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MultiSiteHybridModel"]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MultiSiteHybridModel:
+    base: Any           # SingleNNHybridModel / MultiNNHybridModel
+    n_sites: int
+    share_nn: bool = True
+
+    # ------------------------------------------------------------------
+    @property
+    def targets(self):
+        return self.base.targets
+
+    @property
+    def forcing(self):
+        return self.base.forcing
+
+    @property
+    def predictors(self):
+        return self.base.predictors
+
+    @property
+    def parameters(self):
+        return self.base.parameters
+
+    # ------------------------------------------------------------------
+    def init(self, key):
+        if self.share_nn:
+            params, state = self.base.init(key)
+            # per-site copies of the (trainable) globals only
+            params = dict(params)
+            params["globals"] = {
+                g: jnp.tile(v[None, :], (self.n_sites, 1))
+                for g, v in params["globals"].items()
+            }
+            return params, state
+        keys = jax.random.split(key, self.n_sites)
+        params, state = jax.vmap(self.base.init)(keys)
+        # state (fixed params, bn stats) is identical across sites: keep one
+        state = jax.tree.map(lambda a: a[0], state)
+        return params, state
+
+    # ------------------------------------------------------------------
+    def apply(self, params, state, batch, *, training: bool = False):
+        """``batch = (x, forcing)`` with a leading site axis on every array."""
+
+        if self.share_nn:
+
+            def site_apply(globals_, x, forcing):
+                p = {**params, "globals": globals_}
+                out, new_state = self.base.apply(
+                    p, state, (x, forcing), training=training
+                )
+                return out, new_state
+
+            outputs, new_states = jax.vmap(site_apply)(
+                params["globals"], batch[0], batch[1]
+            )
+        else:
+
+            def site_apply(p, x, forcing):
+                return self.base.apply(p, state, (x, forcing), training=training)
+
+            outputs, new_states = jax.vmap(site_apply)(params, batch[0], batch[1])
+
+        # collapse the vmapped state back to one copy (site-invariant for
+        # fixed params; batchnorm stats are averaged across sites)
+        new_state = jax.tree.map(
+            lambda a: jnp.mean(a, axis=0) if a.ndim > 0 else a, new_states
+        )
+        return outputs, new_state

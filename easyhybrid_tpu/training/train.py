@@ -99,9 +99,15 @@ def _get_ps_st(train_from):
     raise TypeError(f"cannot warm-start from {type(train_from).__name__}")
 
 
-def _full_batch(data: HybridData) -> Tuple[Any, Tuple[Dict, Dict]]:
-    """Full-split eval batch ((x, forcing), (y, mask)) with NaN masks."""
-    tensors = build_epoch_tensors(data, None)
+def _full_batch(
+    data: HybridData, pad_multiple: int = 1
+) -> Tuple[Any, Tuple[Dict, Dict]]:
+    """Full-split eval batch ((x, forcing), (y, mask)) with NaN masks;
+    padded up to a multiple of ``pad_multiple`` samples (for even sharding).
+    Padding rows carry zero masks so metrics are unaffected."""
+    n = data.n_samples
+    batch = -(-n // pad_multiple) * pad_multiple if pad_multiple > 1 else None
+    tensors = build_epoch_tensors(data, batch)
     x = jax.tree.map(lambda a: a[0], tensors.x)
     forcing = {k: v[0] for k, v in tensors.forcing.items()}
     y = {k: v[0] for k, v in tensors.y.items()}
@@ -203,9 +209,29 @@ def train(
         seed=cfg.random_seed,
     )
 
-    train_tensors = build_epoch_tensors(train_data, cfg.batchsize)
-    train_eval_batch = _full_batch(train_data)
-    val_eval_batch = _full_batch(val_data)
+    batchsize = cfg.batchsize
+    mesh = None
+    if cfg.multi_device:
+        from ..parallel.mesh import make_mesh
+
+        mesh = cfg.mesh or make_mesh()
+        n_dev = mesh.devices.size
+        if batchsize is None:
+            batchsize = train_data.n_samples
+        # sample axis must split evenly over the mesh
+        batchsize = max(n_dev, (batchsize // n_dev) * n_dev)
+
+    pad_mult = mesh.devices.size if mesh is not None else 1
+    train_tensors = build_epoch_tensors(train_data, batchsize)
+    train_eval_batch = _full_batch(train_data, pad_mult)
+    val_eval_batch = _full_batch(val_data, pad_mult)
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch, shard_epoch_tensors
+
+        train_tensors = shard_epoch_tensors(train_tensors, mesh)
+        train_eval_batch = shard_batch(train_eval_batch, mesh)
+        val_eval_batch = shard_batch(val_eval_batch, mesh)
 
     # ---- model/optimizer state ----
     warm = _get_ps_st(cfg.train_from)
@@ -215,6 +241,12 @@ def train(
         params, state = model.init(init_key)
     optimizer = resolve_optimizer(cfg.optimizer, params)
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        opt_state = replicate(opt_state, mesh)
 
     logging_loss = LoggingLoss(
         loss_types=tuple(cfg.loss_types),

@@ -4,7 +4,6 @@ sharding tests run without TPU hardware (set BEFORE jax import)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,7 +12,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+# Force the CPU backend even when a TPU plugin (axon) is registered at
+# interpreter startup — the env var alone is overridden by the plugin's
+# jax_platforms hook, so set the config directly before any jax use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
 import pytest
 
 
