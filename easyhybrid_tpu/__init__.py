@@ -34,6 +34,18 @@ from .models.hybrid import (
     MultiNNHybridModel,
     construct_hybrid_model,
 )
+from .models.legacy import (
+    LinearHM,
+    RespirationRbQ10,
+    RsComponents,
+    RbQ10TwoParams,
+    FluxPartModelQ10,
+    m_rb_q10,
+)
+from .models.factory import make_hybrid, CustomHybridModel
+from .models.show import format_model, format_parameter_table, install_reprs
+
+install_reprs()
 
 # losses
 from .losses.metrics import (
@@ -60,6 +72,7 @@ from .data.split import split_data, prepare_splits, train_val_indices
 from .data.sequences import split_into_sequences, filter_sequences
 from .data.synthetic import gen_linear_data, gen_linear_data_2outputs, gen_rbq10_data
 from .data.loaders import build_epoch_tensors, batch_iterator
+from .data.netcdf import load_timeseries_netcdf
 
 # config
 from .config.train_config import TrainConfig, DataConfig, TrainResults, validate_config
@@ -74,6 +87,13 @@ from .training.train import train
 from .training.history import TrainingHistory, EpochSnapshot
 from .training.early_stopping import EarlyStopping
 from .training.optimizers import resolve_optimizer
+from .training.tune import (
+    ModelSpec,
+    tune,
+    best_hyperparams,
+    random_search,
+    grid_search,
+)
 
 # parallel
 from .parallel.mesh import make_mesh, shard_batch, replicate
@@ -113,6 +133,16 @@ __all__ = [
     "SingleNNHybridModel",
     "MultiNNHybridModel",
     "construct_hybrid_model",
+    "LinearHM",
+    "RespirationRbQ10",
+    "RsComponents",
+    "RbQ10TwoParams",
+    "FluxPartModelQ10",
+    "m_rb_q10",
+    "make_hybrid",
+    "CustomHybridModel",
+    "format_model",
+    "format_parameter_table",
     # losses
     "loss_fn",
     "is_better",
@@ -140,6 +170,7 @@ __all__ = [
     "gen_rbq10_data",
     "build_epoch_tensors",
     "batch_iterator",
+    "load_timeseries_netcdf",
     # config
     "TrainConfig",
     "DataConfig",
@@ -154,6 +185,11 @@ __all__ = [
     "EpochSnapshot",
     "EarlyStopping",
     "resolve_optimizer",
+    "ModelSpec",
+    "tune",
+    "best_hyperparams",
+    "random_search",
+    "grid_search",
     # parallel
     "make_mesh",
     "shard_batch",

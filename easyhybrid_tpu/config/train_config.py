@@ -122,6 +122,7 @@ class TrainResults:
     best_loss: float = float("nan")
     history: Any = None            # TrainingHistory (epoch snapshots)
     paths: Any = None              # TrainingPaths when save_training=true
+    tracked: Any = None            # tracked physical-param trajectories
 
     @property
     def ps_st(self) -> Tuple[Any, Any]:

@@ -202,6 +202,33 @@ class AbstractHybridModel:
             f"forcing must be a dict name->array; got {type(forcing_data).__name__}"
         )
 
+    # -- inference convenience -----------------------------------------------
+    def predict_df(self, params, state, df):
+        """Test-mode inference on a DataFrame: returns a copy with
+        ``<output>_pred`` columns appended for every per-sample output.
+
+        Parity: the reference's DataFrame forward
+        (GenericHybridModel.jl:433-455) — missing→NaN coercion, no row
+        dropping, columns appended only for batch-length outputs.
+        """
+        from ..data.prepare import prepare_data
+
+        data = prepare_data(self, df, drop_missing_rows=False)
+        outputs, _ = self.apply(params, state, (data.x, data.forcing))
+        n = data.n_samples
+        out_df = df.copy()
+        for k, v in outputs.items():
+            if isinstance(v, Mapping):
+                continue  # parameters / nn_outputs handled below
+            arr = np.asarray(v)
+            if arr.ndim == 1 and arr.shape[0] == n:
+                out_df[f"{k}_pred"] = arr
+        for k, v in outputs.get("parameters", {}).items():
+            arr = np.asarray(v)
+            if arr.ndim == 1 and arr.shape[0] == n:
+                out_df[f"{k}_pred"] = arr
+        return out_df
+
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class SingleNNHybridModel(AbstractHybridModel):

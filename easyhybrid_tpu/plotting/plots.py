@@ -1,0 +1,214 @@
+"""Post-hoc plots + training dashboard (matplotlib, lazily imported).
+
+Parity: the reference's Makie extension plot set (ext/EasyHybridMakie.jl):
+``poplot`` pred-vs-obs with modeling efficiency (:53-184), ``plot_loss``
+(:203-220, :504-594), ``plot_parameters`` (:609-665),
+``plot_training_summary`` (:706-735) and the multi-panel ``train_board``
+(:252-414) — rendered headlessly to files instead of a live Makie window.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+log = logging.getLogger("easyhybrid_tpu")
+
+__all__ = [
+    "poplot",
+    "plot_loss",
+    "plot_parameters",
+    "plot_training_summary",
+    "train_board",
+]
+
+
+def _plt():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        return plt
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "matplotlib is required for plotting; install it or disable "
+            "plotting (cfg.plotting=False)"
+        ) from e
+
+
+def _modeling_efficiency(obs, pred):
+    m = np.isfinite(obs) & np.isfinite(pred)
+    obs, pred = obs[m], pred[m]
+    if len(obs) < 2:
+        return float("nan")
+    return 1.0 - np.sum((obs - pred) ** 2) / np.sum((obs - obs.mean()) ** 2)
+
+
+def poplot(
+    obs,
+    pred,
+    *,
+    target: str = "target",
+    ax=None,
+    max_points: int = 10_000,
+    save: Optional[str] = None,
+):
+    """Pred-vs-obs scatter with 1:1 line and modeling efficiency
+    (parity: poplot, EasyHybridMakie.jl:53-102)."""
+    plt = _plt()
+    obs = np.asarray(obs).ravel()
+    pred = np.asarray(pred).ravel()
+    if len(obs) > max_points:  # 10k-point subsample like the dashboard
+        idx = np.random.default_rng(0).choice(len(obs), max_points, replace=False)
+        obs, pred = obs[idx], pred[idx]
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5, 5))
+    else:
+        fig = ax.figure
+    ax.scatter(obs, pred, s=4, alpha=0.4, linewidths=0)
+    lims = [np.nanmin([obs.min(), pred.min()]), np.nanmax([obs.max(), pred.max()])]
+    ax.plot(lims, lims, "k--", lw=1, label="1:1")
+    mef = _modeling_efficiency(obs, pred)
+    ax.set_xlabel(f"observed {target}")
+    ax.set_ylabel(f"predicted {target}")
+    ax.set_title(f"{target}  (MEF = {mef:.3f})")
+    ax.legend(frameon=False)
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return ax
+
+
+def plot_loss(
+    history,
+    *,
+    metric: Optional[str] = None,
+    yscale: str = "log",
+    ax=None,
+    save: Optional[str] = None,
+):
+    """Train/val loss curves (parity: plot_loss, :203-220).
+
+    ``history`` is a TrainingHistory or a TrainResults."""
+    plt = _plt()
+    hist = getattr(history, "history", history)
+    metric = metric or next(iter(hist[0].l_train))
+    train = hist.series(metric, "train")
+    val = hist.series(metric, "val")
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    else:
+        fig = ax.figure
+    epochs = np.arange(len(hist))
+    for key, ys in train.items():
+        ax.plot(epochs, ys, label=f"train {key}", lw=1.2)
+    for key, ys in val.items():
+        ax.plot(epochs, ys, "--", label=f"val {key}", lw=1.2)
+    try:
+        ax.set_yscale(yscale)
+    except ValueError:
+        pass
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(metric)
+    ax.legend(frameon=False, fontsize=8)
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return ax
+
+
+def plot_parameters(
+    tracked: Dict[str, Sequence[float]],
+    *,
+    truths: Optional[Dict[str, float]] = None,
+    ax=None,
+    save: Optional[str] = None,
+):
+    """Physical-parameter trajectories over epochs
+    (parity: plot_parameters, :609-665)."""
+    plt = _plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    else:
+        fig = ax.figure
+    for name, series in tracked.items():
+        ax.plot(np.arange(len(series)), series, label=name, lw=1.5)
+        if truths and name in truths:
+            ax.axhline(truths[name], ls=":", c="gray", lw=1)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("parameter value")
+    ax.legend(frameon=False)
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return ax
+
+
+def train_board(results, *, save: Optional[str] = None):
+    """Multi-panel board: loss + zoomed loss + per-target pred-vs-obs
+    (parity: train_board, :252-414)."""
+    plt = _plt()
+    targets = [c for c in results.train_obs.columns]
+    ncols = max(2, len(targets))
+    fig, axes = plt.subplots(2, ncols, figsize=(4.5 * ncols, 8))
+    axes = np.atleast_2d(axes)
+    plot_loss(results, ax=axes[0, 0])
+    # zoomed loss: second half of training
+    hist = results.history
+    if len(hist) > 4:
+        metric = next(iter(hist[0].l_val))
+        val = hist.series(metric, "val")
+        half = len(hist) // 2
+        for key, ys in val.items():
+            axes[0, 1].plot(np.arange(half, len(hist)), ys[half:], label=f"val {key}")
+        axes[0, 1].set_title("loss (zoom)")
+        axes[0, 1].legend(frameon=False, fontsize=8)
+    for j, t in enumerate(targets):
+        ax_tr = axes[1, j] if j < ncols else None
+        if ax_tr is None:
+            break
+        pred_col = f"{t}_pred"
+        if pred_col in results.train_pred.columns:
+            poplot(
+                results.train_obs[t].to_numpy(),
+                results.train_pred[pred_col].to_numpy(),
+                target=t,
+                ax=ax_tr,
+            )
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_training_summary(results, *, save: Optional[str] = None):
+    """Loss + parameter trajectories + val pred-vs-obs in one figure
+    (parity: plot_training_summary, :706-735)."""
+    plt = _plt()
+    targets = list(results.train_obs.columns)
+    fig, axes = plt.subplots(1, 2 + len(targets), figsize=(5 * (2 + len(targets)), 4))
+    axes = np.atleast_1d(axes)
+    plot_loss(results, ax=axes[0])
+    diffs = results.val_diffs or {}
+    tracked = {}
+    params = diffs.get("parameters", {})
+    for name, v in params.items():
+        arr = np.asarray(v)
+        if arr.size == 1:
+            tracked[name] = [float(arr.ravel()[0])]
+    if tracked:
+        plot_parameters(tracked, ax=axes[1])
+    for j, t in enumerate(targets):
+        pred_col = f"{t}_pred"
+        if pred_col in results.val_pred.columns:
+            poplot(
+                results.val_obs[t].to_numpy(),
+                results.val_pred[pred_col].to_numpy(),
+                target=t,
+                ax=axes[2 + j],
+            )
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig

@@ -282,10 +282,31 @@ def train(
         m_va = evaluator(params, state, val_eval_batch)
         return EpochSnapshot(_host_metrics(m_tr), _host_metrics(m_va))
 
+    def tracked_values(params, state):
+        """Physical values of tracked parameters (globals scaled into their
+        bounds; fixed read from state)."""
+        out = {}
+        pc = getattr(model, "parameters", None)
+        for name in cfg.tracked_params or ():
+            if name in params.get("globals", {}):
+                from ..params import scale_param
+
+                lo, up = pc.lower_of(name), pc.upper_of(name)
+                v = scale_param(params["globals"][name], lo, up)
+                out[name] = float(np.asarray(jax.device_get(v)).ravel()[0])
+            elif name in state.get("fixed", {}):
+                out[name] = float(np.asarray(jax.device_get(state["fixed"][name]))[0])
+            elif name in params:  # legacy models: raw scalar params
+                out[name] = float(np.asarray(jax.device_get(params[name])).ravel()[0])
+        return out
+
     # ---- initial snapshot / history / stopper / io ----
     init_snapshot = snapshot_of(params, state)
     history = TrainingHistory([init_snapshot])
     stopper = EarlyStopping(init_snapshot, params, state, cfg)
+    tracked: Dict[str, list] = {}
+    for k, v in tracked_values(params, state).items():
+        tracked[k] = [v]
 
     paths = None
     if cfg.save_training:
@@ -306,6 +327,8 @@ def train(
         )
         snapshot = snapshot_of(params, state)
         stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+        for k, v in tracked_values(params, state).items():
+            tracked.setdefault(k, []).append(v)
         if writer is not None and epoch % cfg.checkpoint_every == 0:
             writer.save_epoch(params, state, snapshot, epoch)
         if cfg.show_progress and (
@@ -361,8 +384,22 @@ def train(
         best_loss=stopper.best_loss,
         history=history,
         paths=paths,
+        tracked=tracked or None,
     )
 
     if writer is not None:
         writer.save_final(results)
+    if cfg.plotting:
+        try:
+            from ..plotting.plots import train_board
+
+            board_path = (
+                paths.history_png
+                if paths is not None
+                else f"{cfg.model_name}_train_board.png"
+            )
+            train_board(results, save=board_path)
+            log.info("saved training board to %s", board_path)
+        except Exception as e:
+            log.warning("plotting failed: %s", e)
     return results

@@ -1,0 +1,162 @@
+"""Tune, NetCDF ingestion, predict_df, show, plotting, WrappedTuples."""
+
+import os
+
+import numpy as np
+import pytest
+
+import easyhybrid_tpu as eh
+
+
+def test_tune_single_run(rbq10_model, rbq10_df):
+    mspec = eh.ModelSpec(
+        hyper_model={"hidden_layers": [4]},
+        hyper_train={"nepochs": 1, "batchsize": 64, "show_progress": False},
+    )
+    res = eh.tune(rbq10_model, rbq10_df, mspec)
+    assert np.isfinite(res.best_loss)
+
+
+def test_grid_search(rbq10_model, rbq10_df):
+    best, trials = eh.grid_search(
+        rbq10_model,
+        rbq10_df,
+        {"hidden_layers": [[4], [8]]},
+        nepochs=1,
+        batchsize=64,
+        show_progress=False,
+    )
+    assert len(trials) == 2
+    assert best in ({"hidden_layers": [4]}, {"hidden_layers": [8]})
+
+
+def test_random_search(rbq10_model, rbq10_df):
+    best, trials = eh.random_search(
+        rbq10_model,
+        rbq10_df,
+        {
+            "hidden_layers": [[4], [8]],
+            "optimizer": [("adam", 0.01), ("adam", 0.001)],
+        },
+        n_trials=2,
+        nepochs=1,
+        batchsize=64,
+        show_progress=False,
+    )
+    assert len(trials) == 2 and "hidden_layers" in best
+
+
+def test_netcdf_roundtrip_hdf5(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "series.nc")
+    n = 50
+    with h5py.File(path, "w") as f:
+        f.create_dataset("ta", data=np.arange(n, dtype=np.float64))
+        d = f.create_dataset("reco", data=np.full(n, 2.0))
+        d.attrs["_FillValue"] = np.array([2.0])
+        f.create_dataset("matrix", data=np.zeros((3, 3)))  # 2-D: ignored
+    df = eh.load_timeseries_netcdf(path)
+    assert set(df.columns) == {"ta", "reco"}
+    assert df["reco"].isna().all()  # fill value -> NaN
+    assert len(df) == n
+
+
+def test_netcdf3_roundtrip(tmp_path):
+    from scipy.io import netcdf_file
+
+    path = str(tmp_path / "classic.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("time", 10)
+        v = f.createVariable("ta", "f4", ("time",))
+        v[:] = np.arange(10, dtype=np.float32)
+    df = eh.load_timeseries_netcdf(path)
+    assert "ta" in df.columns and len(df) == 10
+
+
+def test_netcdf_missing_file():
+    with pytest.raises(FileNotFoundError):
+        eh.load_timeseries_netcdf("/nonexistent/file.nc")
+
+
+def test_predict_df(rbq10_model, rbq10_df):
+    import jax
+
+    params, state = rbq10_model.init(jax.random.PRNGKey(0))
+    out_df = rbq10_model.predict_df(params, state, rbq10_df)
+    assert "reco_pred" in out_df.columns
+    assert "rb_pred" in out_df.columns  # per-sample neural parameter
+    assert len(out_df) == len(rbq10_df)
+    # original df untouched
+    assert "reco_pred" not in rbq10_df.columns
+
+
+def test_model_repr(rbq10_model):
+    s = repr(rbq10_model)
+    assert "SingleNNHybridModel" in s
+    assert "Q10" in s and "global" in s
+    assert "rbq10" in s  # mechanistic fn name
+    s2 = repr(rbq10_model.parameters)
+    assert "ParameterContainer" in s2
+
+
+def test_logging_loss_repr():
+    ll = eh.LoggingLoss(loss_types=("mse", "r2"), training_loss="mse")
+    s = repr(ll)
+    assert "mse" in s and "r2" in s and "train_mode" in s
+
+
+def test_wrapped_tuples():
+    wt = eh.WrappedTuples([{"a": 1, "b": 2.0}, {"a": 3, "b": 4.0}])
+    assert wt.a == [1, 3]
+    assert len(wt) == 2
+    assert wt.to_matrix().shape == (2, 2)
+    with pytest.raises(AttributeError):
+        wt.nope
+
+
+def test_plots_render(tmp_path, rbq10_model, rbq10_df):
+    pytest.importorskip("matplotlib")
+    res = eh.train(
+        rbq10_model,
+        rbq10_df,
+        nepochs=3,
+        batchsize=64,
+        show_progress=False,
+        tracked_params=["Q10"],
+    )
+    from easyhybrid_tpu.plotting.plots import (
+        plot_loss,
+        plot_parameters,
+        poplot,
+        train_board,
+        plot_training_summary,
+    )
+
+    poplot(
+        res.train_obs["reco"].to_numpy(),
+        res.train_pred["reco_pred"].to_numpy(),
+        target="reco",
+        save=str(tmp_path / "poplot.png"),
+    )
+    plot_loss(res, save=str(tmp_path / "loss.png"))
+    plot_parameters(res.tracked, save=str(tmp_path / "params.png"))
+    train_board(res, save=str(tmp_path / "board.png"))
+    plot_training_summary(res, save=str(tmp_path / "summary.png"))
+    for f in ["poplot.png", "loss.png", "params.png", "board.png", "summary.png"]:
+        assert os.path.getsize(str(tmp_path / f)) > 0
+
+
+def test_train_plotting_flag(tmp_path, rbq10_model, rbq10_df):
+    pytest.importorskip("matplotlib")
+    res = eh.train(
+        rbq10_model,
+        rbq10_df,
+        nepochs=1,
+        batchsize=64,
+        show_progress=False,
+        plotting=True,
+        save_training=True,
+        output_folder=str(tmp_path),
+        model_name="plotrun",
+    )
+    assert os.path.exists(res.paths.history_png)
