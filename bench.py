@@ -60,10 +60,13 @@ def bench_framework() -> float:
     num_batches = tensors.num_batches
 
     params, state = model.init(jax.random.PRNGKey(0))
-    optimizer = optax.adam(0.01)
+    optimizer = optax.flatten(optax.adam(0.01))
     opt_state = optimizer.init(params)
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
-    epoch_fn = make_train_epoch(model, logging_loss, optimizer, shuffle=True)
+    epoch_fn = make_train_epoch(
+        model, logging_loss, optimizer, shuffle=True,
+        epochs_per_call=TIMED_EPOCHS,
+    )
 
     key = jax.random.PRNGKey(1)
     # warmup/compile
@@ -71,9 +74,9 @@ def bench_framework() -> float:
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(TIMED_EPOCHS):
-        key, k = jax.random.split(key)
-        params, opt_state, state, loss = epoch_fn(params, opt_state, state, tensors, k)
+    params, opt_state, state, loss = epoch_fn(
+        params, opt_state, state, tensors, jax.random.PRNGKey(2)
+    )
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     steps = TIMED_EPOCHS * num_batches
@@ -102,10 +105,8 @@ def bench_torch_cpu_baseline(max_seconds: float = 20.0) -> float:
     opt = torch.optim.Adam(list(net.parameters()) + [raw_q10], lr=0.01)
 
     num_batches = N_ROWS // BATCH
-    steps = 0
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < max_seconds and steps < 10 * num_batches:
-        i = steps % num_batches
+
+    def step(i):
         sl = slice(i * BATCH, (i + 1) * BATCH)
         xb, tab, yb = x[sl], ta[sl], y[sl]
         rb = 13.0 * torch.sigmoid(net(xb).squeeze(-1))
@@ -115,6 +116,13 @@ def bench_torch_cpu_baseline(max_seconds: float = 20.0) -> float:
         opt.zero_grad()
         loss.backward()
         opt.step()
+
+    for w in range(num_batches):  # warmup epoch (allocator, kernels)
+        step(w)
+    steps = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_seconds and steps < 10 * num_batches:
+        step(steps % num_batches)
         steps += 1
     dt = time.perf_counter() - t0
     return steps / dt

@@ -54,6 +54,9 @@ class TrainConfig:
     # second-order / Optimization.jl-path knobs (train_optimization.jl)
     full_batch: bool = False
     promote_f64: bool = False
+    # eval_every: evaluate/early-stop every N epochs. On the optax path N>1
+    # fuses N re-shuffled epochs into ONE compiled program (faster per epoch;
+    # trailing nepochs % N epochs are skipped).
     eval_every: int = 1
     inner_maxiters: int = 10
     # TPU-native knobs

@@ -66,12 +66,18 @@ def make_train_epoch(
     *,
     shuffle: bool = True,
     jit: bool = True,
+    epochs_per_call: int = 1,
 ) -> Callable:
     """Build ``epoch_fn(params, opt_state, state, tensors, key) ->
     (params, opt_state, state, mean_batch_loss)``.
 
     ``tensors`` is an :class:`EpochTensors`; its ``(num_batches, batch)``
     leading shape is static per compilation.
+
+    ``epochs_per_call > 1`` runs that many full (re-shuffled) epochs inside
+    ONE compiled program via an outer ``lax.scan`` — amortizes the host
+    dispatch that otherwise costs ~25% at small model sizes; the returned
+    loss is the last epoch's mean batch loss.
     """
     train_logging = LoggingLoss(
         loss_types=logging.loss_types,
@@ -86,7 +92,7 @@ def make_train_epoch(
 
     grad_fn = jax.value_and_grad(loss_for_batch, has_aux=True)
 
-    def epoch_fn(params, opt_state, state, tensors: EpochTensors, key):
+    def one_epoch(params, opt_state, state, tensors: EpochTensors, key):
         num_batches = tensors.weight.shape[0]
         batch = tensors.weight.shape[1]
 
@@ -145,6 +151,22 @@ def make_train_epoch(
             body, (params, opt_state, state), xs
         )
         return params, opt_state, state, jnp.mean(losses)
+
+    if epochs_per_call <= 1:
+        epoch_fn = one_epoch
+    else:
+
+        def epoch_fn(params, opt_state, state, tensors, key):
+            def outer(carry, k):
+                p, o, s = carry
+                p, o, s, loss = one_epoch(p, o, s, tensors, k)
+                return (p, o, s), loss
+
+            keys = jax.random.split(key, epochs_per_call)
+            (params, opt_state, state), losses = lax.scan(
+                outer, (params, opt_state, state), keys
+            )
+            return params, opt_state, state, losses[-1]
 
     if jit:
         epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))

@@ -240,6 +240,13 @@ def train(
     else:
         params, state = model.init(init_key)
     optimizer = resolve_optimizer(cfg.optimizer, params)
+    if not isinstance(cfg.optimizer, Mapping):
+        # one flat update vector per step instead of ~2 ops per pytree leaf —
+        # measurably faster for small hybrid models on TPU; incompatible with
+        # per-branch label trees, hence gated on non-dict specs.
+        import optax
+
+        optimizer = optax.flatten(optimizer)
     opt_state = optimizer.init(params)
     if mesh is not None:
         from ..parallel.mesh import replicate
@@ -256,12 +263,14 @@ def train(
     )
 
     # ---- compiled programs ----
+    eval_every = max(1, int(cfg.eval_every))
     epoch_fn = make_train_epoch(
         model,
         logging_loss,
         optimizer,
         shuffle=cfg.shuffle_each_epoch,
         jit=cfg.jit,
+        epochs_per_call=eval_every,
     )
     want_outputs = bool(cfg.keep_history or cfg.plotting or cfg.monitor_names)
     evaluator = make_evaluator(
@@ -320,7 +329,7 @@ def train(
 
     t0 = time.perf_counter()
     epoch = 0
-    for epoch in range(1, cfg.nepochs + 1):
+    for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
         key, shuffle_key = jax.random.split(key)
         params, opt_state, state, mean_loss = epoch_fn(
             params, opt_state, state, train_tensors, shuffle_key
@@ -332,7 +341,9 @@ def train(
         if writer is not None and epoch % cfg.checkpoint_every == 0:
             writer.save_epoch(params, state, snapshot, epoch)
         if cfg.show_progress and (
-            epoch == 1 or epoch == cfg.nepochs or epoch % max(1, cfg.nepochs // 10) == 0
+            epoch == eval_every
+            or epoch + eval_every > cfg.nepochs
+            or epoch % max(1, cfg.nepochs // 10) == 0
         ):
             agg = stopper.agg_name
             metric = stopper.metric
