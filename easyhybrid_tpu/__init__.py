@@ -113,6 +113,9 @@ from .io.paths import TrainingPaths, resolve_paths
 from .utils.weights import extract_weights, weight_l2, l2_extra_loss
 from .utils.folds import make_folds
 from .utils.wrapped_tuples import WrappedTuples
+from .utils.profiling import trace, StepTimer, debug_nans, assert_sharding
+from .utils.banner import print_banner
+from .parallel.multisite import prepare_multisite_data
 
 __all__ = [
     "__version__",
@@ -209,4 +212,10 @@ __all__ = [
     "l2_extra_loss",
     "make_folds",
     "WrappedTuples",
+    "trace",
+    "StepTimer",
+    "debug_nans",
+    "assert_sharding",
+    "print_banner",
+    "prepare_multisite_data",
 ]

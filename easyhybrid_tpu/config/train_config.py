@@ -64,6 +64,10 @@ class TrainConfig:
     multi_device: bool = False      # shard batches over the mesh data axis
     mesh: Any = None                # optional jax.sharding.Mesh
     checkpoint_every: int = 1
+    # use_pallas: "auto" (fused whole-epoch Pallas kernel on TPU when the
+    # model/loss/optimizer qualify — see ops/fused_epoch.py), True to force
+    # (interpret-mode off-TPU), False to always use the XLA scan epoch.
+    use_pallas: Any = "auto"
 
     def replace(self, **kwargs) -> "TrainConfig":
         return dataclasses.replace(self, **kwargs)

@@ -154,12 +154,18 @@ class BatchNorm(Module):
     Reference parity: ``InputBatchNorm`` (NNModels.jl:89-105) which reshapes
     3-D sequences to 2-D and back; here a reduction-axis choice does the same
     with no data movement.
+
+    ``frozen=True`` turns this into a static input standardization: stats are
+    pre-fitted (see ``training.train.fit_input_norm``) and never updated —
+    equivalent normalization with zero training-mode state traffic, and the
+    form the Pallas fused-epoch kernel requires.
     """
 
     in_dim: int
     momentum: float = 0.1
     eps: float = 1e-5
     affine: bool = True
+    frozen: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -180,7 +186,7 @@ class BatchNorm(Module):
 
     def apply(self, params, state, x, *, training: bool = False):
         reduce_axes = tuple(range(x.ndim - 1))  # all but feature axis
-        if training:
+        if training and not self.frozen:
             mean = jnp.mean(x, axis=reduce_axes)
             var = jnp.var(x, axis=reduce_axes)
             new_state = {
@@ -216,7 +222,7 @@ class MLP(Module):
     hidden: Tuple[int, ...] = (32, 32)
     activation: str = "tanh"
     output_activation: str = "identity"
-    input_batchnorm: bool = False
+    input_batchnorm: Any = False  # True | False | "static" (frozen stats)
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -233,7 +239,9 @@ class MLP(Module):
 
     @property
     def norm(self) -> Optional[BatchNorm]:
-        return BatchNorm(self.in_dim) if self.input_batchnorm else None
+        if not self.input_batchnorm:
+            return None
+        return BatchNorm(self.in_dim, frozen=(self.input_batchnorm == "static"))
 
     def init(self, key: Array):
         layers = self.layers
@@ -278,12 +286,14 @@ class LSTMNet(Module):
     out_dim: int
     hidden_size: int = 32
     output_activation: str = "identity"
-    input_batchnorm: bool = False
+    input_batchnorm: Any = False  # True | False | "static"
     dtype: Any = jnp.float32
 
     @property
     def norm(self) -> Optional[BatchNorm]:
-        return BatchNorm(self.in_dim) if self.input_batchnorm else None
+        if not self.input_batchnorm:
+            return None
+        return BatchNorm(self.in_dim, frozen=(self.input_batchnorm == "static"))
 
     def init(self, key: Array):
         k_ih, k_hh, k_head, k_bn = jax.random.split(key, 4)
@@ -340,6 +350,42 @@ class LSTMNet(Module):
         head = Dense(h_size, self.out_dim, self.output_activation)
         out, _ = head.apply(params["head"], {}, hs, training=training)
         return out, new_state
+
+
+# --------------------------------------------------------------------------
+# BroadcastLayer: apply N modules elementwise over a tuple input
+# (parity: reference BroadcastLayer, NNModels.jl:397-419)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BroadcastLayer(Module):
+    """Applies ``layers[i]`` to ``inputs[i]`` and returns the output tuple."""
+
+    modules: Tuple[Module, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "modules", tuple(self.modules))
+
+    @property
+    def in_dim(self):
+        return tuple(m.in_dim for m in self.modules)
+
+    @property
+    def out_dim(self):
+        return tuple(m.out_dim for m in self.modules)
+
+    def init(self, key: Array):
+        keys = jax.random.split(key, len(self.modules))
+        inits = [m.init(k) for m, k in zip(self.modules, keys)]
+        return [p for p, _ in inits], [s for _, s in inits]
+
+    def apply(self, params, state, xs, *, training: bool = False):
+        outs, states = [], []
+        for m, p, s, x in zip(self.modules, params, state, xs):
+            o, ns = m.apply(p, s, x, training=training)
+            outs.append(o)
+            states.append(ns)
+        return tuple(outs), states
 
 
 # --------------------------------------------------------------------------

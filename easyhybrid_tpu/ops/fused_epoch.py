@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: a full training epoch as ONE kernel launch.
+
+The XLA scan-epoch path (training/epoch.py) already fuses an epoch into one
+program, but each SGD step still costs dozens of small HLO ops (~70 µs/step
+for a [16,16] hybrid — fixed op overhead, not FLOPs). This kernel removes
+that floor: the batch grid runs INSIDE one Pallas kernel, parameters and
+Adam moments live in VMEM output refs carried across the (sequential) grid
+steps, each batch streams HBM→VMEM through the automatic block pipeline, and
+the fused forward+backward+Adam update is traced into the kernel body with
+``jax.value_and_grad`` — the mechanistic model compiles into the same kernel
+as the MLP (the "fused NN-forward + mechanistic-model evaluation" north star
+of BASELINE.json).
+
+Supported fast path (falls back to the XLA scan epoch otherwise):
+SingleNN MLP hybrid (no LSTM), input_batchnorm in {False, "static"},
+jnp-pure training loss, Adam/SGD with static hyperparameters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..losses.compute import compute_loss
+from ..losses.specs import LoggingLoss
+from ..models.hybrid import SingleNNHybridModel
+from ..models.nn import MLP
+
+__all__ = ["supports_fused_epoch", "make_fused_epoch", "init_fused_opt_state"]
+
+
+def _to2d_shape(shape: Tuple[int, ...]) -> Tuple[int, int]:
+    if len(shape) == 0:
+        return (1, 1)
+    if len(shape) == 1:
+        return (1, shape[0])
+    if len(shape) == 2:
+        return shape
+    return (int(np.prod(shape[:-1])), shape[-1])
+
+
+def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
+    if not isinstance(model, SingleNNHybridModel):
+        return False
+    if model.nn is not None and not isinstance(model.nn, MLP):
+        return False
+    if model.nn is not None and model.nn.input_batchnorm is True:
+        return False  # trainable running-stats BN mutates state per step
+    if logging.extra_loss is not None:
+        return False
+    if isinstance(optimizer_spec, Mapping):
+        return False
+    name = (
+        optimizer_spec[0]
+        if isinstance(optimizer_spec, tuple) and optimizer_spec
+        else optimizer_spec
+    )
+    return isinstance(name, str) and name.lower() in ("adam", "sgd")
+
+
+def _opt_hyper(optimizer_spec) -> Tuple[str, float]:
+    if isinstance(optimizer_spec, str):
+        return optimizer_spec.lower(), 0.01
+    name = optimizer_spec[0].lower()
+    lr = float(optimizer_spec[1]) if len(optimizer_spec) > 1 else 0.01
+    return name, lr
+
+
+def init_fused_opt_state(params) -> Dict[str, Any]:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {
+        "m": zeros,
+        "v": jax.tree.map(jnp.zeros_like, params),
+        "t": jnp.zeros((1,), jnp.int32),
+    }
+
+
+def make_fused_epoch(
+    model,
+    state,
+    optimizer_spec,
+    logging: LoggingLoss,
+    *,
+    shuffle: bool = True,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: Optional[bool] = None,
+):
+    """Build ``fn(params, opt_state, state, tensors, key) -> (params,
+    opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` with
+    ``opt_state`` from :func:`init_fused_opt_state`.
+
+    ``state`` (fixed params + frozen norm stats) is baked into the kernel as
+    constants; it is returned unchanged.
+    """
+    opt_name, lr = _opt_hyper(optimizer_spec)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    train_logging = LoggingLoss(
+        loss_types=logging.loss_types,
+        training_loss=logging.training_loss,
+        extra_loss=None,
+        agg=logging.agg,
+        train_mode=True,
+    )
+
+    forcing_names = tuple(model.forcing)
+    target_names = tuple(model.targets)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, state_in, tensors, key):
+        leaves, treedef = jax.tree.flatten(params)
+        m_leaves = jax.tree.flatten(opt_state["m"])[0]
+        v_leaves = jax.tree.flatten(opt_state["v"])[0]
+        orig_shapes = [l.shape for l in leaves]
+        shapes2d = [_to2d_shape(s) for s in orig_shapes]
+        # state (fixed params, frozen norm stats) rides along as read-only
+        # kernel inputs — pallas forbids captured array constants
+        st_leaves, st_treedef = jax.tree.flatten(state_in)
+        st_shapes = [np.shape(l) for l in st_leaves]
+        st_shapes2d = [_to2d_shape(s) for s in st_shapes]
+        nst = len(st_leaves)
+
+        num_batches, batch = tensors.weight.shape
+
+        x = tensors.x
+        forcing = [tensors.forcing[f] for f in forcing_names]
+        ys = [tensors.y[t] for t in target_names]
+        masks = [tensors.mask[t] for t in target_names]
+
+        if shuffle and num_batches > 1:
+            perm = jax.random.permutation(key, num_batches * batch)
+
+            def shuf(a):
+                flat = a.reshape((num_batches * batch,) + a.shape[2:])
+                return flat[perm].reshape(a.shape)
+
+            x = shuf(x)
+            forcing = [shuf(f) for f in forcing]
+            ys = [shuf(y) for y in ys]
+            masks = [shuf(m) for m in masks]
+
+        # TPU block shapes: the last two dims must divide (8, 128) or equal
+        # the array dims. (NB, B) streams become (NB, 1, B) so the per-step
+        # block (1, 1, B) is legal; the kernel reads [0, 0] -> (B,).
+        def as3d(a):
+            return a.reshape(a.shape[0], 1, a.shape[1])
+
+        forcing = [as3d(f) for f in forcing]
+        ys = [as3d(y) for y in ys]
+        masks = [as3d(m) for m in masks]
+
+        nf, nt, npar = len(forcing), len(target_names), len(leaves)
+
+        def kernel(*refs):
+            t0_ref = refs[0]
+            idx = 1
+            x_ref = refs[idx]; idx += 1
+            f_refs = refs[idx : idx + nf]; idx += nf
+            y_refs = refs[idx : idx + nt]; idx += nt
+            m_refs_in = refs[idx : idx + nt]; idx += nt
+            st_refs = refs[idx : idx + nst]; idx += nst
+            p_in = refs[idx : idx + npar]; idx += npar
+            am_in = refs[idx : idx + npar]; idx += npar
+            av_in = refs[idx : idx + npar]; idx += npar
+            # outputs
+            p_out = refs[idx : idx + npar]; idx += npar
+            am_out = refs[idx : idx + npar]; idx += npar
+            av_out = refs[idx : idx + npar]; idx += npar
+            loss_ref = refs[idx]
+
+            import os as _os
+
+            _ablate = _os.environ.get("EH_FUSED_ABLATE", "")
+
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                if _ablate != "nocopy":
+                    for k in range(npar):
+                        p_out[k][...] = p_in[k][...]
+                        am_out[k][...] = am_in[k][...]
+                        av_out[k][...] = av_in[k][...]
+                loss_ref[0, 0] = 0.0
+
+            x_b = x_ref[0]
+            forcing_b = {f: f_refs[j][0, 0] for j, f in enumerate(forcing_names)}
+            y_b = {t: y_refs[j][0, 0] for j, t in enumerate(target_names)}
+            mask_b = {t: m_refs_in[j][0, 0] for j, t in enumerate(target_names)}
+            st_vals = [
+                r[...].reshape(s) for r, s in zip(st_refs, st_shapes)
+            ]
+            state_val = jax.tree.unflatten(st_treedef, st_vals)
+
+            def loss_of(vals2d):
+                if _ablate == "trivloss":
+                    return sum(jnp.sum(v * v) for v in vals2d) * jnp.sum(x_b) * 1e-9
+                vals = [v.reshape(s) for v, s in zip(vals2d, orig_shapes)]
+                p = jax.tree.unflatten(treedef, vals)
+                if _ablate == "modelonly":
+                    outputs, _ = model.apply(p, state_val, (x_b, forcing_b), training=True)
+                    return sum(
+                        jnp.sum(v)
+                        for k, v in outputs.items()
+                        if not isinstance(v, dict)
+                    )
+                if _ablate == "lossonly":
+                    from ..losses.metrics import loss_fn as _lf
+
+                    yh = jnp.sum(vals2d[0]) + y_b[target_names[0]] * 0.9
+                    return _lf(
+                        yh, y_b[target_names[0]], mask_b[target_names[0]], "mse"
+                    )
+                batch_data = ((x_b, forcing_b), (y_b, mask_b))
+                loss, _ = compute_loss(model, p, state_val, batch_data, train_logging)
+                return loss
+
+            vals2d = [p_out[k][...] for k in range(npar)]
+            loss_val, grads = jax.value_and_grad(loss_of)(vals2d)
+
+            any_valid = (
+                sum(jnp.sum(m) for m in mask_b.values()) > 0.0
+                if mask_b
+                else jnp.bool_(True)
+            )
+
+            @pl.when(any_valid)
+            def _():
+                t = (t0_ref[0] + i + 1).astype(jnp.float32)
+                # b^t as exp(t·log b): Mosaic does not lower jnp.power with
+                # a traced exponent ("Not implemented: Offset change")
+                b1_t = jnp.exp(t * np.log(b1).astype(np.float32))
+                b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
+                for k in range(npar):
+                    g = grads[k]
+                    if opt_name == "sgd" or _ablate == "plainsgd":
+                        p_out[k][...] = p_out[k][...] - lr * g
+                    else:
+                        m_new = b1 * am_out[k][...] + (1.0 - b1) * g
+                        v_new = b2 * av_out[k][...] + (1.0 - b2) * g * g
+                        am_out[k][...] = m_new
+                        av_out[k][...] = v_new
+                        m_hat = m_new / (1.0 - b1_t)
+                        v_hat = v_new / (1.0 - b2_t)
+                        p_out[k][...] = p_out[k][...] - lr * m_hat / (
+                            jnp.sqrt(v_hat) + eps
+                        )
+                loss_ref[0, 0] += loss_val
+
+        # ---- specs ----
+        # NOTE: with PrefetchScalarGridSpec the index_map receives the grid
+        # indices first, then the scalar-prefetch refs; the grid index is the
+        # FIRST positional arg.
+        def batch_spec(arr):
+            blk = (1,) + arr.shape[1:]
+            ndim = arr.ndim
+            return pl.BlockSpec(
+                blk,
+                lambda *a, _n=ndim: (a[0],) + (0,) * (_n - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        def full_spec(shape):
+            return pl.BlockSpec(
+                shape,
+                lambda *a, _n=len(shape): (0,) * _n,
+                memory_space=pltpu.VMEM,
+            )
+
+        leaves2d = [l.reshape(s) for l, s in zip(leaves, shapes2d)]
+        m2d = [l.reshape(s) for l, s in zip(m_leaves, shapes2d)]
+        v2d = [l.reshape(s) for l, s in zip(v_leaves, shapes2d)]
+        st2d = [
+            jnp.asarray(l, jnp.float32).reshape(s)
+            for l, s in zip(st_leaves, st_shapes2d)
+        ]
+
+        in_specs = (
+            [batch_spec(x)]
+            + [batch_spec(f) for f in forcing]
+            + [batch_spec(y) for y in ys]
+            + [batch_spec(m) for m in masks]
+            + [full_spec(s) for s in st_shapes2d]
+            + [full_spec(s) for s in shapes2d] * 3
+        )
+        out_specs = [full_spec(s) for s in shapes2d] * 3 + [
+            pl.BlockSpec((1, 1), lambda *a: (0, 0), memory_space=pltpu.SMEM)
+        ]
+        out_shape = (
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes2d] * 3
+            + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+        )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_batches,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(opt_state["t"], x, *forcing, *ys, *masks, *st2d, *leaves2d, *m2d, *v2d)
+
+        new_p2d = outs[:npar]
+        new_m2d = outs[npar : 2 * npar]
+        new_v2d = outs[2 * npar : 3 * npar]
+        loss_sum = outs[-1][0, 0]
+
+        new_params = jax.tree.unflatten(
+            treedef, [p.reshape(s) for p, s in zip(new_p2d, orig_shapes)]
+        )
+        new_opt_state = {
+            "m": jax.tree.unflatten(
+                treedef, [p.reshape(s) for p, s in zip(new_m2d, orig_shapes)]
+            ),
+            "v": jax.tree.unflatten(
+                treedef, [p.reshape(s) for p, s in zip(new_v2d, orig_shapes)]
+            ),
+            "t": opt_state["t"] + num_batches,
+        }
+        return new_params, new_opt_state, state_in, loss_sum / num_batches
+
+    return epoch_fn

@@ -25,8 +25,9 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["MultiSiteHybridModel"]
+__all__ = ["MultiSiteHybridModel", "prepare_multisite_data"]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -51,6 +52,14 @@ class MultiSiteHybridModel:
     @property
     def parameters(self):
         return self.base.parameters
+
+    @property
+    def nn(self):
+        return getattr(self.base, "nn", None)
+
+    @property
+    def nns(self):
+        return getattr(self.base, "nns", None)
 
     # ------------------------------------------------------------------
     def init(self, key):
@@ -98,3 +107,50 @@ class MultiSiteHybridModel:
             lambda a: jnp.mean(a, axis=0) if a.ndim > 0 else a, new_states
         )
         return outputs, new_state
+
+
+def prepare_multisite_data(model, data, site_column: str):
+    """Tabular data with a site id column → site-major :class:`HybridData`.
+
+    Produces ``x (S, N, F)``, forcing/targets ``(S, N)`` where ``N`` is the
+    longest site's length; shorter sites are padded with NaN targets (masked
+    out) and zero predictors. Feed the result to ``train`` with a
+    :class:`MultiSiteHybridModel` — batching then slices SITES, so a
+    data-parallel mesh shards sites across chips.
+    """
+    from ..data.prepare import HybridData, dataframe_to_dict, prepare_data
+
+    if hasattr(data, "columns"):
+        ids = np.asarray(data[site_column])
+        cols = dataframe_to_dict(data)
+    else:
+        cols = {k: np.asarray(v) for k, v in data.items()}
+        ids = np.asarray(cols[site_column])
+
+    unique_ids = list(dict.fromkeys(ids.tolist()))
+    per_site = []
+    for sid in unique_ids:
+        sel = np.nonzero(ids == sid)[0]
+        site_cols = {k: np.asarray(v)[sel] for k, v in cols.items() if k != site_column}
+        per_site.append(
+            prepare_data(model, site_cols, drop_missing_rows=False)
+        )
+
+    n_max = max(d.n_samples for d in per_site)
+
+    def pad_stack(get, fill):
+        arrs = []
+        for d in per_site:
+            a = np.asarray(get(d), np.float32)
+            if a.shape[0] < n_max:
+                pad = [(0, n_max - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad, constant_values=fill)
+            arrs.append(a)
+        return np.stack(arrs)
+
+    x = pad_stack(lambda d: d.x, 0.0)
+    forcing = {
+        f: pad_stack(lambda d, f=f: d.forcing[f], 0.0) for f in model.forcing
+    }
+    y = {t: pad_stack(lambda d, t=t: d.y[t], np.nan) for t in model.targets}
+    return HybridData(x=x, forcing=forcing, y=y)

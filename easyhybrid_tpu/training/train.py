@@ -82,6 +82,39 @@ def kwargs_to_configs(
     return train_cfg, data_cfg, leftovers
 
 
+def fit_input_norm(model, state, train_data: HybridData):
+    """Pre-fit 'static' input-normalization stats from the training split.
+
+    Models built with ``input_batchnorm="static"`` normalize with frozen
+    dataset statistics (functionally the converged behavior of the
+    reference's InputBatchNorm, NNModels.jl:89-105) — computed here once and
+    written into the state pytree."""
+
+    def stats(x):
+        x = np.asarray(x, np.float32)
+        flat = x.reshape(-1, x.shape[-1])
+        return {
+            "mean": jnp.asarray(flat.mean(0)),
+            "var": jnp.asarray(np.maximum(flat.var(0), 1e-12)),
+        }
+
+    new_state = dict(state)
+    nn = getattr(model, "nn", None)
+    if nn is not None and getattr(nn, "input_batchnorm", False) == "static":
+        new_state["nn"] = {**state.get("nn", {}), "norm": stats(train_data.x)}
+    nns = getattr(model, "nns", None)
+    if nns:
+        branch_states = dict(state.get("nns", {}))
+        for name, branch_nn in nns:
+            if getattr(branch_nn, "input_batchnorm", False) == "static":
+                branch_states[name] = {
+                    **branch_states.get(name, {}),
+                    "norm": stats(train_data.x[name]),
+                }
+        new_state["nns"] = branch_states
+    return new_state
+
+
 def _get_ps_st(train_from):
     """Warm-start source → (params, state) (parity: get_ps_st,
     train.jl:376-382)."""
@@ -239,21 +272,7 @@ def train(
         params, state = jax.tree.map(jnp.asarray, warm)
     else:
         params, state = model.init(init_key)
-    optimizer = resolve_optimizer(cfg.optimizer, params)
-    if not isinstance(cfg.optimizer, Mapping):
-        # one flat update vector per step instead of ~2 ops per pytree leaf —
-        # measurably faster for small hybrid models on TPU; incompatible with
-        # per-branch label trees, hence gated on non-dict specs.
-        import optax
-
-        optimizer = optax.flatten(optimizer)
-    opt_state = optimizer.init(params)
-    if mesh is not None:
-        from ..parallel.mesh import replicate
-
-        params = replicate(params, mesh)
-        state = replicate(state, mesh)
-        opt_state = replicate(opt_state, mesh)
+    state = fit_input_norm(model, state, train_data)
 
     logging_loss = LoggingLoss(
         loss_types=tuple(cfg.loss_types),
@@ -262,16 +281,82 @@ def train(
         agg=cfg.agg,
     )
 
-    # ---- compiled programs ----
+    # ---- fused Pallas fast path (TPU): whole epoch as one kernel ----
+    use_pallas = cfg.use_pallas
+    if use_pallas in ("auto", None):
+        # "auto" currently resolves to the XLA scan epoch: the fused kernel
+        # is validated in interpret mode (tests/test_fused.py) but hits a
+        # Mosaic "Not implemented: Offset change" on the real chip that is
+        # still being isolated. Set use_pallas=True (or EASYHYBRID_PALLAS=1)
+        # to opt in explicitly.
+        import os
+
+        from ..ops.fused_epoch import supports_fused_epoch
+
+        use_pallas = (
+            os.environ.get("EASYHYBRID_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+            and not cfg.multi_device
+            and cfg.jit
+            and supports_fused_epoch(model, cfg.optimizer, logging_loss)
+        )
     eval_every = max(1, int(cfg.eval_every))
-    epoch_fn = make_train_epoch(
-        model,
-        logging_loss,
-        optimizer,
-        shuffle=cfg.shuffle_each_epoch,
-        jit=cfg.jit,
-        epochs_per_call=eval_every,
-    )
+
+    def build_fused_epoch():
+        from ..ops.fused_epoch import init_fused_opt_state, make_fused_epoch
+
+        log.info("using fused Pallas epoch kernel")
+        opt_state = init_fused_opt_state(params)
+        fused_fn = make_fused_epoch(
+            model,
+            state,
+            cfg.optimizer,
+            logging_loss,
+            shuffle=cfg.shuffle_each_epoch,
+        )
+        if eval_every == 1:
+            return fused_fn, opt_state
+
+        def epoch_fn(p, o, s, tensors, k):
+            for _ in range(eval_every):
+                k, kk = jax.random.split(k)
+                p, o, s, loss = fused_fn(p, o, s, tensors, kk)
+            return p, o, s, loss
+
+        return epoch_fn, opt_state
+
+    def build_xla_epoch():
+        nonlocal params, state
+        optimizer = resolve_optimizer(cfg.optimizer, params)
+        if not isinstance(cfg.optimizer, Mapping):
+            # one flat update vector per step instead of ~2 ops per pytree
+            # leaf — measurably faster for small hybrid models on TPU;
+            # incompatible with per-branch label trees (dict specs).
+            import optax
+
+            optimizer = optax.flatten(optimizer)
+        opt_state = optimizer.init(params)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            state = replicate(state, mesh)
+            opt_state = replicate(opt_state, mesh)
+
+        epoch_fn = make_train_epoch(
+            model,
+            logging_loss,
+            optimizer,
+            shuffle=cfg.shuffle_each_epoch,
+            jit=cfg.jit,
+            epochs_per_call=eval_every,
+        )
+        return epoch_fn, opt_state
+
+    if use_pallas:
+        epoch_fn, opt_state = build_fused_epoch()
+    else:
+        epoch_fn, opt_state = build_xla_epoch()
     want_outputs = bool(cfg.keep_history or cfg.plotting or cfg.monitor_names)
     evaluator = make_evaluator(
         model, logging_loss, jit=cfg.jit, with_outputs=want_outputs

@@ -1,0 +1,155 @@
+"""Parallel layer: mesh sharding, multi-site vmap, multisite data prep,
+observability utilities. Runs on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+import easyhybrid_tpu as eh
+from easyhybrid_tpu.parallel import (
+    MultiSiteHybridModel,
+    data_parallel_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from easyhybrid_tpu.parallel.multisite import prepare_multisite_data
+
+
+def test_make_mesh():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(2)
+    assert mesh2.devices.size == 2
+    with pytest.raises(ValueError):
+        make_mesh(10_000)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh(4)
+    x = jnp.arange(32.0).reshape(8, 4)
+    xs = shard_batch(x, mesh)
+    from jax.sharding import PartitionSpec as P
+
+    from easyhybrid_tpu.utils.profiling import assert_sharding
+
+    assert_sharding(xs, mesh, P("data"))
+    params = {"w": jnp.ones((3, 3))}
+    pr = replicate(params, mesh)
+    assert_sharding(pr["w"], mesh, P())
+    # scalars pass through unsharded
+    tree = {"a": jnp.ones((8,)), "n": jnp.asarray(3)}
+    st = shard_batch(tree, mesh)
+    assert st["n"].shape == ()
+
+
+def test_multi_device_training(rbq10_model):
+    df = eh.gen_rbq10_data(256, seed=1)
+    res = eh.train(
+        rbq10_model,
+        df,
+        nepochs=2,
+        batchsize=64,
+        multi_device=True,
+        show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_multisite_model_shared_nn(rbq10_model):
+    S, N = 6, 20
+    ms = MultiSiteHybridModel(rbq10_model, n_sites=S, share_nn=True)
+    params, state = ms.init(jax.random.PRNGKey(0))
+    # per-site globals, shared NN
+    assert params["globals"]["Q10"].shape == (S, 1)
+    assert params["nn"]["layers"][0]["w"].ndim == 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S, N, 2)), jnp.float32)
+    ta = jnp.asarray(rng.normal(10, 5, (S, N)), jnp.float32)
+    out, _ = ms.apply(params, state, (x, {"ta": ta}))
+    assert out["reco"].shape == (S, N)
+    # per-site Q10s differ after perturbing one site's raw value
+    p2 = jax.tree.map(lambda a: a, params)
+    p2["globals"]["Q10"] = p2["globals"]["Q10"].at[0].add(3.0)
+    out2, _ = ms.apply(p2, state, (x, {"ta": ta}))
+    assert not np.allclose(out2["reco"][0], out["reco"][0])
+    np.testing.assert_allclose(out2["reco"][1], out["reco"][1], rtol=1e-6)
+
+
+def test_multisite_model_per_site_nn(rbq10_model):
+    S, N = 4, 10
+    ms = MultiSiteHybridModel(rbq10_model, n_sites=S, share_nn=False)
+    params, state = ms.init(jax.random.PRNGKey(0))
+    assert params["nn"]["layers"][0]["w"].shape[0] == S  # stacked per site
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S, N, 2)), jnp.float32)
+    ta = jnp.asarray(rng.normal(10, 5, (S, N)), jnp.float32)
+    out, _ = ms.apply(params, state, (x, {"ta": ta}))
+    assert out["reco"].shape == (S, N)
+
+
+def test_prepare_multisite_data(rbq10_model):
+    df = eh.gen_rbq10_data(95, seed=2)  # ragged: 10 sites of <=10
+    df["site"] = np.repeat(np.arange(10), 10)[:95]
+    data = prepare_multisite_data(rbq10_model, df, "site")
+    assert data.x.shape == (10, 10, 2)
+    assert data.forcing["ta"].shape == (10, 10)
+    # ragged tail padded with NaN targets
+    assert np.isnan(data.y["reco"][-1, -1])
+
+
+def test_multisite_grad_flow(rbq10_model):
+    """Gradient reaches per-site globals independently."""
+    S, N = 3, 16
+    ms = MultiSiteHybridModel(rbq10_model, n_sites=S)
+    params, state = ms.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S, N, 2)), jnp.float32)
+    ta = jnp.asarray(rng.normal(10, 5, (S, N)), jnp.float32)
+    y = jnp.asarray(rng.normal(3, 1, (S, N)), jnp.float32)
+
+    def loss(p):
+        out, _ = ms.apply(p, state, (x, {"ta": ta}))
+        return jnp.mean((out["reco"] - y) ** 2)
+
+    g = jax.grad(loss)(params)
+    gq = np.asarray(g["globals"]["Q10"])
+    assert gq.shape == (S, 1)
+    assert np.all(np.isfinite(gq)) and np.all(gq != 0)
+
+
+def test_step_timer_and_debug_nans():
+    from easyhybrid_tpu.utils.profiling import StepTimer, debug_nans
+
+    t = StepTimer()
+    with t:
+        pass
+    with t:
+        pass
+    s = t.summary()
+    assert s["count"] == 2
+    assert "mean" in repr(t)
+
+    with debug_nans(False):
+        assert not jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+
+
+def test_banner(capsys):
+    from easyhybrid_tpu.utils.banner import print_banner
+
+    print_banner(force=True)
+    out = capsys.readouterr().out
+    assert "0.1.0" in out
+
+    import os
+
+    os.environ["EASYHYBRID_PRINT_BANNER"] = "0"
+    try:
+        print_banner(force=True)
+        assert capsys.readouterr().out == ""
+    finally:
+        del os.environ["EASYHYBRID_PRINT_BANNER"]
