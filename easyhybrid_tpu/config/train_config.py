@@ -130,6 +130,7 @@ class TrainResults:
     history: Any = None            # TrainingHistory (epoch snapshots)
     paths: Any = None              # TrainingPaths when save_training=true
     tracked: Any = None            # tracked physical-param trajectories
+    monitored: Any = None          # monitored per-sample param quantiles
 
     @property
     def ps_st(self) -> Tuple[Any, Any]:

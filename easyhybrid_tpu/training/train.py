@@ -376,6 +376,22 @@ def train(
         m_va = evaluator(params, state, val_eval_batch)
         return EpochSnapshot(_host_metrics(m_tr), _host_metrics(m_va))
 
+    def monitored_quantiles(snapshot) -> Dict[str, Dict[str, float]]:
+        """q25/q50/q75 of monitored per-sample physical parameters from the
+        val predictions (parity: the reference dashboard's monitored-param
+        quantile trajectories, plotrecipes.jl:51-134)."""
+        out = {}
+        if not cfg.monitor_names or snapshot.y_hat_val is None:
+            return out
+        params_out = snapshot.y_hat_val.get("parameters", {})
+        for name in cfg.monitor_names:
+            if name in params_out:
+                arr = np.asarray(params_out[name]).ravel()
+                if arr.size >= 1:
+                    q25, q50, q75 = np.nanpercentile(arr, [25, 50, 75])
+                    out[name] = {"q25": float(q25), "q50": float(q50), "q75": float(q75)}
+        return out
+
     def tracked_values(params, state):
         """Physical values of tracked parameters (globals scaled into their
         bounds; fixed read from state)."""
@@ -401,6 +417,9 @@ def train(
     tracked: Dict[str, list] = {}
     for k, v in tracked_values(params, state).items():
         tracked[k] = [v]
+    monitored: Dict[str, list] = {}
+    for k, v in monitored_quantiles(init_snapshot).items():
+        monitored[k] = [v]
 
     paths = None
     if cfg.save_training:
@@ -423,6 +442,8 @@ def train(
         stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
         for k, v in tracked_values(params, state).items():
             tracked.setdefault(k, []).append(v)
+        for k, v in monitored_quantiles(snapshot).items():
+            monitored.setdefault(k, []).append(v)
         if writer is not None and epoch % cfg.checkpoint_every == 0:
             writer.save_epoch(params, state, snapshot, epoch)
         if cfg.show_progress and (
@@ -449,6 +470,13 @@ def train(
             )
         if stopper.done:
             break
+
+    if cfg.show_progress and len(history) > 1:
+        from .show import progress_table
+
+        log.info(
+            "final metrics:\n%s", progress_table(history[0], history[-1])
+        )
 
     best_params, best_state = stopper.best_or_final(params, state, cfg.return_model)
     best_params = jax.tree.map(jnp.asarray, best_params)
@@ -481,6 +509,7 @@ def train(
         history=history,
         paths=paths,
         tracked=tracked or None,
+        monitored=monitored or None,
     )
 
     if writer is not None:
