@@ -80,9 +80,25 @@ class MultiSiteHybridModel:
 
     # ------------------------------------------------------------------
     def apply(self, params, state, batch, *, training: bool = False):
-        """``batch = (x, forcing)`` with a leading site axis on every array."""
+        """``batch = (x, forcing)`` with a leading site axis on every array.
+
+        When training minibatches over sites, ``forcing["_site_idx"]`` (added
+        by :func:`prepare_multisite_data`) selects each batch row's slice of
+        the per-site parameters — a gather, so site minibatching/shuffling
+        works with per-site params of the FULL site count."""
+        x, forcing = batch[0], dict(batch[1])
+        site_idx = forcing.pop("_site_idx", None)
+
+        def select(tree):
+            if site_idx is None:
+                return tree
+            idx = site_idx.astype(jnp.int32)
+            if idx.ndim > 1:
+                idx = idx[..., 0]  # windowed/per-sample copies -> one per site
+            return jax.tree.map(lambda a: a[idx], tree)
 
         if self.share_nn:
+            site_globals = select(params["globals"])
 
             def site_apply(globals_, x, forcing):
                 p = {**params, "globals": globals_}
@@ -91,15 +107,14 @@ class MultiSiteHybridModel:
                 )
                 return out, new_state
 
-            outputs, new_states = jax.vmap(site_apply)(
-                params["globals"], batch[0], batch[1]
-            )
+            outputs, new_states = jax.vmap(site_apply)(site_globals, x, forcing)
         else:
+            site_params = select(params)
 
             def site_apply(p, x, forcing):
                 return self.base.apply(p, state, (x, forcing), training=training)
 
-            outputs, new_states = jax.vmap(site_apply)(params, batch[0], batch[1])
+            outputs, new_states = jax.vmap(site_apply)(site_params, x, forcing)
 
         # collapse the vmapped state back to one copy (site-invariant for
         # fixed params; batchnorm stats are averaged across sites)
@@ -152,5 +167,10 @@ def prepare_multisite_data(model, data, site_column: str):
     forcing = {
         f: pad_stack(lambda d, f=f: d.forcing[f], 0.0) for f in model.forcing
     }
+    # per-site parameter selector: constant site index per row, so site
+    # minibatches can gather their slice of the per-site params
+    forcing["_site_idx"] = np.broadcast_to(
+        np.arange(len(per_site), dtype=np.float32)[:, None], (len(per_site), n_max)
+    ).copy()
     y = {t: pad_stack(lambda d, t=t: d.y[t], np.nan) for t in model.targets}
     return HybridData(x=x, forcing=forcing, y=y)

@@ -149,7 +149,7 @@ def train_board(results, *, save: Optional[str] = None):
     """Multi-panel board: loss + zoomed loss + per-target pred-vs-obs
     (parity: train_board, :252-414)."""
     plt = _plt()
-    targets = [c for c in results.train_obs.columns]
+    targets = [c for c in results.train_obs.columns if c not in ("sample", "step")]
     ncols = max(2, len(targets))
     fig, axes = plt.subplots(2, ncols, figsize=(4.5 * ncols, 8))
     axes = np.atleast_2d(axes)
@@ -186,7 +186,7 @@ def plot_training_summary(results, *, save: Optional[str] = None):
     """Loss + parameter trajectories + val pred-vs-obs in one figure
     (parity: plot_training_summary, :706-735)."""
     plt = _plt()
-    targets = list(results.train_obs.columns)
+    targets = [c for c in results.train_obs.columns if c not in ("sample", "step")]
     fig, axes = plt.subplots(1, 2 + len(targets), figsize=(5 * (2 + len(targets)), 4))
     axes = np.atleast_1d(axes)
     plot_loss(results, ax=axes[0])

@@ -171,20 +171,43 @@ def _outputs_to_host(outputs, n: int):
 
 def _obs_pred_frames(data: HybridData, outputs, targets):
     """Observation and prediction DataFrames (parity: build_results,
-    early_stopping.jl:73-100)."""
+    early_stopping.jl:73-100). Multi-dimensional targets (sequence windows,
+    multi-site) flatten to long format with ``sample``/``step`` index columns
+    (the reference's 3-D toDataFrame analog, utils/tools.jl:170-282)."""
     import pandas as pd
 
     n = data.n_samples
+    shapes = [np.asarray(data.y[t]).shape for t in targets]
+    multi_dim = any(len(s) > 1 for s in shapes)
 
-    def col(arr):
-        arr = np.asarray(arr)
-        return arr.reshape(n, -1).squeeze(-1) if arr.ndim > 1 and arr.shape[-1] == 1 else (
-            arr if arr.ndim == 1 else list(arr)
+    def flat_obs(t):
+        return np.asarray(data.y[t], np.float32).ravel()
+
+    def flat_pred(t):
+        arr = np.asarray(_trim(outputs[t], n), np.float32)
+        y_shape = np.asarray(data.y[t]).shape
+        if arr.ndim >= 2 and len(y_shape) >= 2 and arr.shape[1] != y_shape[1]:
+            arr = arr[:, -y_shape[1] :]  # trailing-window alignment
+        return arr.ravel()
+
+    if not multi_dim:
+        obs = pd.DataFrame({t: flat_obs(t) for t in targets})
+        pred = pd.DataFrame(
+            {f"{t}_pred": flat_pred(t) for t in targets if t in outputs}
         )
+        return obs, pred
 
-    obs = pd.DataFrame({t: col(np.asarray(data.y[t])) for t in targets})
+    shape = shapes[0]
+    idx = np.indices(shape).reshape(len(shape), -1)
+    index_cols = {"sample": idx[0]}
+    if len(shape) > 1:
+        index_cols["step"] = idx[1]
+    obs = pd.DataFrame({**index_cols, **{t: flat_obs(t) for t in targets}})
     pred = pd.DataFrame(
-        {f"{t}_pred": col(_trim(outputs[t], n)) for t in targets if t in outputs}
+        {
+            **index_cols,
+            **{f"{t}_pred": flat_pred(t) for t in targets if t in outputs},
+        }
     )
     return obs, pred
 

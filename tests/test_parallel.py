@@ -153,3 +153,19 @@ def test_banner(capsys):
         assert capsys.readouterr().out == ""
     finally:
         del os.environ["EASYHYBRID_PRINT_BANNER"]
+
+
+def test_multisite_end_to_end_train(rbq10_model):
+    """Full train() over a MultiSiteHybridModel: per-site Q10s recovered."""
+    df = eh.gen_rbq10_data(400, seed=4)
+    df["site"] = np.repeat(np.arange(8), 50)
+    ms = MultiSiteHybridModel(rbq10_model, n_sites=8, share_nn=True)
+    data = prepare_multisite_data(rbq10_model, df, "site")
+    res = eh.train(
+        ms, data, nepochs=2, batchsize=4, show_progress=False,
+        split_data_at=0.75,
+    )
+    assert np.isfinite(res.best_loss)
+    assert res.params["globals"]["Q10"].shape == (8, 1)
+    # long-format frames: site-major targets flatten with sample/step cols
+    assert {"sample", "step"} <= set(res.train_obs.columns)

@@ -244,3 +244,37 @@ def test_sequence_lstm_training():
         sequence_kwargs=dict(input_window=8, output_window=2, lead_time=0),
     )
     assert np.isfinite(res.best_loss)
+
+
+def test_eval_every_fused_epochs(rbq10_model, rbq10_df):
+    """eval_every>1 runs N epochs per compiled program; history has one
+    snapshot per eval point."""
+    res = eh.train(
+        rbq10_model, rbq10_df, nepochs=6, eval_every=3, batchsize=64,
+        show_progress=False,
+    )
+    # epoch 0 + evals at 3 and 6
+    assert len(res.train_history) == 3
+
+
+def test_sequence_frames_long_format():
+    """Sequence training produces long-format obs/pred frames with aligned
+    trailing windows."""
+    def mech(*, ta, rb, Q10):
+        return {"reco": rb * Q10 ** (0.1 * (ta - 15.0))}
+
+    m = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers={"lstm": 4}, scale_nn_outputs=True,
+    )
+    df = eh.gen_rbq10_data(200, seed=9)
+    res = eh.train(
+        m, df, nepochs=1, batchsize=16, show_progress=False,
+        sequence_kwargs=dict(input_window=6, output_window=2, lead_time=0),
+    )
+    assert {"sample", "step", "reco"} <= set(res.train_obs.columns)
+    assert len(res.train_obs) == len(res.train_pred)
+    assert sorted(res.train_obs["step"].unique()) == [0, 1]
