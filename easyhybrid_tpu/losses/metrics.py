@@ -38,11 +38,10 @@ _EPS = 1e-12
 
 
 def _sanitize(y_hat: Array, y: Array, mask) -> Tuple[Array, Array, Array]:
-    """Zero out invalid entries so NaNs never touch the compute graph.
-
-    ``where`` on both the primal and (by symmetry of the where) the cotangent
-    path — gradients through masked-out samples are exactly zero.
-    """
+    """Zero out invalid entries so NaNs never touch the compute graph:
+    targets go through a ``where`` (NaN * 0 = NaN would leak), predictions
+    are mask-multiplied. Gradients through masked-out samples are exactly
+    zero on both paths."""
     if mask is None:
         mask = jnp.isfinite(y)
     m = mask.astype(jnp.float32)
@@ -63,7 +62,8 @@ def masked_var(x: Array, m: Array, *, ddof: int = 1) -> Array:
     """Masked variance (Bessel-corrected by default, matching Julia ``std``)."""
     n = jnp.maximum(jnp.sum(m), 1.0)
     mu = masked_sum(x, m) / n
-    ss = masked_sum((x - mu) ** 2, m)
+    d = x - mu
+    ss = masked_sum(d * d, m)
     return ss / jnp.maximum(n - ddof, 1.0)
 
 
@@ -88,7 +88,7 @@ def masked_corr(a: Array, b: Array, m: Array) -> Array:
 # --------------------------------------------------------------------------
 
 def _mse(yh, y, m):
-    return masked_mean((yh - y) ** 2, m)
+    return masked_mean((yh - y) * (yh - y), m)
 
 
 def _rmse(yh, y, m):
@@ -104,9 +104,9 @@ def _pearson(yh, y, m):
 
 
 def _sse_over_sst(yh, y, m):
-    sse = masked_sum((yh - y) ** 2, m)
+    sse = masked_sum((yh - y) * (yh - y), m)
     mu = masked_mean(y, m)
-    sst = masked_sum((y - mu) ** 2, m)
+    sst = masked_sum((y - mu) * (y - mu), m)
     return sse / jnp.maximum(sst, _EPS)
 
 
@@ -138,7 +138,7 @@ def _kge_loss(yh, y, m):
     r = masked_corr(yh, y, m)
     a = _alpha(yh, y, m)
     b = _beta(yh, y, m)
-    return jnp.sqrt((r - 1.0) ** 2 + (a - 1.0) ** 2 + (b - 1.0) ** 2)
+    return jnp.sqrt((r - 1.0) * (r - 1.0) + (a - 1.0) * (a - 1.0) + (b - 1.0) * (b - 1.0))
 
 
 def _kge(yh, y, m):
@@ -148,7 +148,7 @@ def _kge(yh, y, m):
 def _pbkge_loss(yh, y, m):
     r = masked_corr(yh, y, m)
     b = _beta(yh, y, m)
-    return jnp.sqrt((r - 1.0) ** 2 + (b - 1.0) ** 2)
+    return jnp.sqrt((r - 1.0) * (r - 1.0) + (b - 1.0) * (b - 1.0))
 
 
 def _pbkge(yh, y, m):
@@ -202,8 +202,35 @@ def loss_fn(y_hat: Array, y: Array, mask, loss_type: LossType):
 
     Parity: reference ``loss_fn`` dispatch (loss_fn.jl:58-103) with mask-aware
     custom-callable signatures instead of boolean-indexed subsets.
+
+    ``y`` may be an ``(y_obs, sigma)`` tuple (observation uncertainty —
+    reference ``_get_target_y`` Tuple form, compute_loss.jl:200-205): sigma
+    is forwarded to custom callables as a ``sigma=`` keyword; named registry
+    metrics reject it (they have no sigma semantics, as in the reference).
     """
+    sigma = None
+    if isinstance(y, tuple):
+        y, sigma = y
+        if isinstance(loss_type, str):
+            raise ValueError(
+                f"named metric {loss_type!r} does not support (y, sigma) "
+                "targets; use a custom callable f(y_hat, y, mask, sigma=...)"
+            )
     yh, ys, m = _sanitize(y_hat, y, mask)
+    if sigma is not None:
+        if callable(loss_type):
+            return loss_type(yh, ys, m, sigma=sigma)
+        if isinstance(loss_type, tuple):
+            f = loss_type[0]
+            args: tuple = ()
+            kwargs: dict = {}
+            for extra in loss_type[1:]:
+                if isinstance(extra, dict):
+                    kwargs = dict(extra)
+                elif isinstance(extra, tuple):
+                    args = extra
+            return f(yh, ys, m, *args, sigma=sigma, **kwargs)
+        raise TypeError(f"unsupported loss spec for (y, sigma): {loss_type!r}")
     if isinstance(loss_type, str):
         if loss_type not in METRICS:
             raise ValueError(

@@ -42,12 +42,13 @@ ParamSpec = Union[
 
 
 def sigmoid(x):
-    """Numerically stable logistic sigmoid (pure jnp)."""
-    return jnp.where(
-        x >= 0,
-        1.0 / (1.0 + jnp.exp(-x)),
-        jnp.exp(x) / (1.0 + jnp.exp(x)),
-    )
+    """Logistic sigmoid via the `logistic` primitive (numerically stable,
+    hardware-lowered; also the only form Mosaic lowers cleanly inside
+    Pallas kernels — a `where`-based stable sigmoid traces to `select_n`
+    branches that complicate the kernel)."""
+    import jax
+
+    return jax.nn.sigmoid(x)
 
 
 def hard_sigmoid(x):

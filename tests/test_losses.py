@@ -232,3 +232,31 @@ def test_sequence_alignment():
     # 1-D passes through
     v = np.arange(5, dtype=np.float32)
     np.testing.assert_array_equal(align_prediction(v, v), v)
+
+
+def test_sigma_tuple_targets(rbq10_model, rbq10_df):
+    """(y_obs, sigma) targets feed custom losses with sigma= kwarg
+    (reference compute_loss.jl:200-205)."""
+    import jax
+
+    model = rbq10_model
+    data = eh.prepare_data(model, rbq10_df)
+    params, state = model.init(jax.random.PRNGKey(0))
+    sigma = np.full(data.n_samples, 0.5, np.float32)
+
+    def chi2(yh, yv, m, sigma=1.0):
+        return eh.masked_mean(((yh - yv) / sigma) ** 2, m)
+
+    y = {"reco": (data.y["reco"], sigma)}
+    batch = ((data.x, data.forcing), (y, None))
+    logging = eh.LoggingLoss(training_loss=chi2, train_mode=True)
+    loss, _ = eh.compute_loss(model, params, state, batch, logging)
+    # chi2 with sigma=0.5 is 4x the plain mse of the same residuals
+    logging_mse = eh.LoggingLoss(training_loss="mse", train_mode=True)
+    batch_plain = ((data.x, data.forcing), ({"reco": data.y["reco"]}, None))
+    mse, _ = eh.compute_loss(model, params, state, batch_plain, logging_mse)
+    np.testing.assert_allclose(float(loss), 4 * float(mse), rtol=1e-5)
+
+    # named metrics reject sigma tuples
+    with pytest.raises(ValueError):
+        eh.loss_fn(data.y["reco"], (data.y["reco"], sigma), None, "mse")
