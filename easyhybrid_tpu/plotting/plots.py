@@ -22,6 +22,7 @@ __all__ = [
     "plot_parameters",
     "plot_training_summary",
     "train_board",
+    "record_history",
 ]
 
 
@@ -180,6 +181,61 @@ def train_board(results, *, save: Optional[str] = None):
     if save:
         fig.savefig(save, dpi=120, bbox_inches="tight")
     return fig
+
+
+def record_history(results, *, save: str, fps: int = 5, max_frames: int = 100):
+    """Animate the loss trajectory + pred-vs-obs over epochs into a movie.
+
+    Parity: the reference's dashboard mp4 recording (``record_or_run`` /
+    ``Makie.record``, dashboard.jl:79-87) — rendered post-hoc from the
+    stored history. Writes .gif (pillow) or .mp4 (needs ffmpeg).
+    Per-epoch predictions require ``keep_history=True``; otherwise only the
+    loss panel animates.
+    """
+    plt = _plt()
+    from matplotlib import animation
+
+    hist = results.history
+    n = min(len(hist), max_frames)
+    frame_ids = np.linspace(0, len(hist) - 1, n).astype(int)
+    metric = next(iter(hist[0].l_val))
+    val = hist.series(metric, "val")
+    targets = [c for c in results.train_obs.columns if c not in ("sample", "step")]
+    t0 = targets[0]
+
+    fig, (ax_loss, ax_po) = plt.subplots(1, 2, figsize=(10, 4))
+
+    def draw(i):
+        epoch = frame_ids[i]
+        ax_loss.clear()
+        for key, ys in val.items():
+            ax_loss.plot(np.arange(epoch + 1), ys[: epoch + 1], label=f"val {key}")
+        ax_loss.set_xlim(0, len(hist))
+        ax_loss.set_title(f"epoch {epoch}")
+        ax_loss.set_yscale("log")
+        ax_loss.legend(frameon=False, fontsize=8)
+        ax_po.clear()
+        snap = hist[epoch]
+        if snap.y_hat_val is not None and t0 in snap.y_hat_val:
+            obs = results.val_obs[t0].to_numpy()
+            pred = np.asarray(snap.y_hat_val[t0]).ravel()[: len(obs)]
+            m = np.isfinite(obs[: len(pred)])
+            ax_po.scatter(obs[: len(pred)][m], pred[m], s=4, alpha=0.4)
+            lims = [np.nanmin(obs), np.nanmax(obs)]
+            ax_po.plot(lims, lims, "k--", lw=1)
+            ax_po.set_title(f"{t0} pred vs obs")
+
+    anim = animation.FuncAnimation(fig, draw, frames=n, interval=1000 // fps)
+    writer = "pillow" if save.endswith(".gif") else "ffmpeg"
+    try:
+        anim.save(save, writer=writer, fps=fps)
+    except (ValueError, FileNotFoundError):
+        gif = save.rsplit(".", 1)[0] + ".gif"
+        log.warning("%s writer unavailable; writing %s instead", writer, gif)
+        anim.save(gif, writer="pillow", fps=fps)
+        save = gif
+    plt.close(fig)
+    return save
 
 
 def plot_training_summary(results, *, save: Optional[str] = None):

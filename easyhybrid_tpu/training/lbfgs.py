@@ -100,22 +100,24 @@ def train_lbfgs(
     history = TrainingHistory([init_snapshot])
     stopper = EarlyStopping(init_snapshot, params, state, cfg)
 
-    def make_step(batch):
-        def scalar_loss(p):
-            loss, _ = loss_with_state(p, state, batch)
+    def step_fn(p, o, batch):
+        def scalar_loss(pp):
+            loss, _ = loss_with_state(pp, state, batch)
             return loss
 
-        value_and_grad = optax.value_and_grad_from_state(scalar_loss)
+        value, grad = optax.value_and_grad_from_state(scalar_loss)(p, state=o)
+        updates, o = optimizer.update(
+            grad, o, p, value=value, grad=grad, value_fn=scalar_loss
+        )
+        p = optax.apply_updates(p, updates)
+        return p, o, value
 
-        def step(p, o):
-            value, grad = value_and_grad(p, state=o)
-            updates, o = optimizer.update(
-                grad, o, p, value=value, grad=grad, value_fn=scalar_loss
-            )
-            p = optax.apply_updates(p, updates)
-            return p, o, value
+    # batch is a traced argument: ONE compilation per batch shape, not one
+    # jit cache per minibatch closure
+    step_fn = jax.jit(step_fn) if cfg.jit else step_fn
 
-        return jax.jit(step) if cfg.jit else step
+    def make_step(batch):
+        return lambda p, o: step_fn(p, o, batch)
 
     t0 = time.perf_counter()
 

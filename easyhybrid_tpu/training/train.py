@@ -265,6 +265,12 @@ def train(
         seed=cfg.random_seed,
     )
 
+    if val_data.n_samples == 0:
+        raise ValueError(
+            "validation split is empty; lower split_data_at (< 1.0) or pass "
+            "a pre-split (train, val) tuple"
+        )
+
     batchsize = cfg.batchsize
     mesh = None
     if cfg.multi_device:

@@ -160,3 +160,15 @@ def test_train_plotting_flag(tmp_path, rbq10_model, rbq10_df):
         model_name="plotrun",
     )
     assert os.path.exists(res.paths.history_png)
+
+
+def test_record_history_gif(tmp_path, rbq10_model, rbq10_df):
+    pytest.importorskip("matplotlib")
+    res = eh.train(
+        rbq10_model, rbq10_df, nepochs=3, batchsize=64,
+        keep_history=True, show_progress=False,
+    )
+    from easyhybrid_tpu.plotting.plots import record_history
+
+    out = record_history(res, save=str(tmp_path / "hist.gif"), fps=2)
+    assert os.path.getsize(out) > 0
