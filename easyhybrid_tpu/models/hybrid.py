@@ -395,6 +395,7 @@ def construct_hybrid_model(
     scale_nn_outputs: bool = False,
     input_batchnorm: bool = False,
     start_from_default: bool = True,
+    compute_dtype: Any = None,
     **kwargs,
 ) -> Union[SingleNNHybridModel, MultiNNHybridModel]:
     """Build a hybrid model; dispatches on the type of ``predictors``.
@@ -418,6 +419,7 @@ def construct_hybrid_model(
             scale_nn_outputs=scale_nn_outputs,
             input_batchnorm=input_batchnorm,
             start_from_default=start_from_default,
+            compute_dtype=compute_dtype,
             **kwargs,
         )
     )
@@ -455,6 +457,7 @@ def construct_hybrid_model(
                         1,
                         activation=act,
                         input_batchnorm=input_batchnorm,
+                        compute_dtype=compute_dtype,
                     ),
                 )
             )
@@ -491,6 +494,7 @@ def construct_hybrid_model(
             len(neural_param_names),
             activation=activation,
             input_batchnorm=input_batchnorm,
+            compute_dtype=compute_dtype,
         )
     else:
         nn = None

@@ -118,13 +118,19 @@ class Module:
 
 @dataclasses.dataclass(frozen=True)
 class Dense(Module):
-    """Affine layer ``act(x @ W + b)`` with ``(batch, feat)`` inputs."""
+    """Affine layer ``act(x @ W + b)`` with ``(batch, feat)`` inputs.
+
+    ``compute_dtype`` enables mixed precision: parameters stay float32 but
+    the matmul runs in the compute dtype (bfloat16 doubles MXU throughput on
+    TPU for large layers) with float32 accumulation.
+    """
 
     in_dim: int
     out_dim: int
     activation: str = "identity"
     use_bias: bool = True
     dtype: Any = jnp.float32
+    compute_dtype: Any = None
 
     def init(self, key: Array):
         w = glorot_uniform(key, self.in_dim, self.out_dim, self.dtype)
@@ -134,7 +140,11 @@ class Dense(Module):
         return params, {}
 
     def apply(self, params, state, x, *, training: bool = False):
-        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        w = params["w"]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            w = w.astype(self.compute_dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + params["b"]
         return get_activation(self.activation)(y), state
@@ -224,6 +234,7 @@ class MLP(Module):
     output_activation: str = "identity"
     input_batchnorm: Any = False  # True | False | "static" (frozen stats)
     dtype: Any = jnp.float32
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU mixed precision
 
     def __post_init__(self):
         object.__setattr__(self, "hidden", tuple(int(h) for h in self.hidden))
@@ -233,7 +244,13 @@ class MLP(Module):
         dims = (self.in_dim,) + self.hidden + (self.out_dim,)
         acts = [self.activation] * len(self.hidden) + [self.output_activation]
         return tuple(
-            Dense(dims[i], dims[i + 1], acts[i], dtype=self.dtype)
+            Dense(
+                dims[i],
+                dims[i + 1],
+                acts[i],
+                dtype=self.dtype,
+                compute_dtype=self.compute_dtype,
+            )
             for i in range(len(dims) - 1)
         )
 
@@ -400,6 +417,7 @@ def construct_nn(
     activation: Activation = "tanh",
     output_activation: Activation = "identity",
     input_batchnorm: bool = False,
+    compute_dtype: Any = None,
 ) -> Module:
     """Build an NN module from a layer-size list, an explicit module, or a
     recurrent spec dict ``{"lstm": hidden_size}``.
@@ -427,4 +445,5 @@ def construct_nn(
         activation=_norm_act(activation),
         output_activation=_norm_act(output_activation),
         input_batchnorm=input_batchnorm,
+        compute_dtype=compute_dtype,
     )

@@ -121,3 +121,16 @@ def test_jit_and_grad_through_mlp():
     flat = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
     assert any(np.any(np.asarray(l) != 0) for l in flat)
+
+
+def test_mixed_precision_compute():
+    """compute_dtype=bfloat16: params stay f32, output f32, values close."""
+    m32 = MLP(4, 2, hidden=(8,))
+    mbf = MLP(4, 2, hidden=(8,), compute_dtype=jnp.bfloat16)
+    params, state = m32.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    y32, _ = m32.apply(params, state, x)
+    ybf, _ = mbf.apply(params, state, x)
+    assert ybf.dtype == jnp.float32  # f32 accumulation/output
+    np.testing.assert_allclose(np.asarray(y32), np.asarray(ybf), atol=0.05)
+    assert params["layers"][0]["w"].dtype == jnp.float32
