@@ -235,7 +235,7 @@ def make_fused_epoch(
 
             @pl.when(any_valid)
             def _():
-                t = (t0_ref[0] + i + 1).astype(jnp.float32)
+                t = (t0_ref[0, 0] + i + 1).astype(jnp.float32)
                 # b^t as exp(t·log b): Mosaic does not lower jnp.power with
                 # a traced exponent ("Not implemented: Offset change")
                 b1_t = jnp.exp(t * np.log(b1).astype(np.float32))
@@ -257,22 +257,19 @@ def make_fused_epoch(
                 loss_ref[0, 0] += loss_val
 
         # ---- specs ----
-        # NOTE: with PrefetchScalarGridSpec the index_map receives the grid
-        # indices first, then the scalar-prefetch refs; the grid index is the
-        # FIRST positional arg.
         def batch_spec(arr):
             blk = (1,) + arr.shape[1:]
             ndim = arr.ndim
             return pl.BlockSpec(
                 blk,
-                lambda *a, _n=ndim: (a[0],) + (0,) * (_n - 1),
+                lambda i, _n=ndim: (i,) + (0,) * (_n - 1),
                 memory_space=pltpu.VMEM,
             )
 
         def full_spec(shape):
             return pl.BlockSpec(
                 shape,
-                lambda *a, _n=len(shape): (0,) * _n,
+                lambda i, _n=len(shape): (0,) * _n,
                 memory_space=pltpu.VMEM,
             )
 
@@ -285,7 +282,8 @@ def make_fused_epoch(
         ]
 
         in_specs = (
-            [batch_spec(x)]
+            [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+            + [batch_spec(x)]
             + [batch_spec(f) for f in forcing]
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
@@ -293,26 +291,22 @@ def make_fused_epoch(
             + [full_spec(s) for s in shapes2d] * 3
         )
         out_specs = [full_spec(s) for s in shapes2d] * 3 + [
-            pl.BlockSpec((1, 1), lambda *a: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         ]
         out_shape = (
             [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes2d] * 3
             + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
         )
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        t0 = opt_state["t"].reshape(1, 1)
+        outs = pl.pallas_call(
+            kernel,
             grid=(num_batches,),
             in_specs=in_specs,
             out_specs=out_specs,
-        )
-
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(opt_state["t"], x, *forcing, *ys, *masks, *st2d, *leaves2d, *m2d, *v2d)
+        )(t0, x, *forcing, *ys, *masks, *st2d, *leaves2d, *m2d, *v2d)
 
         new_p2d = outs[:npar]
         new_m2d = outs[npar : 2 * npar]
