@@ -93,6 +93,7 @@ from .training.tune import (
     best_hyperparams,
     random_search,
     grid_search,
+    cross_validate,
 )
 
 # parallel
@@ -193,6 +194,7 @@ __all__ = [
     "best_hyperparams",
     "random_search",
     "grid_search",
+    "cross_validate",
     # parallel
     "make_mesh",
     "shard_batch",

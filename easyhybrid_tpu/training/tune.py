@@ -29,6 +29,7 @@ __all__ = [
     "best_hyperparams",
     "random_search",
     "grid_search",
+    "cross_validate",
 ]
 
 log = logging.getLogger("easyhybrid_tpu")
@@ -140,6 +141,33 @@ def random_search(
             result.best_loss,
         )
     return best_hyperparams(trials), trials
+
+
+def cross_validate(
+    model,
+    data,
+    *,
+    k: int = 5,
+    shuffle: bool = True,
+    seed: int = 0,
+    **train_kwargs,
+):
+    """K-fold cross-validation: train once per fold, return
+    ``(scores, results)`` (parity: the reference folds tutorial,
+    docs/literate/tutorials/folds.jl, built on make_folds)."""
+    from ..utils.folds import make_folds
+
+    n = len(data) if hasattr(data, "__len__") else None
+    if n is None:
+        raise TypeError("cross_validate needs sized tabular data")
+    folds = make_folds(data, k=k, shuffle=shuffle, seed=seed)
+    scores, results = [], []
+    for fold in range(1, k + 1):
+        res = train(model, data, folds=folds, val_fold=fold, **train_kwargs)
+        scores.append(res.best_loss)
+        results.append(res)
+        log.info("fold %d/%d best val loss %.6g", fold, k, res.best_loss)
+    return scores, results
 
 
 def grid_search(

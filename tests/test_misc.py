@@ -172,3 +172,11 @@ def test_record_history_gif(tmp_path, rbq10_model, rbq10_df):
 
     out = record_history(res, save=str(tmp_path / "hist.gif"), fps=2)
     assert os.path.getsize(out) > 0
+
+
+def test_cross_validate(rbq10_model, rbq10_df):
+    scores, results = eh.cross_validate(
+        rbq10_model, rbq10_df, k=3, nepochs=1, batchsize=64,
+        show_progress=False,
+    )
+    assert len(scores) == 3 and all(np.isfinite(s) for s in scores)
