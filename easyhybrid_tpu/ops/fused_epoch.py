@@ -14,6 +14,22 @@ of BASELINE.json).
 Supported fast path (falls back to the XLA scan epoch otherwise):
 SingleNN MLP hybrid (no LSTM), input_batchnorm in {False, "static"},
 jnp-pure training loss, Adam/SGD with static hyperparameters.
+
+STATUS (2026-08-16): numerically validated against the XLA scan epoch in
+interpret mode (tests/test_fused.py, f32-eps parity incl. multi-epoch Adam
+bias correction). Real-chip lowering is blocked by a Mosaic bug in this
+libtpu build ("Not implemented: Offset change"), isolated by bisection to:
+(a) any SMEM scalar store in a kernel that also runs autodiff (fixed here by
+dropping the in-kernel loss output), and (b) kernels whose OUTPUT count
+exceeds ~5 VMEM buffers while autodiff runs in the body — 5-output micro
+kernels with identical math compile and run; 10/15-output variants fail
+regardless of aliasing, copy-in style, pl.when wrapping, or padding every
+leaf to (8,128). Also reproduced: grads of row-sliced reads from one packed
+buffer fail (pad-at-offset cotangents). Known-unsupported primitives worked
+around: jnp.power with a constant base and traced exponent (use exp·log),
+jnp.where select chains (use jax.nn.sigmoid / arithmetic masking),
+integer_pow (use x*x). Track: a 3-output packed-params design needs
+offset-free cotangents (per-leaf buffers per 128-lane row) — next attempt.
 """
 
 from __future__ import annotations
@@ -161,6 +177,9 @@ def make_fused_epoch(
         nf, nt, npar = len(forcing), len(target_names), len(leaves)
 
         def kernel(*refs):
+            # params/moments are input_output_aliased: the output refs start
+            # with the input contents, carry across the (sequential) grid and
+            # need no i==0 copy; the aliased input refs are unused.
             t0_ref = refs[0]
             idx = 1
             x_ref = refs[idx]; idx += 1
@@ -168,29 +187,16 @@ def make_fused_epoch(
             y_refs = refs[idx : idx + nt]; idx += nt
             m_refs_in = refs[idx : idx + nt]; idx += nt
             st_refs = refs[idx : idx + nst]; idx += nst
-            p_in = refs[idx : idx + npar]; idx += npar
-            am_in = refs[idx : idx + npar]; idx += npar
-            av_in = refs[idx : idx + npar]; idx += npar
-            # outputs
+            idx += 3 * npar  # aliased param/m/v input refs (unused)
             p_out = refs[idx : idx + npar]; idx += npar
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
-            loss_ref = refs[idx]
 
             import os as _os
 
-            _ablate = _os.environ.get("EH_FUSED_ABLATE", "")
+            _ablate = set(_os.environ.get("EH_FUSED_ABLATE", "").split(","))
 
             i = pl.program_id(0)
-
-            @pl.when(i == 0)
-            def _():
-                if _ablate != "nocopy":
-                    for k in range(npar):
-                        p_out[k][...] = p_in[k][...]
-                        am_out[k][...] = am_in[k][...]
-                        av_out[k][...] = av_in[k][...]
-                loss_ref[0, 0] = 0.0
 
             x_b = x_ref[0]
             forcing_b = {f: f_refs[j][0, 0] for j, f in enumerate(forcing_names)}
@@ -202,18 +208,47 @@ def make_fused_epoch(
             state_val = jax.tree.unflatten(st_treedef, st_vals)
 
             def loss_of(vals2d):
-                if _ablate == "trivloss":
+                if "trivloss" in _ablate:
                     return sum(jnp.sum(v * v) for v in vals2d) * jnp.sum(x_b) * 1e-9
                 vals = [v.reshape(s) for v, s in zip(vals2d, orig_shapes)]
                 p = jax.tree.unflatten(treedef, vals)
-                if _ablate == "modelonly":
+                if _ablate & {"handloss", "handfwd"}:
+                    # hand-inlined RbQ10 forward (no model.apply): isolates
+                    # whether the traced model path is the Mosaic blocker
+                    W1 = p["nn"]["layers"][0]["w"]
+                    B1 = p["nn"]["layers"][0]["b"]
+                    W2 = p["nn"]["layers"][1]["w"]
+                    B2 = p["nn"]["layers"][1]["b"]
+                    Q = p["globals"]["Q10"]
+                    h = jnp.tanh(
+                        jnp.dot(x_b, W1, preferred_element_type=jnp.float32) + B1
+                    )
+                    out = jnp.dot(h, W2, preferred_element_type=jnp.float32) + B2
+                    rb = out[:, 0]
+                    qq = 1.0 + 3.0 * jax.nn.sigmoid(Q)
+                    ta = forcing_b["ta"]
+                    pred = rb * qq ** (0.1 * (ta - 15.0))
+                    if "handfwd" in _ablate:
+                        from ..losses.metrics import loss_fn as _lf
+
+                        return _lf(
+                            pred,
+                            y_b[target_names[0]],
+                            mask_b[target_names[0]],
+                            "mse",
+                        )
+                    yv = y_b[target_names[0]]
+                    mv = mask_b[target_names[0]]
+                    d = (pred - yv) * mv
+                    return jnp.sum(d * d) / jnp.maximum(jnp.sum(mv), 1.0)
+                if "modelonly" in _ablate:
                     outputs, _ = model.apply(p, state_val, (x_b, forcing_b), training=True)
                     return sum(
                         jnp.sum(v)
                         for k, v in outputs.items()
                         if not isinstance(v, dict)
                     )
-                if _ablate == "lossonly":
+                if "lossonly" in _ablate:
                     from ..losses.metrics import loss_fn as _lf
 
                     yh = jnp.sum(vals2d[0]) + y_b[target_names[0]] * 0.9
@@ -242,7 +277,7 @@ def make_fused_epoch(
                 b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
                 for k in range(npar):
                     g = grads[k]
-                    if opt_name == "sgd" or _ablate == "plainsgd":
+                    if opt_name == "sgd" or "plainsgd" in _ablate:
                         p_out[k][...] = p_out[k][...] - lr * g
                     else:
                         m_new = b1 * am_out[k][...] + (1.0 - b1) * g
@@ -254,7 +289,11 @@ def make_fused_epoch(
                         p_out[k][...] = p_out[k][...] - lr * m_hat / (
                             jnp.sqrt(v_hat) + eps
                         )
-                loss_ref[0, 0] += loss_val
+                # NOTE: the batch loss is intentionally NOT emitted — an SMEM
+                # scalar store in a kernel that also runs autodiff trips
+                # Mosaic ("Not implemented: Offset change", isolated by
+                # bisection 2026-08-16). Loss reporting comes from the jitted
+                # evaluator, which the trainer runs at every eval point.
 
         # ---- specs ----
         def batch_spec(arr):
@@ -290,15 +329,13 @@ def make_fused_epoch(
             + [full_spec(s) for s in st_shapes2d]
             + [full_spec(s) for s in shapes2d] * 3
         )
-        out_specs = [full_spec(s) for s in shapes2d] * 3 + [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-        ]
-        out_shape = (
-            [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes2d] * 3
-            + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-        )
+        out_specs = [full_spec(s) for s in shapes2d] * 3
+        out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes2d] * 3
 
         t0 = opt_state["t"].reshape(1, 1)
+        # alias the param/moment inputs onto the outputs (in-place update)
+        first_param_operand = 2 + nf + 2 * nt + nst
+        aliases = {first_param_operand + j: j for j in range(3 * npar)}
         outs = pl.pallas_call(
             kernel,
             grid=(num_batches,),
@@ -306,12 +343,15 @@ def make_fused_epoch(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            input_output_aliases=aliases,
         )(t0, x, *forcing, *ys, *masks, *st2d, *leaves2d, *m2d, *v2d)
 
         new_p2d = outs[:npar]
         new_m2d = outs[npar : 2 * npar]
         new_v2d = outs[2 * npar : 3 * npar]
-        loss_sum = outs[-1][0, 0]
+        # loss is not computed in-kernel (see NOTE above); the trainer reads
+        # metrics from the evaluator
+        loss_sum = jnp.full((), jnp.nan, jnp.float32)
 
         new_params = jax.tree.unflatten(
             treedef, [p.reshape(s) for p, s in zip(new_p2d, orig_shapes)]
@@ -325,6 +365,6 @@ def make_fused_epoch(
             ),
             "t": opt_state["t"] + num_batches,
         }
-        return new_params, new_opt_state, state_in, loss_sum / num_batches
+        return new_params, new_opt_state, state_in, loss_sum
 
     return epoch_fn

