@@ -192,10 +192,6 @@ def make_fused_epoch(
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
 
-            import os as _os
-
-            _ablate = set(_os.environ.get("EH_FUSED_ABLATE", "").split(","))
-
             i = pl.program_id(0)
 
             x_b = x_ref[0]
@@ -208,53 +204,8 @@ def make_fused_epoch(
             state_val = jax.tree.unflatten(st_treedef, st_vals)
 
             def loss_of(vals2d):
-                if "trivloss" in _ablate:
-                    return sum(jnp.sum(v * v) for v in vals2d) * jnp.sum(x_b) * 1e-9
                 vals = [v.reshape(s) for v, s in zip(vals2d, orig_shapes)]
                 p = jax.tree.unflatten(treedef, vals)
-                if _ablate & {"handloss", "handfwd"}:
-                    # hand-inlined RbQ10 forward (no model.apply): isolates
-                    # whether the traced model path is the Mosaic blocker
-                    W1 = p["nn"]["layers"][0]["w"]
-                    B1 = p["nn"]["layers"][0]["b"]
-                    W2 = p["nn"]["layers"][1]["w"]
-                    B2 = p["nn"]["layers"][1]["b"]
-                    Q = p["globals"]["Q10"]
-                    h = jnp.tanh(
-                        jnp.dot(x_b, W1, preferred_element_type=jnp.float32) + B1
-                    )
-                    out = jnp.dot(h, W2, preferred_element_type=jnp.float32) + B2
-                    rb = out[:, 0]
-                    qq = 1.0 + 3.0 * jax.nn.sigmoid(Q)
-                    ta = forcing_b["ta"]
-                    pred = rb * qq ** (0.1 * (ta - 15.0))
-                    if "handfwd" in _ablate:
-                        from ..losses.metrics import loss_fn as _lf
-
-                        return _lf(
-                            pred,
-                            y_b[target_names[0]],
-                            mask_b[target_names[0]],
-                            "mse",
-                        )
-                    yv = y_b[target_names[0]]
-                    mv = mask_b[target_names[0]]
-                    d = (pred - yv) * mv
-                    return jnp.sum(d * d) / jnp.maximum(jnp.sum(mv), 1.0)
-                if "modelonly" in _ablate:
-                    outputs, _ = model.apply(p, state_val, (x_b, forcing_b), training=True)
-                    return sum(
-                        jnp.sum(v)
-                        for k, v in outputs.items()
-                        if not isinstance(v, dict)
-                    )
-                if "lossonly" in _ablate:
-                    from ..losses.metrics import loss_fn as _lf
-
-                    yh = jnp.sum(vals2d[0]) + y_b[target_names[0]] * 0.9
-                    return _lf(
-                        yh, y_b[target_names[0]], mask_b[target_names[0]], "mse"
-                    )
                 batch_data = ((x_b, forcing_b), (y_b, mask_b))
                 loss, _ = compute_loss(model, p, state_val, batch_data, train_logging)
                 return loss
@@ -277,7 +228,7 @@ def make_fused_epoch(
                 b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
                 for k in range(npar):
                     g = grads[k]
-                    if opt_name == "sgd" or "plainsgd" in _ablate:
+                    if opt_name == "sgd":
                         p_out[k][...] = p_out[k][...] - lr * g
                     else:
                         m_new = b1 * am_out[k][...] + (1.0 - b1) * g
