@@ -35,7 +35,7 @@ def bench_framework() -> float:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import easyhybrid_tpu as eh
     from easyhybrid_tpu.data.loaders import build_epoch_tensors
-    from easyhybrid_tpu.training.epoch import make_train_epoch
+    from easyhybrid_tpu.training.epoch import can_skip_empty_guard, make_train_epoch
 
     def rbq10(*, ta, rb, Q10, tref=15.0):
         return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
@@ -51,7 +51,7 @@ def bench_framework() -> float:
         hidden_layers=list(HIDDEN),
         activation="swish",
         scale_nn_outputs=True,
-        input_batchnorm=True,
+        input_batchnorm="static",
     )
     df = eh.gen_rbq10_data(N_ROWS, seed=42)
     data = eh.prepare_data(model, df)
@@ -60,12 +60,16 @@ def bench_framework() -> float:
     num_batches = tensors.num_batches
 
     params, state = model.init(jax.random.PRNGKey(0))
+    from easyhybrid_tpu.training.train import fit_input_norm
+
+    state = fit_input_norm(model, state, data)
     optimizer = optax.flatten(optax.adam(0.01))
     opt_state = optimizer.init(params)
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
     epoch_fn = make_train_epoch(
         model, logging_loss, optimizer, shuffle=True,
         epochs_per_call=TIMED_EPOCHS,
+        skip_empty_guard=can_skip_empty_guard(tensors),
     )
 
     key = jax.random.PRNGKey(1)

@@ -28,7 +28,7 @@ from ..data.loaders import EpochTensors
 from ..losses.compute import compute_loss
 from ..losses.specs import LoggingLoss
 
-__all__ = ["make_train_epoch", "make_evaluator", "make_loss_fn"]
+__all__ = ["make_train_epoch", "make_evaluator", "make_loss_fn", "can_skip_empty_guard"]
 
 
 def _tree_gather(tree, idx):
@@ -59,6 +59,27 @@ def _rebatch(tree, num_batches: int, batch: int):
     return jax.tree.map(reb, tree)
 
 
+def can_skip_empty_guard(tensors: EpochTensors) -> bool:
+    """True when no shuffled batch can consist entirely of invalid samples,
+    so the per-step empty-batch guard (three tree-selects) is provably dead.
+
+    A sample is invalid if every target mask is zero (padding or all-NaN
+    targets). If fewer such samples exist than one batch holds, every batch
+    contains at least one valid sample under any permutation."""
+    import numpy as np
+
+    if not tensors.mask:
+        return False
+    batch = tensors.batch_size
+    valid_any = None
+    for m in tensors.mask.values():
+        m = np.asarray(m)
+        per_sample = m.reshape(m.shape[0] * m.shape[1], -1).sum(axis=-1) > 0
+        valid_any = per_sample if valid_any is None else (valid_any | per_sample)
+    n_invalid = int((~valid_any).sum())
+    return n_invalid < batch
+
+
 def make_train_epoch(
     model,
     logging: LoggingLoss,
@@ -67,6 +88,7 @@ def make_train_epoch(
     shuffle: bool = True,
     jit: bool = True,
     epochs_per_call: int = 1,
+    skip_empty_guard: bool = False,
 ) -> Callable:
     """Build ``epoch_fn(params, opt_state, state, tensors, key) ->
     (params, opt_state, state, mean_batch_loss)``.
@@ -96,7 +118,10 @@ def make_train_epoch(
         num_batches = tensors.weight.shape[0]
         batch = tensors.weight.shape[1]
 
-        if shuffle and num_batches > 1:
+        if shuffle is True and num_batches > 1:
+            # full sample-level reshuffle (reference DataLoader parity);
+            # costs one random gather over the epoch data (~20% of a small
+            # model's epoch) — see shuffle="batches" for the cheap variant
             flat = _flatten_batches(tensors)
             perm = jax.random.permutation(key, num_batches * batch)
             shuffled = EpochTensors(
@@ -115,6 +140,19 @@ def make_train_epoch(
                 weight=shuffled.weight.reshape(num_batches, batch),
                 n_samples=tensors.n_samples,
             )
+        elif shuffle == "batches" and num_batches > 1:
+            # permute only the batch ORDER: one (num_batches,) gather instead
+            # of a full sample gather. Sample-to-batch assignment stays fixed
+            # (trades shuffle quality for ~20% epoch speed on small models).
+            perm = jax.random.permutation(key, num_batches)
+            tensors = EpochTensors(
+                x=_tree_gather(tensors.x, perm),
+                forcing=_tree_gather(tensors.forcing, perm),
+                y=_tree_gather(tensors.y, perm),
+                mask=_tree_gather(tensors.mask, perm),
+                weight=tensors.weight[perm],
+                n_samples=tensors.n_samples,
+            )
 
         def body(carry, slice_):
             params, opt_state, state = carry
@@ -122,17 +160,17 @@ def make_train_epoch(
             batch_data = ((x_b, forcing_b), (y_b, mask_b))
             (loss, new_state), grads = grad_fn(params, state, batch_data)
 
-            # skip all-masked batches (parity: isemptybatch, epoch.jl:35-37):
-            # keep params/opt_state/state untouched when no valid targets.
-            any_valid = (
-                sum(jnp.sum(m) for m in mask_b.values()) > 0
-                if mask_b
-                else jnp.asarray(True)
-            )
-
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax_apply_updates(params, updates)
 
+            if skip_empty_guard or not mask_b:
+                # proven at build time that no batch can be fully masked
+                # (see can_skip_empty_guard) — drop the three tree-selects
+                return (new_params, new_opt_state, new_state), loss
+
+            # skip all-masked batches (parity: isemptybatch, epoch.jl:35-37):
+            # keep params/opt_state/state untouched when no valid targets.
+            any_valid = sum(jnp.sum(m) for m in mask_b.values()) > 0
             params = jax.tree.map(
                 lambda new, old: jnp.where(any_valid, new, old), new_params, params
             )
@@ -148,7 +186,7 @@ def make_train_epoch(
 
         xs = (tensors.x, tensors.forcing, tensors.y, tensors.mask)
         (params, opt_state, state), losses = lax.scan(
-            body, (params, opt_state, state), xs
+            body, (params, opt_state, state), xs, unroll=min(4, num_batches)
         )
         return params, opt_state, state, jnp.mean(losses)
 

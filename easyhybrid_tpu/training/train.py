@@ -372,6 +372,8 @@ def train(
             state = replicate(state, mesh)
             opt_state = replicate(opt_state, mesh)
 
+        from .epoch import can_skip_empty_guard
+
         epoch_fn = make_train_epoch(
             model,
             logging_loss,
@@ -379,6 +381,7 @@ def train(
             shuffle=cfg.shuffle_each_epoch,
             jit=cfg.jit,
             epochs_per_call=eval_every,
+            skip_empty_guard=can_skip_empty_guard(train_tensors),
         )
         return epoch_fn, opt_state
 
