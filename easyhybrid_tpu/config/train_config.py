@@ -33,6 +33,10 @@ class TrainConfig:
     nepochs: int = 200
     batchsize: Optional[int] = 64
     optimizer: Any = ("adam", 0.01)
+    # optional prebuilt optimizer state to resume from (parity with the
+    # reference's prebuilt-state-tree opt form, TrainingConfig.jl:16-42);
+    # must match the resolved optimizer's state structure
+    opt_state: Any = None
     patience: Optional[int] = None
     training_loss: Any = "mse"
     loss_types: Sequence[Any] = ("mse", "r2")
@@ -134,6 +138,8 @@ class TrainResults:
     paths: Any = None              # TrainingPaths when save_training=true
     tracked: Any = None            # tracked physical-param trajectories
     monitored: Any = None          # monitored per-sample param quantiles
+    opt_state: Any = None          # final optimizer state (resume via
+                                   # TrainConfig.opt_state + train_from)
 
     @property
     def ps_st(self) -> Tuple[Any, Any]:

@@ -327,6 +327,7 @@ def train(
             and jax.default_backend() == "tpu"
             and not cfg.multi_device
             and cfg.jit
+            and cfg.opt_state is None  # fused kernel has its own adam state
             and supports_fused_epoch(model, cfg.optimizer, logging_loss)
         )
     eval_every = max(1, int(cfg.eval_every))
@@ -364,7 +365,9 @@ def train(
             import optax
 
             optimizer = optax.flatten(optimizer)
-        opt_state = optimizer.init(params)
+        opt_state = (
+            cfg.opt_state if cfg.opt_state is not None else optimizer.init(params)
+        )
         if mesh is not None:
             from ..parallel.mesh import replicate
 
@@ -542,6 +545,7 @@ def train(
         paths=paths,
         tracked=tracked or None,
         monitored=monitored or None,
+        opt_state=jax.device_get(opt_state),
     )
 
     if writer is not None:

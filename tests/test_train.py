@@ -278,3 +278,15 @@ def test_sequence_frames_long_format():
     assert {"sample", "step", "reco"} <= set(res.train_obs.columns)
     assert len(res.train_obs) == len(res.train_pred)
     assert sorted(res.train_obs["step"].unique()) == [0, 1]
+
+
+def test_opt_state_resume(rbq10_model, rbq10_df):
+    """Training can resume with the exact optimizer state (prebuilt-state
+    parity, reference TrainingConfig.jl:16-42)."""
+    res1 = _quick(rbq10_model, rbq10_df, nepochs=2)
+    assert res1.opt_state is not None
+    res2 = _quick(
+        rbq10_model, rbq10_df, nepochs=1,
+        train_from=res1, opt_state=res1.opt_state,
+    )
+    assert np.isfinite(res2.best_loss)
