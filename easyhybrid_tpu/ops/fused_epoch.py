@@ -18,18 +18,18 @@ jnp-pure training loss, Adam/SGD with static hyperparameters.
 STATUS (2026-08-16): numerically validated against the XLA scan epoch in
 interpret mode (tests/test_fused.py, f32-eps parity incl. multi-epoch Adam
 bias correction). Real-chip lowering is blocked by a Mosaic bug in this
-libtpu build ("Not implemented: Offset change"), isolated by bisection to:
-(a) any SMEM scalar store in a kernel that also runs autodiff (fixed here by
-dropping the in-kernel loss output), and (b) kernels whose OUTPUT count
-exceeds ~5 VMEM buffers while autodiff runs in the body — 5-output micro
-kernels with identical math compile and run; 10/15-output variants fail
-regardless of aliasing, copy-in style, pl.when wrapping, or padding every
-leaf to (8,128). Also reproduced: grads of row-sliced reads from one packed
-buffer fail (pad-at-offset cotangents). Known-unsupported primitives worked
-around: jnp.power with a constant base and traced exponent (use exp·log),
-jnp.where select chains (use jax.nn.sigmoid / arithmetic masking),
-integer_pow (use x*x). Track: a 3-output packed-params design needs
-offset-free cotangents (per-leaf buffers per 128-lane row) — next attempt.
+libtpu build ("Not implemented: Offset change"). ~25 bisection experiments
+(micro-kernels reproducing the structure piecewise) found the failure is NOT
+attributable to any single op or structure: identical math passes in one
+5-output micro and fails in a near-identical variant; SMEM scalar stores
+coexisting with in-kernel autodiff reliably fail (the in-kernel loss output
+was removed for that reason); multi-output (10+) kernels with autodiff fail
+across aliasing/copy-in/pl.when/padded-tile variants; packed-single-buffer
+params fail on sliced access. Known-unsupported primitives worked around:
+jnp.power with a constant base and traced exponent (exp·log form),
+integer_pow (x*x). Conclusion: compiler-version limitation — revisit on a
+newer libtpu; the kernel + tests are kept so that is a one-line flip
+(EASYHYBRID_PALLAS=1 / use_pallas=True).
 """
 
 from __future__ import annotations
