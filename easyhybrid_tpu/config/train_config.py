@@ -75,6 +75,9 @@ class TrainConfig:
     # model/loss/optimizer qualify — see ops/fused_epoch.py), True to force
     # (interpret-mode off-TPU), False to always use the XLA scan epoch.
     use_pallas: Any = "auto"
+    # remat: jax.checkpoint the fused forward (recompute activations in the
+    # backward pass) — trades FLOPs for HBM on very large NNs/windows
+    remat: bool = False
 
     def replace(self, **kwargs) -> "TrainConfig":
         return dataclasses.replace(self, **kwargs)

@@ -89,6 +89,7 @@ def make_train_epoch(
     jit: bool = True,
     epochs_per_call: int = 1,
     skip_empty_guard: bool = False,
+    remat: bool = False,
 ) -> Callable:
     """Build ``epoch_fn(params, opt_state, state, tensors, key) ->
     (params, opt_state, state, mean_batch_loss)``.
@@ -111,6 +112,12 @@ def make_train_epoch(
 
     def loss_for_batch(params, state, batch):
         return compute_loss(model, params, state, batch, train_logging)
+
+    if remat:
+        # rematerialize the fused forward in the backward pass: trades
+        # recompute FLOPs for activation memory (HBM) — for very large NNs
+        # or very long sequence windows
+        loss_for_batch = jax.checkpoint(loss_for_batch)
 
     grad_fn = jax.value_and_grad(loss_for_batch, has_aux=True)
 

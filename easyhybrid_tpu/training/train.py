@@ -385,6 +385,7 @@ def train(
             jit=cfg.jit,
             epochs_per_call=eval_every,
             skip_empty_guard=can_skip_empty_guard(train_tensors),
+            remat=cfg.remat,
         )
         return epoch_fn, opt_state
 

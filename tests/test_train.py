@@ -290,3 +290,49 @@ def test_opt_state_resume(rbq10_model, rbq10_df):
         train_from=res1, opt_state=res1.opt_state,
     )
     assert np.isfinite(res2.best_loss)
+
+
+def test_remat_matches(rbq10_model, rbq10_df):
+    """jax.checkpoint remat gives identical results (recompute == store)."""
+    res_a = _quick(rbq10_model, rbq10_df, nepochs=1, remat=False,
+                   shuffle_each_epoch=False)
+    res_b = _quick(rbq10_model, rbq10_df, nepochs=1, remat=True,
+                   shuffle_each_epoch=False)
+    np.testing.assert_allclose(res_a.best_loss, res_b.best_loss, rtol=1e-5)
+
+
+def test_shuffle_batches_mode(rbq10_model, rbq10_df):
+    res = _quick(rbq10_model, rbq10_df, nepochs=2, shuffle_each_epoch="batches")
+    assert np.isfinite(res.best_loss)
+
+
+def test_multi_nn_static_norm():
+    """MultiNN branches each get fitted static norm stats."""
+    def mech(*, f, a, b):
+        return {"t": a * f + b}
+
+    m = eh.construct_hybrid_model(
+        predictors={"a": ["p1", "p2"], "b": ["p3"]},
+        forcing=["f"], targets=["t"],
+        mechanistic_model=mech,
+        parameters={"a": (1.0, 0.0, 2.0), "b": (0.5, 0.0, 1.0)},
+        global_param_names=[], hidden_layers=[4],
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    rng = np.random.default_rng(0)
+    n = 64
+    import pandas as pd
+
+    df = pd.DataFrame({k: (rng.random(n) * 50).astype(np.float32)
+                       for k in ["p1", "p2", "p3", "f", "t"]})
+    import jax
+    from easyhybrid_tpu.data.prepare import prepare_data
+    from easyhybrid_tpu.training.train import fit_input_norm
+
+    data = prepare_data(m, df)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(m, state, data)
+    assert state["nns"]["a"]["norm"]["mean"].shape == (2,)
+    assert float(state["nns"]["b"]["norm"]["mean"][0]) > 1.0  # fitted, not 0
+    res = _quick(m, df, nepochs=1)
+    assert np.isfinite(res.best_loss)
