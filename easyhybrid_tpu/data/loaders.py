@@ -15,7 +15,6 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Mapping, NamedTuple, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .prepare import HybridData

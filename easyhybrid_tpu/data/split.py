@@ -14,7 +14,7 @@ from typing import Mapping, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from .prepare import HybridData, prepare_data, dataframe_to_dict, _is_dataframe
+from .prepare import HybridData, _is_dataframe, prepare_data
 from .sequences import filter_sequences, split_into_sequences
 
 __all__ = ["split_data", "prepare_splits", "train_val_indices"]

@@ -13,7 +13,6 @@ snapshot via :mod:`..config.yaml_io`. Pickle keeps arbitrary pytrees
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import pickle

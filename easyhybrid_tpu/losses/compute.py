@@ -14,7 +14,6 @@ from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax.numpy as jnp
 
-from .metrics import loss_fn
 from .specs import LoggingLoss, PerTarget, loss_name, to_loss_spec
 
 __all__ = ["compute_loss", "assemble_loss", "align_prediction"]

@@ -13,7 +13,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Dict, Mapping, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .nn import Module, construct_nn

@@ -28,7 +28,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .nn import MLP, Module, construct_nn
+from .nn import Module, construct_nn
 
 __all__ = [
     "m_rb_q10",

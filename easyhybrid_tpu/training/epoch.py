@@ -17,7 +17,6 @@ launch per batch, the whole epoch is ONE XLA program:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax

@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from ..config.train_config import DataConfig, TrainConfig, TrainResults
-from ..data.loaders import batch_iterator, build_epoch_tensors
+from ..data.loaders import batch_iterator
 from ..data.split import split_data
 from ..losses.specs import LoggingLoss
 from .early_stopping import EarlyStopping

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.train_config import DataConfig, TrainConfig, TrainResults, validate_config
-from ..data.loaders import EpochTensors, build_epoch_tensors
+from ..data.loaders import build_epoch_tensors
 from ..data.prepare import HybridData
 from ..data.split import split_data
 from ..losses.specs import LoggingLoss

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["extract_weights", "weight_l2", "l2_extra_loss"]
