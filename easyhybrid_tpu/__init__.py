@@ -87,6 +87,7 @@ from .training.train import train
 from .training.history import TrainingHistory, EpochSnapshot
 from .training.early_stopping import EarlyStopping
 from .training.optimizers import resolve_optimizer
+from .training.inference import make_inference_fn, predict
 from .training.tune import (
     ModelSpec,
     tune,
@@ -195,6 +196,8 @@ __all__ = [
     "random_search",
     "grid_search",
     "cross_validate",
+    "make_inference_fn",
+    "predict",
     # parallel
     "make_mesh",
     "shard_batch",

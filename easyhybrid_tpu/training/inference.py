@@ -1,0 +1,84 @@
+"""Batched inference engine for serving.
+
+The reference's inference story is the DataFrame forward
+(GenericHybridModel.jl:433-455, covered by ``predict_df``). For production
+serving on TPU this module adds what the reference lacks: a COMPILED
+fixed-shape predictor — inputs are padded to a static batch size so every
+call hits the same jitted program (no retraces), with optional chunking for
+arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.prepare import HybridData, prepare_data
+
+__all__ = ["make_inference_fn", "predict"]
+
+
+def make_inference_fn(model, params, state, *, batch_size: int = 1024):
+    """Build ``predict(data) -> dict of np.ndarray`` with a single compiled
+    program of static shape ``(batch_size, ...)``.
+
+    ``data`` may be a DataFrame, a dict of columns, or a
+    :class:`HybridData`; inputs longer than ``batch_size`` are processed in
+    chunks, shorter ones are padded (padding rows are dropped from the
+    output). Rows with NaN predictors are kept (NaN propagates), matching
+    ``predict_df`` semantics.
+    """
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
+
+    @jax.jit
+    def forward(x, forcing):
+        outputs, _ = model.apply(params, state, (x, forcing), training=False)
+        flat = {}
+        for k, v in outputs.items():
+            if isinstance(v, Mapping):
+                for kk, vv in v.items():
+                    if not isinstance(vv, Mapping) and np.ndim(vv) >= 1:
+                        flat[kk] = vv
+            else:
+                flat[k] = v
+        return flat
+
+    def pad_to(arr, n):
+        arr = np.asarray(arr, np.float32)
+        if arr.shape[0] == n:
+            return arr
+        pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad)
+
+    def predict_fn(data) -> Dict[str, np.ndarray]:
+        hd = prepare_data(model, data, drop_missing_rows=False)
+        n = hd.n_samples
+        chunks: Dict[str, list] = {}
+        for start in range(0, max(n, 1), batch_size):
+            end = min(start + batch_size, n)
+            take = end - start
+            if isinstance(hd.x, Mapping):
+                x = {k: pad_to(np.asarray(v)[start:end], batch_size) for k, v in hd.x.items()}
+            else:
+                x = pad_to(np.asarray(hd.x)[start:end], batch_size)
+            forcing = {
+                k: pad_to(np.asarray(v)[start:end], batch_size)
+                for k, v in hd.forcing.items()
+            }
+            out = forward(x, forcing)
+            for k, v in out.items():
+                v = np.asarray(jax.device_get(v))
+                if v.ndim >= 1 and v.shape[0] == batch_size:
+                    chunks.setdefault(k, []).append(v[:take])
+        return {k: np.concatenate(vs) for k, vs in chunks.items()}
+
+    return predict_fn
+
+
+def predict(model, params, state, data, *, batch_size: int = 1024):
+    """One-shot convenience wrapper around :func:`make_inference_fn`."""
+    return make_inference_fn(model, params, state, batch_size=batch_size)(data)

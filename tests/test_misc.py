@@ -180,3 +180,21 @@ def test_cross_validate(rbq10_model, rbq10_df):
         show_progress=False,
     )
     assert len(scores) == 3 and all(np.isfinite(s) for s in scores)
+
+
+def test_inference_engine(rbq10_model, rbq10_df):
+    import jax
+
+    params, state = rbq10_model.init(jax.random.PRNGKey(0))
+    predict_fn = eh.make_inference_fn(rbq10_model, params, state, batch_size=100)
+    out = predict_fn(rbq10_df)  # 256 rows -> 3 chunks incl. padding
+    assert out["reco"].shape == (256,)
+    assert out["rb"].shape == (256,)  # per-sample parameter exposed
+    # matches predict_df values
+    df_out = rbq10_model.predict_df(params, state, rbq10_df)
+    np.testing.assert_allclose(
+        out["reco"], df_out["reco_pred"].to_numpy(), rtol=1e-5, atol=1e-6
+    )
+    # one-shot wrapper
+    out2 = eh.predict(rbq10_model, params, state, rbq10_df.head(10))
+    assert out2["reco"].shape == (10,)
