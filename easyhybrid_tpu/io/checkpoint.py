@@ -90,10 +90,11 @@ class CheckpointWriter:
     """Training save hooks (parity: save_initial_state!/save_epoch!/
     save_final!, src/io/checkpoints.jl:1-37)."""
 
-    def __init__(self, paths: TrainingPaths, model, cfg):
+    def __init__(self, paths: TrainingPaths, model, cfg, data_cfg=None):
         self.paths = paths
         self.model = model
         self.cfg = cfg
+        self.data_cfg = data_cfg
         self._history: List[Dict[str, Any]] = []
 
     def _tracked(self, params, state) -> Dict[str, float]:
@@ -117,7 +118,9 @@ class CheckpointWriter:
         try:
             from ..config.yaml_io import save_hybrid_config
 
-            save_hybrid_config(self.paths.config_yaml, self.model, self.cfg)
+            save_hybrid_config(
+                self.paths.config_yaml, self.model, self.cfg, self.data_cfg
+            )
         except Exception as e:  # config snapshot is best-effort
             import logging
 

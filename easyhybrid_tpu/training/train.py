@@ -462,7 +462,7 @@ def train(
         from ..io.checkpoint import CheckpointWriter, resolve_paths
 
         paths = resolve_paths(cfg)
-        writer = CheckpointWriter(paths, model, cfg)
+        writer = CheckpointWriter(paths, model, cfg, dcfg)
         writer.save_initial(params, state)
     else:
         writer = None
