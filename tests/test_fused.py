@@ -154,3 +154,22 @@ def test_train_with_use_pallas_flag():
     assert np.isfinite(res.best_loss)
     # and it actually learns a bit
     assert res.best_loss <= res.val_history[0]["mse"]["sum"]
+
+
+def test_fused_forward_matches_apply():
+    """Pallas fused forward (interpret on CPU) matches model.apply."""
+    from easyhybrid_tpu.ops.fused_forward import (
+        make_fused_forward,
+        supports_fused_forward,
+    )
+
+    model, params, state, _ = _setup(hidden=(8,), n=512, batch=128)
+    assert supports_fused_forward(model)
+    df = eh.gen_rbq10_data(256, seed=5)
+    data = eh.prepare_data(model, df)
+    fwd = make_fused_forward(model, params, state, batch_size=128)
+    out = fwd(jnp.asarray(data.x), {k: jnp.asarray(v) for k, v in data.forcing.items()})
+    ref_out, _ = model.apply(params, state, (data.x, data.forcing))
+    np.testing.assert_allclose(
+        np.asarray(out["reco"]), np.asarray(ref_out["reco"]), rtol=1e-5, atol=1e-6
+    )
