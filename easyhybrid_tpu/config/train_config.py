@@ -148,6 +148,21 @@ class TrainResults:
     def ps_st(self) -> Tuple[Any, Any]:
         return self.params, self.state
 
+    def history_frame(self):
+        """Per-epoch metric table: one row per epoch, columns
+        ``{split}_{metric}_{target}`` (epoch 0 = untrained model)."""
+        import pandas as pd
+
+        rows = []
+        for epoch, (tr, va) in enumerate(zip(self.train_history, self.val_history)):
+            row = {"epoch": epoch}
+            for split, metrics in (("train", tr), ("val", va)):
+                for metric, targets in metrics.items():
+                    for target, value in targets.items():
+                        row[f"{split}_{metric}_{target}"] = float(value)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
     def __repr__(self):
         n_ep = len(self.train_history) - 1 if self.train_history else 0
         return (

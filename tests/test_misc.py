@@ -198,3 +198,30 @@ def test_inference_engine(rbq10_model, rbq10_df):
     # one-shot wrapper
     out2 = eh.predict(rbq10_model, params, state, rbq10_df.head(10))
     assert out2["reco"].shape == (10,)
+
+
+def test_history_frame(rbq10_model, rbq10_df):
+    res = eh.train(rbq10_model, rbq10_df, nepochs=3, batchsize=64,
+                   loss_types=["mse", "r2"], show_progress=False)
+    hf = res.history_frame()
+    assert len(hf) == 4  # epoch 0 + 3
+    assert "val_mse_reco" in hf.columns and "train_r2_sum" in hf.columns
+    assert hf["epoch"].tolist() == [0, 1, 2, 3]
+
+
+def test_progress_table_format(rbq10_model, rbq10_df):
+    from easyhybrid_tpu.training.show import progress_table
+
+    res = eh.train(rbq10_model, rbq10_df, nepochs=2, batchsize=64,
+                   show_progress=False)
+    table = progress_table(res.history[0], res.history[-1])
+    assert "metric" in table and "reco" in table and "mse" in table
+
+
+def test_trace_smoke(tmp_path, rbq10_model, rbq10_df):
+    """jax.profiler trace context produces a trace directory."""
+    import jax.numpy as jnp
+
+    with eh.trace(str(tmp_path / "trc")) as d:
+        _ = jnp.ones((8, 8)).sum().block_until_ready()
+    assert os.path.isdir(d)
