@@ -15,21 +15,30 @@ Supported fast path (falls back to the XLA scan epoch otherwise):
 SingleNN MLP hybrid (no LSTM), input_batchnorm in {False, "static"},
 jnp-pure training loss, Adam/SGD with static hyperparameters.
 
-STATUS (2026-08-16): numerically validated against the XLA scan epoch in
-interpret mode (tests/test_fused.py, f32-eps parity incl. multi-epoch Adam
-bias correction). Real-chip lowering is blocked by a Mosaic bug in this
-libtpu build ("Not implemented: Offset change"). ~25 bisection experiments
-(micro-kernels reproducing the structure piecewise) found the failure is NOT
-attributable to any single op or structure: identical math passes in one
-5-output micro and fails in a near-identical variant; SMEM scalar stores
-coexisting with in-kernel autodiff reliably fail (the in-kernel loss output
-was removed for that reason); multi-output (10+) kernels with autodiff fail
-across aliasing/copy-in/pl.when/padded-tile variants; packed-single-buffer
-params fail on sliced access. Known-unsupported primitives worked around:
-jnp.power with a constant base and traced exponent (exp·log form),
-integer_pow (x*x). Conclusion: compiler-version limitation — revisit on a
-newer libtpu; the kernel + tests are kept so that is a one-line flip
-(EASYHYBRID_PALLAS=1 / use_pallas=True).
+STATUS (2026-08-16, ~40 bisection experiments against this libtpu build):
+
+* Numerics are validated against the XLA scan epoch in INTERPRET mode
+  (tests/test_fused.py: param-exact, multi-epoch Adam bias correction).
+* The kernel COMPILES AND RUNS on a real v5e at 18.4k steps/s after a full
+  rank-2 redesign. Compile blockers found and fixed:
+  - "Not implemented: Offset change" for ANY rank-0 or size-1-rank-1 value
+    on a differentiated path -> differentiate the rank-2 forward twin
+    (``forward_rank2``) with jax.vjp and hand-computed (1,B) mse cotangents;
+    never build a scalar loss in-kernel;
+  - the same error for SMEM scalar stores coexisting with AD -> no in-kernel
+    loss output;
+  - compiler HANG when ``pl.when`` wraps the parameter updates ->
+    arithmetic select (``valid`` factor) instead;
+  - ``jnp.power(const, traced)`` and ``integer_pow`` -> exp*log / x*x forms.
+* REMAINING BLOCKER - silent miscompilation: on-chip, gradient reductions
+  into (1,1) leaves (global physical params, output bias) produce wrong
+  VALUES (e.g. the Q10 cotangent off by ~4e4 with flipped sign) even in a
+  fully hand-written backward whose (F,H)/(1,H) leaf grads agree with XLA to
+  2e-3. Interpret mode is exact, so this is a Mosaic codegen bug for
+  small-operand reductions, not a kernel bug. Because the errors are SILENT,
+  the kernel stays opt-in (EASYHYBRID_PALLAS=1 / use_pallas=True) until a
+  newer libtpu; before trusting it, re-validate with tests/test_fused.py
+  plus a one-epoch gradient comparison against the XLA path on hardware.
 """
 
 from __future__ import annotations
@@ -69,6 +78,12 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
     if model.nn is not None and model.nn.input_batchnorm is True:
         return False  # trainable running-stats BN mutates state per step
     if logging.extra_loss is not None:
+        return False
+    # the kernel computes the loss COTANGENT manually (no scalar loss on the
+    # AD path — Mosaic cannot lower rank-0 reduction chains); mse only
+    if logging.training_loss != "mse":
+        return False
+    if logging.agg_name not in ("sum", "mean"):
         return False
     if isinstance(optimizer_spec, Mapping):
         return False
@@ -130,6 +145,59 @@ def make_fused_epoch(
 
     forcing_names = tuple(model.forcing)
     target_names = tuple(model.targets)
+
+    def forward_rank2(p, state2d, x_b, forcing_b):
+        """Spec-driven rank-2 twin of ``SingleNNHybridModel.apply``.
+
+        Numerically identical to ``model.apply`` (verified in interpret mode
+        against the XLA path by tests/test_fused.py) but keeps EVERY value on
+        the differentiated path at rank ≥ 2 — Mosaic cannot lower the
+        cotangent chains of rank-1/rank-0 intermediates ("Offset change").
+        Leaves arrive in their 2-D kernel shapes; the user's mechanistic
+        function receives (1,B)/(1,1) arrays (broadcasting keeps its math
+        unchanged).
+        """
+        from ..params import scale_param
+        from ..models.nn import get_activation
+
+        # static input norm (frozen BatchNorm): state stats as (1,F)
+        h = x_b  # (B, F)
+        nn_spec = model.nn
+        if nn_spec is not None and nn_spec.input_batchnorm:
+            norm_state = state2d["nn"]["norm"]
+            mean2d, var2d = norm_state["mean"], norm_state["var"]
+            h = (h - mean2d) * jax.lax.rsqrt(var2d + 1e-5)
+            norm_params = p.get("nn", {}).get("norm")
+            if norm_params is not None:
+                h = h * norm_params["scale"] + norm_params["bias"]
+        if nn_spec is not None:
+            for layer, lp in zip(nn_spec.layers, p["nn"]["layers"]):
+                h = jnp.dot(h, lp["w"], preferred_element_type=jnp.float32)
+                h = h + lp["b"]  # (1,H) broadcasts
+                h = get_activation(layer.activation)(h)
+        nn_out = h  # (B, P)
+
+        all_params = {}
+        for idx, name in enumerate(model.neural_param_names):
+            col = nn_out[:, idx : idx + 1].T  # (1, B) — rank-2 slice
+            if model.scale_nn_outputs:
+                lo = model.parameters.lower_of(name)
+                up = model.parameters.upper_of(name)
+                col = scale_param(col, lo, up)
+            all_params[name] = col
+        for g in model.global_param_names:
+            lo = model.parameters.lower_of(g)
+            up = model.parameters.upper_of(g)
+            all_params[g] = scale_param(p["globals"][g], lo, up)  # (1,1)
+        for f in model.fixed_param_names:
+            all_params[f] = state2d["fixed"][f]  # (1,1)
+
+        from ..models.hybrid import _call_mechanistic
+
+        outputs = _call_mechanistic(
+            model.mechanistic_model, {**forcing_b, **all_params}
+        )
+        return outputs
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, state_in, tensors, key):
@@ -194,57 +262,86 @@ def make_fused_epoch(
 
             i = pl.program_id(0)
 
+            # streams stay RANK-2 ((1,B)) end to end: Mosaic mishandles
+            # rank-1/rank-0 values on differentiated paths (bisection)
             x_b = x_ref[0]
-            forcing_b = {f: f_refs[j][0, 0] for j, f in enumerate(forcing_names)}
-            y_b = {t: y_refs[j][0, 0] for j, t in enumerate(target_names)}
-            mask_b = {t: m_refs_in[j][0, 0] for j, t in enumerate(target_names)}
-            st_vals = [
-                r[...].reshape(s) for r, s in zip(st_refs, st_shapes)
-            ]
-            state_val = jax.tree.unflatten(st_treedef, st_vals)
+            forcing_b = {f: f_refs[j][0] for j, f in enumerate(forcing_names)}
+            y_b = {t: y_refs[j][0] for j, t in enumerate(target_names)}
+            mask_b = {t: m_refs_in[j][0] for j, t in enumerate(target_names)}
+            # state leaves stay in 2-D kernel shapes (rank-2 discipline)
+            state2d = jax.tree.unflatten(st_treedef, [r[...] for r in st_refs])
 
-            def loss_of(vals2d):
-                vals = [v.reshape(s) for v, s in zip(vals2d, orig_shapes)]
-                p = jax.tree.unflatten(treedef, vals)
-                batch_data = ((x_b, forcing_b), (y_b, mask_b))
-                loss, _ = compute_loss(model, p, state_val, batch_data, train_logging)
-                return loss
+            def apply_targets(vals2d):
+                """Fused forward returning per-target (1,B) predictions.
+
+                The kernel differentiates THIS (via jax.vjp with rank-2
+                cotangents) rather than a scalar loss: Mosaic cannot lower
+                the cotangent chains of rank-0/rank-1 intermediates, so the
+                forward is the rank-2 twin and predictions stay (1,B).
+                """
+                p = jax.tree.unflatten(treedef, list(vals2d))
+                outputs = forward_rank2(p, state2d, x_b, forcing_b)
+                return tuple(
+                    outputs[t].reshape(1, -1) for t in target_names
+                )
 
             vals2d = [p_out[k][...] for k in range(npar)]
-            loss_val, grads = jax.value_and_grad(loss_of)(vals2d)
+            preds, vjp_fn = jax.vjp(apply_targets, vals2d)
 
-            any_valid = (
-                sum(jnp.sum(m) for m in mask_b.values()) > 0.0
+            # manual masked-mse cotangent per target:
+            # dL/dpred_t = agg_scale * 2 * (pred_t - y_t) * m_t / n_t
+            agg_scale = (
+                1.0 / len(target_names) if train_logging.agg_name == "mean" else 1.0
+            )
+            cots = tuple(
+                (2.0 * agg_scale / jnp.maximum(jnp.sum(mask_b[t]), 1.0))
+                * (preds[j] - y_b[t])
+                * mask_b[t]
+                for j, t in enumerate(target_names)
+            )
+            grads = vjp_fn(cots)[0]
+
+            # empty-batch skip via ARITHMETIC selection (pl.when around the
+            # updates hangs this Mosaic build's compiler — final bisection
+            # finding): valid=0 leaves params and moments bit-identical.
+            valid = (
+                (sum(jnp.sum(m) for m in mask_b.values()) > 0.0).astype(
+                    jnp.float32
+                )
                 if mask_b
-                else jnp.bool_(True)
+                else jnp.float32(1.0)
             )
 
-            @pl.when(any_valid)
-            def _():
-                t = (t0_ref[0, 0] + i + 1).astype(jnp.float32)
-                # b^t as exp(t·log b): Mosaic does not lower jnp.power with
-                # a traced exponent ("Not implemented: Offset change")
-                b1_t = jnp.exp(t * np.log(b1).astype(np.float32))
-                b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
-                for k in range(npar):
-                    g = grads[k]
-                    if opt_name == "sgd":
-                        p_out[k][...] = p_out[k][...] - lr * g
-                    else:
-                        m_new = b1 * am_out[k][...] + (1.0 - b1) * g
-                        v_new = b2 * av_out[k][...] + (1.0 - b2) * g * g
-                        am_out[k][...] = m_new
-                        av_out[k][...] = v_new
-                        m_hat = m_new / (1.0 - b1_t)
-                        v_hat = v_new / (1.0 - b2_t)
-                        p_out[k][...] = p_out[k][...] - lr * m_hat / (
-                            jnp.sqrt(v_hat) + eps
-                        )
-                # NOTE: the batch loss is intentionally NOT emitted — an SMEM
-                # scalar store in a kernel that also runs autodiff trips
-                # Mosaic ("Not implemented: Offset change", isolated by
-                # bisection 2026-08-16). Loss reporting comes from the jitted
-                # evaluator, which the trainer runs at every eval point.
+            t = (t0_ref[0, 0] + i + 1).astype(jnp.float32)
+            # b^t as exp(t·log b): Mosaic does not lower jnp.power with
+            # a traced exponent
+            b1_t = jnp.exp(t * np.log(b1).astype(np.float32))
+            b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
+            for k in range(npar):
+                g = grads[k]
+                if opt_name == "sgd":
+                    p_out[k][...] = p_out[k][...] - (valid * lr) * g
+                    # aliased outputs must be written in the kernel
+                    am_out[k][...] = am_out[k][...]
+                    av_out[k][...] = av_out[k][...]
+                else:
+                    m_old = am_out[k][...]
+                    v_old = av_out[k][...]
+                    m_new = b1 * m_old + (1.0 - b1) * g
+                    v_new = b2 * v_old + (1.0 - b2) * g * g
+                    m_sel = m_old + valid * (m_new - m_old)
+                    v_sel = v_old + valid * (v_new - v_old)
+                    am_out[k][...] = m_sel
+                    av_out[k][...] = v_sel
+                    m_hat = m_sel / (1.0 - b1_t)
+                    v_hat = v_sel / (1.0 - b2_t)
+                    p_out[k][...] = p_out[k][...] - (valid * lr) * m_hat / (
+                        jnp.sqrt(v_hat) + eps
+                    )
+            # NOTE: the batch loss is intentionally NOT emitted — an SMEM
+            # scalar store in a kernel that also runs autodiff trips Mosaic
+            # ("Not implemented: Offset change"). Loss reporting comes from
+            # the jitted evaluator, which the trainer runs per eval point.
 
         # ---- specs ----
         def batch_spec(arr):
