@@ -30,15 +30,20 @@ STATUS (2026-08-16, ~40 bisection experiments against this libtpu build):
   - compiler HANG when ``pl.when`` wraps the parameter updates ->
     arithmetic select (``valid`` factor) instead;
   - ``jnp.power(const, traced)`` and ``integer_pow`` -> exp*log / x*x forms.
-* REMAINING BLOCKER - silent miscompilation: on-chip, gradient reductions
-  into (1,1) leaves (global physical params, output bias) produce wrong
-  VALUES (e.g. the Q10 cotangent off by ~4e4 with flipped sign) even in a
-  fully hand-written backward whose (F,H)/(1,H) leaf grads agree with XLA to
-  2e-3. Interpret mode is exact, so this is a Mosaic codegen bug for
-  small-operand reductions, not a kernel bug. Because the errors are SILENT,
-  the kernel stays opt-in (EASYHYBRID_PALLAS=1 / use_pallas=True) until a
-  newer libtpu; before trusting it, re-validate with tests/test_fused.py
-  plus a one-epoch gradient comparison against the XLA path on hardware.
+* REMAINING BLOCKER - silent miscompilation: on-chip, gradients of the
+  (1,1)-shaped leaves (global physical params, output bias) come out as
+  garbage (e.g. a constant ~-7e5 for the Q10 grad regardless of the
+  mechanistic form), while the (F,H)/(1,H) leaf grads track XLA. Neither
+  tiling the small leaves over the batch (explicit dot reductions outside
+  AD), nor exp*log mechanistic forms, nor a hand-written jax.vjp chain fixes
+  the vjp-based kernel; yet a FULLY hand-written backward with the same
+  (1,1) aliased buffers (dot-based scalar chain, no jax.vjp) is numerically
+  EXACT on-chip (<=1e-4 after 4 sgd steps). Interpret mode is always exact.
+  Conclusion: Mosaic codegen bug triggered by vjp-transposed programs
+  touching tiny buffers. Because the errors are SILENT, the kernel stays
+  opt-in (EASYHYBRID_PALLAS=1 / use_pallas=True); next-round options:
+  (a) newer libtpu, (b) generate the backward symbolically per-layer (the
+  hand-written pattern that is proven exact) instead of jax.vjp.
 """
 
 from __future__ import annotations
@@ -201,11 +206,33 @@ def make_fused_epoch(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, state_in, tensors, key):
-        leaves, treedef = jax.tree.flatten(params)
+        from jax.tree_util import tree_flatten_with_path
+
+        path_leaves, treedef = tree_flatten_with_path(params)
+        leaf_paths = [
+            "/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in path_leaves
+        ]
+        leaves = [l for _, l in path_leaves]
         m_leaves = jax.tree.flatten(opt_state["m"])[0]
         v_leaves = jax.tree.flatten(opt_state["v"])[0]
         orig_shapes = [l.shape for l in leaves]
         shapes2d = [_to2d_shape(s) for s in orig_shapes]
+        # "broadcast leaves" (rank ≤ 1 originals: biases, BN affine, globals)
+        # enter the differentiated path PRE-TILED over the batch so their AD
+        # cotangents are full-size elementwise arrays; the reduction back to
+        # the leaf shape is an explicit dot OUTSIDE AD. Motivation: this
+        # libtpu's Mosaic silently miscompiles AD-generated reductions into
+        # small buffers (see module docstring).
+        #   mode None      — 2-D weight, used directly
+        #   mode "global"  — (1,1) leaf under globals/ → tile (1, B)
+        #   mode "bias"    — (1,n) leaf → tile (B, n)
+        tile_mode = [
+            None
+            if len(orig_shapes[k]) >= 2
+            else ("global" if leaf_paths[k].startswith("globals") else "bias")
+            for k in range(len(leaves))
+        ]
         # state (fixed params, frozen norm stats) rides along as read-only
         # kernel inputs — pallas forbids captured array constants
         st_leaves, st_treedef = jax.tree.flatten(state_in)
@@ -271,22 +298,31 @@ def make_fused_epoch(
             # state leaves stay in 2-D kernel shapes (rank-2 discipline)
             state2d = jax.tree.unflatten(st_treedef, [r[...] for r in st_refs])
 
-            def apply_targets(vals2d):
+            def apply_targets(vals_in):
                 """Fused forward returning per-target (1,B) predictions.
 
                 The kernel differentiates THIS (via jax.vjp with rank-2
-                cotangents) rather than a scalar loss: Mosaic cannot lower
-                the cotangent chains of rank-0/rank-1 intermediates, so the
-                forward is the rank-2 twin and predictions stay (1,B).
+                cotangents) rather than a scalar loss; broadcast leaves are
+                already tiled, so every cotangent in the backward is a
+                full-size elementwise array or a weight dot — the two forms
+                this Mosaic build compiles correctly.
                 """
-                p = jax.tree.unflatten(treedef, list(vals2d))
+                p = jax.tree.unflatten(treedef, list(vals_in))
                 outputs = forward_rank2(p, state2d, x_b, forcing_b)
                 return tuple(
                     outputs[t].reshape(1, -1) for t in target_names
                 )
 
-            vals2d = [p_out[k][...] for k in range(npar)]
-            preds, vjp_fn = jax.vjp(apply_targets, vals2d)
+            bsz = x_b.shape[0]
+            vals_in = []
+            for k in range(npar):
+                v = p_out[k][...]
+                if tile_mode[k] == "global":
+                    v = jnp.broadcast_to(v[:, :1], (1, bsz))
+                elif tile_mode[k] == "bias":
+                    v = jnp.broadcast_to(v, (bsz, v.shape[1]))
+                vals_in.append(v)
+            preds, vjp_fn = jax.vjp(apply_targets, vals_in)
 
             # manual masked-mse cotangent per target:
             # dL/dpred_t = agg_scale * 2 * (pred_t - y_t) * m_t / n_t
@@ -299,7 +335,25 @@ def make_fused_epoch(
                 * mask_b[t]
                 for j, t in enumerate(target_names)
             )
-            grads = vjp_fn(cots)[0]
+            raw_grads = vjp_fn(cots)[0]
+            # reduce tiled-leaf cotangents back to leaf shapes with EXPLICIT
+            # dots (outside AD): ones(1,B) @ (B,n) and (1,B) @ ones(B,1)
+            ones_b1 = jnp.ones((bsz, 1), jnp.float32)
+            ones_1b = jnp.ones((1, bsz), jnp.float32)
+            grads = []
+            for k in range(npar):
+                g = raw_grads[k]
+                if tile_mode[k] == "global":
+                    g = jax.lax.dot_general(
+                        g, ones_b1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1,1)
+                elif tile_mode[k] == "bias":
+                    g = jax.lax.dot_general(
+                        ones_1b, g, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1,n)
+                grads.append(g)
 
             # empty-batch skip via ARITHMETIC selection (pl.when around the
             # updates hangs this Mosaic build's compiler — final bisection
