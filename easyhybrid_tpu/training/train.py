@@ -45,7 +45,6 @@ _RENAMED_KWARGS = {
     "hybrid_name": "model_name",
     "file_name": "model_name",
     "loss_fn": "training_loss",
-    "random_seed!": "random_seed",
 }
 
 _TRAIN_FIELDS = {f.name for f in dataclasses.fields(TrainConfig)}

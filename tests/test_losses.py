@@ -260,3 +260,31 @@ def test_sigma_tuple_targets(rbq10_model, rbq10_df):
     # named metrics reject sigma tuples
     with pytest.raises(ValueError):
         eh.loss_fn(data.y["reco"], (data.y["reco"], sigma), None, "mse")
+
+
+def test_extra_loss_dict_in_eval(rbq10_model, rbq10_df):
+    """extra_loss returning a dict appears as named eval entries
+    (reference compute_loss.jl:39-44)."""
+    import jax
+
+    model = rbq10_model
+    data = eh.prepare_data(model, rbq10_df)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = ((data.x, data.forcing), (data.y, None))
+
+    def extra(outputs, params):
+        return {"l2": eh.weight_l2(params), "tiny": 0.001}
+
+    logging = eh.LoggingLoss(
+        loss_types=("mse",), extra_loss=extra, train_mode=False
+    )
+    metrics, _, _ = eh.compute_loss(model, params, state, batch, logging)
+    assert "extra_loss" in metrics
+    assert {"l2", "tiny", "sum"} <= set(metrics["extra_loss"])
+
+    # train mode: dict values aggregate into the scalar
+    logging_t = eh.LoggingLoss(
+        training_loss="mse", extra_loss=extra, train_mode=True
+    )
+    loss, _ = eh.compute_loss(model, params, state, batch, logging_t)
+    assert np.isfinite(float(loss))

@@ -225,3 +225,22 @@ def test_trace_smoke(tmp_path, rbq10_model, rbq10_df):
     with eh.trace(str(tmp_path / "trc")) as d:
         _ = jnp.ones((8, 8)).sum().block_until_ready()
     assert os.path.isdir(d)
+
+
+def test_optimizer_spec_forms():
+    import optax
+
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    assert isinstance(resolve_optimizer("adam"), optax.GradientTransformation)
+    assert isinstance(resolve_optimizer(("adamw", 0.01)), optax.GradientTransformation)
+    assert isinstance(
+        resolve_optimizer(("adam", {"learning_rate": 0.01, "b1": 0.95})),
+        optax.GradientTransformation,
+    )
+    opt = optax.sgd(0.1)
+    assert resolve_optimizer(opt) is opt
+    with pytest.raises(ValueError):
+        resolve_optimizer("bogus")
+    with pytest.raises(ValueError):
+        resolve_optimizer({"nn": "adam"})  # dict spec needs params
