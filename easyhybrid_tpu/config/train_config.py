@@ -14,7 +14,6 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
 
 from ..losses.metrics import check_training_loss
-from ..losses.specs import LossSpec
 
 __all__ = ["TrainConfig", "DataConfig", "TrainResults", "validate_config"]
 

@@ -62,7 +62,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..losses.compute import compute_loss
 from ..losses.specs import LoggingLoss
 from ..models.hybrid import SingleNNHybridModel
 from ..models.nn import MLP

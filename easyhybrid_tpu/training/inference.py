@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.prepare import HybridData, prepare_data
+from ..data.prepare import prepare_data
 
 __all__ = ["make_inference_fn", "predict"]
 
