@@ -50,6 +50,21 @@ def load_pytree(path: str) -> Any:
         return pickle.load(f)
 
 
+_EPOCH_RE = re.compile(r"epoch_(\d+)\.pkl$")
+
+
+def _epoch_files(ckpt_dir: str) -> List[str]:
+    """Epoch checkpoint filenames sorted numerically by epoch (not
+    lexicographically — %04d padding breaks past epoch 9999), skipping any
+    stray non-checkpoint files."""
+    found = []
+    for fname in os.listdir(ckpt_dir):
+        m = _EPOCH_RE.match(fname)
+        if m:
+            found.append((int(m.group(1)), fname))
+    return [fname for _, fname in sorted(found)]
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Load a checkpoint file or, given a run directory, its best model."""
     if os.path.isdir(path):
@@ -58,7 +73,7 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
                 return load_pytree(os.path.join(path, candidate))
         ckpt_dir = os.path.join(path, "checkpoints")
         if os.path.isdir(ckpt_dir):
-            epochs = sorted(os.listdir(ckpt_dir))
+            epochs = _epoch_files(ckpt_dir)
             if epochs:
                 return load_pytree(os.path.join(ckpt_dir, epochs[-1]))
         raise FileNotFoundError(f"no checkpoint found under {path}")
@@ -70,19 +85,17 @@ def load_group(run_dir: str, group: str = "params") -> List[Any]:
     (parity: ``load_group``, save.jl:66-77)."""
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     out = []
-    for fname in sorted(os.listdir(ckpt_dir)):
-        if re.match(r"epoch_\d+\.pkl$", fname):
-            ck = load_pytree(os.path.join(ckpt_dir, fname))
-            out.append(ck.get(group))
+    for fname in _epoch_files(ckpt_dir):
+        ck = load_pytree(os.path.join(ckpt_dir, fname))
+        out.append(ck.get(group))
     return out
 
 
 def get_all_groups(run_dir: str) -> List[str]:
     """Keys stored per epoch (parity: ``get_all_groups``, save.jl:79-96)."""
     ckpt_dir = os.path.join(run_dir, "checkpoints")
-    for fname in sorted(os.listdir(ckpt_dir)):
-        if re.match(r"epoch_\d+\.pkl$", fname):
-            return sorted(load_pytree(os.path.join(ckpt_dir, fname)).keys())
+    for fname in _epoch_files(ckpt_dir):
+        return sorted(load_pytree(os.path.join(ckpt_dir, fname)).keys())
     return []
 
 

@@ -51,12 +51,19 @@ class EarlyStopping:
         keep_history: bool,
     ) -> None:
         """Track the best model and patience. Scalar metric snapshots are
-        always appended (cheap — a deliberate improvement over the reference,
-        which drops the loss trajectory unless ``keep_history``); prediction
-        arrays ride along only when ``keep_history`` (parity:
-        early_stopping.jl:16-42)."""
+        always appended (cheap — a deliberate, documented improvement over
+        the reference, which drops the loss trajectory unless
+        ``keep_history``; see docs/api.md "keep_history semantics");
+        prediction arrays ride along only when ``keep_history`` (parity:
+        early_stopping.jl:16-42). When ``keep_history`` is False the
+        snapshot is stripped to its scalar metric dicts before appending so
+        long runs with plotting/monitoring enabled don't accumulate
+        O(nepochs × dataset) prediction arrays on host."""
         current = _agg_loss(snapshot.l_val, self.agg_name)
-        history.append(snapshot)
+        if keep_history:
+            history.append(snapshot)
+        else:
+            history.append(EpochSnapshot(snapshot.l_train, snapshot.l_val))
         if is_better(current, self.best_loss, self.metric):
             self.best_loss = current
             self.best_params = _to_host(params)

@@ -249,9 +249,12 @@ def train(
     key, init_key = jax.random.split(key)
 
     # ---- data ----
-    sequence_kwargs = dcfg.sequence_kwargs
-    if dcfg.sequence_length and not sequence_kwargs:
-        sequence_kwargs = dict(input_window=dcfg.sequence_length)
+    # merge sequence_length into sequence_kwargs the same way prepare_splits
+    # does (setdefault), so both entry points window identically
+    sequence_kwargs = dict(dcfg.sequence_kwargs) if dcfg.sequence_kwargs else {}
+    if dcfg.sequence_length:
+        sequence_kwargs.setdefault("input_window", dcfg.sequence_length)
+    sequence_kwargs = sequence_kwargs or None
     train_data, val_data = split_data(
         data,
         model,
@@ -447,7 +450,12 @@ def train(
 
     # ---- initial snapshot / history / stopper / io ----
     init_snapshot = snapshot_of(params, state)
-    history = TrainingHistory([init_snapshot])
+    stored_init = (
+        init_snapshot
+        if cfg.keep_history
+        else EpochSnapshot(init_snapshot.l_train, init_snapshot.l_val)
+    )
+    history = TrainingHistory([stored_init])
     stopper = EarlyStopping(init_snapshot, params, state, cfg)
     tracked: Dict[str, list] = {}
     for k, v in tracked_values(params, state).items():
@@ -479,7 +487,12 @@ def train(
             tracked.setdefault(k, []).append(v)
         for k, v in monitored_quantiles(snapshot).items():
             monitored.setdefault(k, []).append(v)
-        if writer is not None and epoch % cfg.checkpoint_every == 0:
+        # the loop only visits multiples of eval_every; fire whenever a
+        # checkpoint_every boundary was crossed since the last visit (so
+        # e.g. eval_every=10, checkpoint_every=25 still checkpoints ~every 25)
+        if writer is not None and (
+            epoch % max(cfg.checkpoint_every, eval_every) < eval_every
+        ):
             writer.save_epoch(params, state, snapshot, epoch)
         if cfg.show_progress and (
             epoch == eval_every

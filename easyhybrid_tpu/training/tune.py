@@ -82,11 +82,38 @@ def tune(model, data, mspec: Optional[ModelSpec] = None, **kwargs):
     return train(hm, data, **{**mspec.hyper_train, **kwargs})
 
 
-def best_hyperparams(trials: Sequence[Tuple[Dict[str, Any], Any]]):
-    """Minimizer over (hyperparams, TrainResults) trial records
-    (parity: best_hyperparams(ho), tune.jl:46-57)."""
-    best = min(trials, key=lambda t: t[1].best_loss)
+def best_hyperparams(
+    trials: Sequence[Tuple[Dict[str, Any], Any]], metric: str = "mse"
+):
+    """Direction-aware best over (hyperparams, TrainResults) trial records
+    (parity: best_hyperparams(ho), tune.jl:46-57). ``best_loss`` tracks the
+    first configured ``loss_types`` entry, so maximize-direction metrics
+    (r2, nse, kge, pearson) must pick the LARGEST value — pass that metric
+    name here (the search drivers do this automatically)."""
+    from ..losses.metrics import is_better
+
+    best = trials[0]
+    for t in trials[1:]:
+        if is_better(t[1].best_loss, best[1].best_loss, metric):
+            best = t
     return best[0]
+
+
+def _trial_metric(*kwarg_dicts: Mapping[str, Any]) -> str:
+    """The metric name ``best_loss`` is tracked against for a trial: the
+    first ``loss_types`` entry (falling back to ``training_loss``, then mse),
+    scanning override dicts in priority order."""
+    from ..losses.specs import loss_name
+
+    for kw in kwarg_dicts:
+        lt = kw.get("loss_types")
+        if lt:
+            return loss_name(lt[0])
+    for kw in kwarg_dicts:
+        tl = kw.get("training_loss")
+        if tl is not None:
+            return loss_name(tl)
+    return "mse"
 
 
 def _sample_space(space: Mapping[str, Any], rng: np.random.Generator):
@@ -140,7 +167,8 @@ def random_search(
             overrides,
             result.best_loss,
         )
-    return best_hyperparams(trials), trials
+    metric = _trial_metric(train_kwargs, *(ov for ov, _ in trials))
+    return best_hyperparams(trials, metric), trials
 
 
 def cross_validate(
@@ -186,4 +214,5 @@ def grid_search(
         result = tune(model, data, mspec)
         trials.append((overrides, result))
         log.info("grid %s -> best val %.6g", overrides, result.best_loss)
-    return best_hyperparams(trials), trials
+    metric = _trial_metric(train_kwargs, *(ov for ov, _ in trials))
+    return best_hyperparams(trials, metric), trials

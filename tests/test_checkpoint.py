@@ -76,3 +76,22 @@ def test_full_config(rbq10_model):
     cfg = eh.get_full_config(rbq10_model)
     assert cfg["model"]["type"] == "SingleNNHybridModel"
     assert cfg["model"]["neural_param_names"] == ["rb"]
+
+
+def test_epoch_files_numeric_sort(tmp_path):
+    """Epoch checkpoints sort numerically past 9999 and stray files are
+    ignored (advisor finding: lexicographic sorted(listdir) picked
+    epoch_9999 over epoch_10000 and could return non-checkpoint files)."""
+    run_dir = tmp_path / "run"
+    ckpt_dir = run_dir / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    for epoch in (0, 9999, 10000):
+        eh.save_pytree(
+            str(ckpt_dir / f"epoch_{epoch:04d}.pkl"),
+            {"params": {"e": np.array([float(epoch)])}},
+        )
+    (ckpt_dir / "notes.txt").write_text("stray file, not a checkpoint")
+    ckpt = eh.load_checkpoint(str(run_dir))
+    assert float(ckpt["params"]["e"][0]) == 10000.0
+    seq = eh.load_group(str(run_dir), "params")
+    assert [float(p["e"][0]) for p in seq] == [0.0, 9999.0, 10000.0]

@@ -244,3 +244,15 @@ def test_optimizer_spec_forms():
         resolve_optimizer("bogus")
     with pytest.raises(ValueError):
         resolve_optimizer({"nn": "adam"})  # dict spec needs params
+
+
+def test_best_hyperparams_direction_aware():
+    """With a maximize-direction first loss type (r2), the LARGEST best_loss
+    wins (advisor finding: unconditional min() returned the worst trial)."""
+    class FakeResult:
+        def __init__(self, best_loss):
+            self.best_loss = best_loss
+
+    trials = [({"lr": 0.1}, FakeResult(0.2)), ({"lr": 0.3}, FakeResult(0.9))]
+    assert eh.best_hyperparams(trials, metric="r2") == {"lr": 0.3}
+    assert eh.best_hyperparams(trials, metric="mse") == {"lr": 0.1}

@@ -76,10 +76,20 @@ def test_keep_history_semantics(rbq10_model, rbq10_df):
     assert len(res.history) == 4
     assert res.history[1].y_hat_val is not None
     res2 = _quick(rbq10_model, rbq10_df, nepochs=3, keep_history=False)
-    # scalar metric history is always complete; predictions are not kept
+    # scalar metric history is always complete (documented divergence from
+    # the reference best-only semantics, see docs/api.md "keep_history
+    # semantics"); predictions are not kept
     assert len(res2.history) == 4
     assert len(res2.train_history) == 4
     assert res2.history[1].y_hat_val is None
+    # even when monitoring forces per-epoch outputs, keep_history=False
+    # strips prediction arrays from the stored history (memory contract)
+    res3 = _quick(
+        rbq10_model, rbq10_df, nepochs=3, keep_history=False,
+        monitor_names=["Q10"],
+    )
+    assert res3.monitored and "Q10" in res3.monitored  # monitoring still works
+    assert all(s.y_hat_val is None for s in res3.history.snapshots)
 
 
 def test_early_stopping(rbq10_model, rbq10_df):
