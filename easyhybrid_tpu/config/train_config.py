@@ -57,9 +57,17 @@ class TrainConfig:
     # "batches" = permute batch order only (~20% faster epochs on small
     # models, fixed sample-to-batch assignment); False = chronological.
     shuffle_each_epoch: Any = True
+    # record gradient diagnostics: per-snapshot global/per-branch grad norms
+    # (TrainResults.grad_history) + the final full-batch grads pytree
+    # (TrainResults.final_grads). Parity: return_gradients
+    # (TrainingConfig.jl:9-160).
+    return_gradients: bool = False
     # second-order / Optimization.jl-path knobs (train_optimization.jl)
     full_batch: bool = False
     promote_f64: bool = False
+    # force the second-order (linesearch) driver for an arbitrary prebuilt
+    # optax solver instance (named solvers like "lbfgs" route automatically)
+    second_order: bool = False
     # eval_every: evaluate/early-stop every N epochs. On the optax path N>1
     # fuses N re-shuffled epochs into ONE compiled program (faster per epoch;
     # trailing nepochs % N epochs are skipped).
@@ -142,6 +150,10 @@ class TrainResults:
     monitored: Any = None          # monitored per-sample param quantiles
     opt_state: Any = None          # final optimizer state (resume via
                                    # TrainConfig.opt_state + train_from)
+    grad_history: Any = None       # per-snapshot grad norms when
+                                   # return_gradients (global + per branch)
+    final_grads: Any = None        # final full-train-batch grads pytree
+                                   # when return_gradients
 
     @property
     def ps_st(self) -> Tuple[Any, Any]:

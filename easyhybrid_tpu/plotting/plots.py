@@ -243,9 +243,21 @@ def plot_training_summary(results, *, save: Optional[str] = None):
     (parity: plot_training_summary, :706-735)."""
     plt = _plt()
     targets = [c for c in results.train_obs.columns if c not in ("sample", "step")]
-    fig, axes = plt.subplots(1, 2 + len(targets), figsize=(5 * (2 + len(targets)), 4))
+    grad_history = getattr(results, "grad_history", None)
+    n_panels = 2 + len(targets) + (1 if grad_history else 0)
+    fig, axes = plt.subplots(1, n_panels, figsize=(5 * n_panels, 4))
     axes = np.atleast_1d(axes)
     plot_loss(results, ax=axes[0])
+    if grad_history:
+        gax = axes[-1]
+        keys = sorted({k for g in grad_history for k in g})
+        for k in keys:
+            gax.plot([g.get(k, np.nan) for g in grad_history], label=k)
+        gax.set_yscale("log")
+        gax.set_xlabel("snapshot")
+        gax.set_ylabel("grad L2 norm")
+        gax.set_title("gradient norms")
+        gax.legend(fontsize=8)
     diffs = results.val_diffs or {}
     tracked = {}
     params = diffs.get("parameters", {})

@@ -1,13 +1,17 @@
-"""Second-order (L-BFGS) training driver.
+"""Second-order / linesearch-solver training driver.
 
 Parity: the reference's Optimization.jl path (reference:
 src/training/train_optimization.jl — ``_train_optimization`` :33-119,
 full-batch solve + eval/early-stop callback every ``eval_every`` iterations
 :66-80/:195-220, and the Le et al. 2011 repeated-minibatch scheme
-``_run_minibatch!`` :148-193) implemented with ``optax.lbfgs`` + zoom
-linesearch, jit-compiled per step.
+``_run_minibatch!`` :148-193). The reference routes ANY non-Optimisers
+solver here with leftover kwargs forwarded to ``solve`` (train.jl:148-157);
+the analog: any registered solver name (``"lbfgs"``, ``"gd_linesearch"``),
+or an arbitrary prebuilt optax transform via ``second_order=True``, with
+leftover ``train`` kwargs forwarded to the solver constructor. Steps are
+jit-compiled; linesearch solvers reuse value/grad from solver state.
 
-TPU note: L-BFGS runs in float32 by default; ``promote_f64`` enables x64
+TPU note: solvers run in float32 by default; ``promote_f64`` enables x64
 (useful on the CPU backend for strict parity — TPUs prefer f32).
 """
 
@@ -37,12 +41,12 @@ from .train import (
     _outputs_to_host,
 )
 
-__all__ = ["train_lbfgs"]
+__all__ = ["train_second_order", "train_lbfgs"]
 
 log = logging.getLogger("easyhybrid_tpu")
 
 
-def train_lbfgs(
+def train_second_order(
     model,
     data,
     cfg: TrainConfig,
@@ -51,14 +55,20 @@ def train_lbfgs(
     maxiters: Optional[int] = None,
     **solve_kwargs,
 ) -> TrainResults:
-    if solve_kwargs:
-        log.warning("ignoring solver kwargs: %s", ", ".join(solve_kwargs))
+    """Train with a linesearch-style solver. ``solve_kwargs`` (the leftover
+    ``train`` kwargs) are forwarded to the solver constructor — the
+    ``solve(...)`` kwarg-forwarding analog (train_optimization.jl:33-119)."""
+    from .optimizers import resolve_second_order
+
     if cfg.promote_f64:
         jax.config.update("jax_enable_x64", True)
 
     key = jax.random.PRNGKey(cfg.random_seed)
     key, init_key = jax.random.split(key)
 
+    sequence_kwargs = dict(dcfg.sequence_kwargs) if dcfg.sequence_kwargs else {}
+    if dcfg.sequence_length:
+        sequence_kwargs.setdefault("input_window", dcfg.sequence_length)
     train_data, val_data = split_data(
         data,
         model,
@@ -67,7 +77,7 @@ def train_lbfgs(
         val_fold=dcfg.val_fold,
         shuffleobs=dcfg.shuffleobs,
         split_data_at=dcfg.split_data_at,
-        sequence_kwargs=dcfg.sequence_kwargs,
+        sequence_kwargs=sequence_kwargs or None,
         seed=cfg.random_seed,
     )
     train_eval_batch = _full_batch(train_data)
@@ -85,8 +95,24 @@ def train_lbfgs(
     )
     loss_with_state = make_loss_fn(model, logging_loss)
 
-    optimizer = optax.lbfgs()
+    # any registered name / (name, args) / prebuilt transform; leftover
+    # train kwargs become solver-constructor kwargs
+    optimizer = optax.with_extra_args_support(
+        resolve_second_order(cfg.optimizer, **solve_kwargs)
+    )
     opt_state = optimizer.init(params)
+
+    # linesearch solvers carry (value, grad) in their state, saving one
+    # fwd+bwd per step; plain transforms fall back to value_and_grad
+    def _state_has(field):
+        import optax.tree_utils as otu
+
+        try:
+            return otu.tree_get(opt_state, field) is not None
+        except KeyError:
+            return False
+
+    reuse_value_grad = _state_has("value") and _state_has("grad")
 
     evaluator = make_evaluator(model, logging_loss, jit=cfg.jit)
 
@@ -96,16 +122,30 @@ def train_lbfgs(
             _host_metrics(evaluator(p, s, val_eval_batch)),
         )
 
+    from .train import _grad_norms, _make_grad_probe
+
+    grad_probe = (
+        _make_grad_probe(model, logging_loss, train_eval_batch, jit=cfg.jit)
+        if cfg.return_gradients
+        else None
+    )
+    grad_history: list = []
+
     init_snapshot = snapshot_of(params, state)
     history = TrainingHistory([init_snapshot])
     stopper = EarlyStopping(init_snapshot, params, state, cfg)
+    if grad_probe is not None:
+        grad_history.append(_grad_norms(grad_probe(params, state)))
 
     def step_fn(p, o, batch):
         def scalar_loss(pp):
             loss, _ = loss_with_state(pp, state, batch)
             return loss
 
-        value, grad = optax.value_and_grad_from_state(scalar_loss)(p, state=o)
+        if reuse_value_grad:
+            value, grad = optax.value_and_grad_from_state(scalar_loss)(p, state=o)
+        else:
+            value, grad = jax.value_and_grad(scalar_loss)(p)
         updates, o = optimizer.update(
             grad, o, p, value=value, grad=grad, value_fn=scalar_loss
         )
@@ -135,6 +175,8 @@ def train_lbfgs(
                 stopper.update(
                     history, snapshot, params, state, epoch, cfg.keep_history
                 )
+                if grad_probe is not None:
+                    grad_history.append(_grad_norms(grad_probe(params, state)))
                 if cfg.show_progress:
                     log.info(
                         "lbfgs iter %4d/%d  loss=%.6g  best val=%.6g  (%.1fs)",
@@ -172,6 +214,8 @@ def train_lbfgs(
                     params, fresh_opt_state, value = step(params, fresh_opt_state)
             snapshot = snapshot_of(params, state)
             stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+            if grad_probe is not None:
+                grad_history.append(_grad_norms(grad_probe(params, state)))
             if cfg.show_progress:
                 log.info(
                     "lbfgs epoch %4d/%d  best val=%.6g  (%.1fs)",
@@ -210,4 +254,14 @@ def train_lbfgs(
         best_epoch=stopper.best_epoch,
         best_loss=stopper.best_loss,
         history=history,
+        grad_history=grad_history or None,
+        final_grads=(
+            jax.device_get(grad_probe(best_params, best_state))
+            if grad_probe is not None
+            else None
+        ),
     )
+
+
+#: backward-compatible alias (the driver was L-BFGS-only in round 1)
+train_lbfgs = train_second_order

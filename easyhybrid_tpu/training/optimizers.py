@@ -18,7 +18,13 @@ from typing import Any, Dict, Mapping, Optional, Tuple, Union
 import jax
 import optax
 
-__all__ = ["resolve_optimizer", "OPTIMIZERS", "is_second_order"]
+__all__ = [
+    "resolve_optimizer",
+    "OPTIMIZERS",
+    "SECOND_ORDER_SOLVERS",
+    "is_second_order",
+    "resolve_second_order",
+]
 
 OPTIMIZERS = {
     "adam": optax.adam,
@@ -36,20 +42,71 @@ OPTIMIZERS = {
     "noisy_sgd": optax.noisy_sgd,
 }
 
-#: specs routed to the L-BFGS / second-order driver
-#: (reference train_optimization.jl)
-SECOND_ORDER = {"lbfgs", "l-bfgs"}
+def _gd_linesearch(max_linesearch_steps: int = 30, **kwargs):
+    """Steepest descent with zoom linesearch — a second non-lbfgs solver on
+    the Optimization.jl-style path (the reference accepts any Optimization.jl
+    solver there, train.jl:148-157)."""
+    return optax.chain(
+        optax.sgd(learning_rate=1.0),
+        optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps, **kwargs
+        ),
+    )
+
+
+#: solver ctors routed to the second-order (linesearch) driver
+#: (reference train_optimization.jl routes any non-Optimisers solver here)
+SECOND_ORDER_SOLVERS = {
+    "lbfgs": optax.lbfgs,
+    "l-bfgs": optax.lbfgs,
+    "gd_linesearch": _gd_linesearch,
+    "gradient_descent": _gd_linesearch,
+}
 
 _DEFAULT_LR = 0.01  # reference TrainConfig default: Adam(0.01)
 
 
 def is_second_order(spec) -> bool:
-    return isinstance(spec, str) and spec.lower() in SECOND_ORDER or (
+    return isinstance(spec, str) and spec.lower() in SECOND_ORDER_SOLVERS or (
         isinstance(spec, tuple)
         and len(spec) >= 1
         and isinstance(spec[0], str)
-        and spec[0].lower() in SECOND_ORDER
+        and spec[0].lower() in SECOND_ORDER_SOLVERS
     )
+
+
+def resolve_second_order(spec, **ctor_kwargs) -> optax.GradientTransformation:
+    """Resolve a second-order solver spec for the linesearch driver.
+
+    Accepts a registered name (``"lbfgs"``, ``"gd_linesearch"``, …), a
+    ``(name, args...)`` / ``(name, {kwargs})`` tuple, or any prebuilt optax
+    transform (arbitrary-solver parity with the reference's Optimization.jl
+    routing, train.jl:148-157). ``ctor_kwargs`` are the leftover ``train``
+    kwargs, forwarded to the solver constructor — the ``solve(...)`` kwarg
+    forwarding analog (train_optimization.jl:33-119)."""
+    if isinstance(spec, optax.GradientTransformation):
+        if ctor_kwargs:
+            raise TypeError(
+                "solver kwargs cannot be applied to a prebuilt optimizer "
+                f"instance: {sorted(ctor_kwargs)}"
+            )
+        return spec
+    args: Tuple = ()
+    if isinstance(spec, tuple):
+        name, *rest = spec
+        if rest and isinstance(rest[-1], Mapping):
+            ctor_kwargs = {**rest[-1], **ctor_kwargs}
+            rest = rest[:-1]
+        args = tuple(rest)
+    else:
+        name = spec
+    if not isinstance(name, str) or name.lower() not in SECOND_ORDER_SOLVERS:
+        raise ValueError(
+            f"unknown second-order solver {name!r}; known: "
+            f"{sorted(SECOND_ORDER_SOLVERS)} (or pass a prebuilt optax "
+            "transform with second_order=True)"
+        )
+    return SECOND_ORDER_SOLVERS[name.lower()](*args, **ctor_kwargs)
 
 
 def _resolve_single(spec) -> optax.GradientTransformation:
@@ -57,8 +114,8 @@ def _resolve_single(spec) -> optax.GradientTransformation:
         return spec
     if isinstance(spec, str):
         name = spec.lower()
-        if name in SECOND_ORDER:
-            return optax.lbfgs()
+        if name in SECOND_ORDER_SOLVERS:
+            return resolve_second_order(spec)
         if name not in OPTIMIZERS:
             raise ValueError(
                 f"unknown optimizer {spec!r}; known: {sorted(OPTIMIZERS)}"
@@ -69,8 +126,8 @@ def _resolve_single(spec) -> optax.GradientTransformation:
         if not isinstance(name, str):
             raise TypeError(f"optimizer tuple must start with a name; got {spec!r}")
         lname = name.lower()
-        if lname in SECOND_ORDER:
-            return optax.lbfgs()
+        if lname in SECOND_ORDER_SOLVERS:
+            return resolve_second_order(spec)
         if lname not in OPTIMIZERS:
             raise ValueError(
                 f"unknown optimizer {name!r}; known: {sorted(OPTIMIZERS)}"

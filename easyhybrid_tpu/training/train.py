@@ -211,6 +211,32 @@ def _obs_pred_frames(data: HybridData, outputs, targets):
     return obs, pred
 
 
+def _make_grad_probe(model, logging_loss, train_eval_batch, jit: bool = True):
+    """Full-train-batch gradient probe for ``return_gradients`` diagnostics
+    (parity: the return_gradients TrainConfig field, TrainingConfig.jl:9-160
+    — here as per-snapshot grad norms + the final grads pytree, the useful
+    form for diagnosing hybrid-physics gradient pathologies)."""
+    from .epoch import make_loss_fn
+
+    loss_fn = make_loss_fn(model, logging_loss)
+
+    def probe(params, state):
+        return jax.grad(lambda p: loss_fn(p, state, train_eval_batch)[0])(params)
+
+    return jax.jit(probe) if jit else probe
+
+
+def _grad_norms(grads) -> Dict[str, float]:
+    """Global + per-top-level-branch gradient L2 norms."""
+    import optax
+
+    norms = {"global": float(jax.device_get(optax.global_norm(grads)))}
+    if isinstance(grads, Mapping):
+        for k, v in grads.items():
+            norms[k] = float(jax.device_get(optax.global_norm(v)))
+    return norms
+
+
 def _extract_diffs(outputs, targets, n: int):
     """Non-target outputs (learned physical params etc.); parity:
     extract_diffs (early_stopping.jl:102-111)."""
@@ -236,10 +262,10 @@ def train(
     cfg, dcfg, leftovers = kwargs_to_configs(kwargs, train_cfg, data_cfg)
     validate_config(cfg)
 
-    if is_second_order(cfg.optimizer):
-        from .lbfgs import train_lbfgs
+    if is_second_order(cfg.optimizer) or cfg.second_order:
+        from .lbfgs import train_second_order
 
-        return train_lbfgs(model, data, cfg, dcfg, **leftovers)
+        return train_second_order(model, data, cfg, dcfg, **leftovers)
     if leftovers:
         log.warning(
             "Unknown kwargs ignored on the optax path: %s", ", ".join(leftovers)
@@ -448,8 +474,17 @@ def train(
                 out[name] = float(np.asarray(jax.device_get(params[name])).ravel()[0])
         return out
 
+    grad_probe = (
+        _make_grad_probe(model, logging_loss, train_eval_batch, jit=cfg.jit)
+        if cfg.return_gradients
+        else None
+    )
+    grad_history: list = []
+
     # ---- initial snapshot / history / stopper / io ----
     init_snapshot = snapshot_of(params, state)
+    if grad_probe is not None:
+        grad_history.append(_grad_norms(grad_probe(params, state)))
     stored_init = (
         init_snapshot
         if cfg.keep_history
@@ -483,6 +518,8 @@ def train(
         )
         snapshot = snapshot_of(params, state)
         stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+        if grad_probe is not None:
+            grad_history.append(_grad_norms(grad_probe(params, state)))
         for k, v in tracked_values(params, state).items():
             tracked.setdefault(k, []).append(v)
         for k, v in monitored_quantiles(snapshot).items():
@@ -559,6 +596,12 @@ def train(
         tracked=tracked or None,
         monitored=monitored or None,
         opt_state=jax.device_get(opt_state),
+        grad_history=grad_history or None,
+        final_grads=(
+            jax.device_get(grad_probe(best_params, best_state))
+            if grad_probe is not None
+            else None
+        ),
     )
 
     if writer is not None:

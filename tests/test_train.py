@@ -346,3 +346,56 @@ def test_multi_nn_static_norm():
     assert float(state["nns"]["b"]["norm"]["mean"][0]) > 1.0  # fitted, not 0
     res = _quick(m, df, nepochs=1)
     assert np.isfinite(res.best_loss)
+
+
+def test_return_gradients(rbq10_model, rbq10_df):
+    """return_gradients records per-snapshot grad norms and the final
+    full-batch grads pytree (reference TrainingConfig.jl:9-160)."""
+    res = _quick(rbq10_model, rbq10_df, nepochs=3, return_gradients=True)
+    assert res.grad_history is not None and len(res.grad_history) == 4
+    for g in res.grad_history:
+        assert np.isfinite(g["global"]) and g["global"] > 0
+        assert "nn" in g and "globals" in g  # per-branch norms
+    assert res.final_grads is not None
+    assert set(res.final_grads) == set(res.params)
+    # grads flow into every branch
+    assert float(np.abs(res.final_grads["globals"]["Q10"]).sum()) > 0
+
+
+def test_second_order_non_lbfgs(rbq10_model, rbq10_df):
+    """A non-lbfgs solver runs on the second-order path (reference accepts
+    arbitrary Optimization.jl solvers, train.jl:148-157)."""
+    res = eh.train(
+        rbq10_model, rbq10_df, optimizer="gd_linesearch",
+        full_batch=True, nepochs=5, show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_second_order_solver_kwargs_forwarded(rbq10_model, rbq10_df):
+    """Leftover train kwargs reach the solver ctor (solve-kwargs parity,
+    train_optimization.jl:33-119); a bogus kwarg raises."""
+    res = eh.train(
+        rbq10_model, rbq10_df, optimizer="lbfgs", memory_size=5,
+        full_batch=True, nepochs=3, show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+    with pytest.raises(TypeError):
+        eh.train(
+            rbq10_model, rbq10_df, optimizer="lbfgs", not_a_solver_kwarg=1,
+            full_batch=True, nepochs=1, show_progress=False,
+        )
+
+
+def test_second_order_prebuilt_instance(rbq10_model, rbq10_df):
+    """An arbitrary prebuilt optax solver routes through the driver with
+    second_order=True."""
+    import optax
+
+    res = eh.train(
+        rbq10_model, rbq10_df, optimizer=optax.lbfgs(memory_size=4),
+        second_order=True, full_batch=True, nepochs=3, show_progress=False,
+        return_gradients=True,
+    )
+    assert np.isfinite(res.best_loss)
+    assert res.grad_history is not None
