@@ -73,6 +73,12 @@ from .data.sequences import split_into_sequences, filter_sequences
 from .data.synthetic import gen_linear_data, gen_linear_data_2outputs, gen_rbq10_data
 from .data.loaders import build_epoch_tensors, batch_iterator
 from .data.netcdf import load_timeseries_netcdf
+from .data.xarray_io import (
+    is_xarray_like,
+    load_timeseries_xarray,
+    to_dataset,
+    xarray_to_dataframe,
+)
 
 # config
 from .config.train_config import TrainConfig, DataConfig, TrainResults, validate_config
@@ -176,6 +182,10 @@ __all__ = [
     "build_epoch_tensors",
     "batch_iterator",
     "load_timeseries_netcdf",
+    "is_xarray_like",
+    "load_timeseries_xarray",
+    "to_dataset",
+    "xarray_to_dataframe",
     # config
     "TrainConfig",
     "DataConfig",

@@ -105,14 +105,22 @@ def prepare_data(
         out = HybridData(x=x, forcing=dict(forcing), y=dict(y))
         return (out, None) if return_keep else out
 
+    from .xarray_io import is_xarray_like, xarray_to_dataframe
+
+    # labeled arrays (xarray Dataset/DataArray) BEFORE the Mapping branch:
+    # xr.Dataset is itself a Mapping (parity: the KeyedArray/DimArray
+    # dispatch methods, prepare_data.jl:3-10/:21-29)
+    if is_xarray_like(data):
+        data = xarray_to_dataframe(data)
+
     if _is_dataframe(data):
         cols = dataframe_to_dict(data)
     elif isinstance(data, Mapping):
         cols = {str(k): np.asarray(v) for k, v in data.items()}
     else:
         raise TypeError(
-            "prepare_data expects a DataFrame, a dict of columns, or a "
-            f"HybridData; got {type(data).__name__}"
+            "prepare_data expects a DataFrame, an xarray Dataset/DataArray, "
+            f"a dict of columns, or a HybridData; got {type(data).__name__}"
         )
 
     predictors = model.predictors

@@ -76,6 +76,12 @@ def split_data(
         )
         return data
 
+    from .xarray_io import is_xarray_like, xarray_to_dataframe
+
+    if is_xarray_like(data):
+        # convert once up front so id-column lookups see the same frame
+        data = xarray_to_dataframe(data)
+
     prepared, keep = prepare_data(
         model, data, drop_missing_rows=(sequence_kwargs is None), return_keep=True
     )

@@ -134,7 +134,10 @@ def prepare_multisite_data(model, data, site_column: str):
     data-parallel mesh shards sites across chips.
     """
     from ..data.prepare import HybridData, dataframe_to_dict, prepare_data
+    from ..data.xarray_io import is_xarray_like, xarray_to_dataframe
 
+    if is_xarray_like(data):
+        data = xarray_to_dataframe(data)
     if hasattr(data, "columns"):
         ids = np.asarray(data[site_column])
         cols = dataframe_to_dict(data)

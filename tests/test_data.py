@@ -203,3 +203,100 @@ def test_synthetic_generators():
     assert {"obs_dyn1", "obs_dyn2"} <= set(df2.columns)
     df3 = eh.gen_rbq10_data(100, nan_frac=0.2, seed=1)
     assert df3["reco"].isna().sum() > 0
+
+
+# ---- labeled-array (xarray) ingestion --------------------------------------
+# xarray is optional; a minimal duck-typed stand-in exercises the dispatch
+# (reference parity: KeyedArray/DimArray prepare_data methods,
+# prepare_data.jl:3-10/:21-29)
+
+class _FakeDataset:
+    """Speaks the minimal xr.Dataset interface prepare_data relies on:
+    to_dataframe() (dims as a MultiIndex) + .dims + .data_vars."""
+
+    def __init__(self, variables, coords):
+        import pandas as pd
+
+        self.dims = {k: len(v) for k, v in coords.items()}
+        self.data_vars = dict(variables)
+        index = pd.MultiIndex.from_product(
+            list(coords.values()), names=list(coords.keys())
+        )
+        flat = {k: np.asarray(v).ravel() for k, v in variables.items()}
+        self._df = pd.DataFrame(flat, index=index)
+
+    def to_dataframe(self):
+        return self._df
+
+
+def _fake_rbq10_dataset(n=64, sites=1, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (sites, n) if sites > 1 else (n,)
+    sw = rng.random(shape).astype(np.float32)
+    dsw = rng.random(shape).astype(np.float32)
+    ta = (10 + 10 * rng.random(shape)).astype(np.float32)
+    rb = 2.0 + sw
+    reco = rb * 2.0 ** (0.1 * (ta - 15.0))
+    coords = {"time": np.arange(n)}
+    if sites > 1:
+        coords = {"site": np.arange(sites), "time": np.arange(n)}
+    return _FakeDataset(
+        {"sw_pot": sw, "dsw_pot": dsw, "ta": ta, "reco": reco}, coords
+    )
+
+
+def test_is_xarray_like_duck_typing(rbq10_df):
+    ds = _fake_rbq10_dataset()
+    assert eh.is_xarray_like(ds)
+    assert not eh.is_xarray_like(rbq10_df)          # DataFrame excluded
+    assert not eh.is_xarray_like({"a": [1.0]})      # plain dict excluded
+
+
+def test_prepare_data_from_dataset(rbq10_model):
+    ds = _fake_rbq10_dataset(n=64)
+    prepared = eh.prepare_data(rbq10_model, ds)
+    assert prepared.x.shape == (64, 2)
+    assert prepared.forcing["ta"].shape == (64,)
+    assert prepared.y["reco"].shape == (64,)
+
+
+def test_train_from_dataset(rbq10_model):
+    ds = _fake_rbq10_dataset(n=128, seed=1)
+    res = eh.train(
+        rbq10_model, ds, nepochs=1, batchsize=32, show_progress=False
+    )
+    assert np.isfinite(res.best_loss)
+
+
+def test_multisite_dataset_long_format(rbq10_model):
+    """(site, time) dataset → long format with a site column, feeding
+    split_by_id and prepare_multisite_data."""
+    ds = _fake_rbq10_dataset(n=32, sites=4, seed=2)
+    df = eh.xarray_to_dataframe(ds)
+    assert {"site", "time", "reco"} <= set(df.columns)
+    assert len(df) == 4 * 32
+    res = eh.train(
+        rbq10_model, ds, nepochs=1, batchsize=32, split_by_id="site",
+        show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+    msd = eh.prepare_multisite_data(rbq10_model, ds, "site")
+    assert msd.x.shape == (4, 32, 2)
+
+
+def test_to_dataset_requires_xarray(rbq10_model, rbq10_df):
+    """Exporter uses real xarray when present; raises ImportError otherwise."""
+    res = eh.train(rbq10_model, rbq10_df, nepochs=1, batchsize=32,
+                   show_progress=False)
+    try:
+        import xarray  # noqa: F401
+        has_xr = True
+    except ImportError:
+        has_xr = False
+    if has_xr:
+        ds = eh.to_dataset(res, which="val")
+        assert "reco" in ds and "reco_pred" in ds
+    else:
+        import pytest as _pytest
+        with _pytest.raises(ImportError):
+            eh.to_dataset(res, which="val")
