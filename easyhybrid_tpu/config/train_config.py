@@ -152,6 +152,8 @@ class TrainResults:
                                    # TrainConfig.opt_state + train_from)
     grad_history: Any = None       # per-snapshot grad norms when
                                    # return_gradients (global + per branch)
+    metrics_stream: Any = None     # path of the JSONL metric stream when
+                                   # save_training or plotting
     final_grads: Any = None        # final full-train-batch grads pytree
                                    # when return_gradients
 

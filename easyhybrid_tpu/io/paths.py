@@ -24,6 +24,7 @@ class TrainingPaths:
     history_json: str         # per-epoch loss histories
     history_png: str          # final dashboard image
     history_mp4: str          # dashboard recording
+    metrics_jsonl: str = ""   # live per-epoch JSONL metric stream
 
 
 def resolve_paths(cfg, model_name: Optional[str] = None) -> TrainingPaths:
@@ -41,4 +42,5 @@ def resolve_paths(cfg, model_name: Optional[str] = None) -> TrainingPaths:
         history_json=os.path.join(base, f"history_{name}.json"),
         history_png=os.path.join(base, f"history_{name}.png"),
         history_mp4=os.path.join(base, f"history_{name}.mp4"),
+        metrics_jsonl=os.path.join(base, f"metrics_{name}.jsonl"),
     )

@@ -509,6 +509,45 @@ def train(
     else:
         writer = None
 
+    # live observability: JSONL metric stream + live board + movie recorded
+    # during training (parity: dashboard.jl:1-87, EasyHybridMakie.jl:252-478)
+    stream = None
+    live = None
+    if cfg.save_training or cfg.plotting:
+        from ..plotting.live import MetricStream
+
+        stream_path = (
+            paths.metrics_jsonl
+            if paths is not None
+            else f"{cfg.model_name}_metrics.jsonl"
+        )
+        stream = MetricStream(stream_path)
+        stream.write(
+            0,
+            init_snapshot,
+            tracked_values(params, state),
+            monitored_quantiles(init_snapshot),
+        )
+    if cfg.plotting:
+        try:
+            from ..plotting.live import LiveDashboard
+
+            live = LiveDashboard(
+                model.targets,
+                {k: np.asarray(v) for k, v in val_data.y.items()},
+                metric=stopper.metric,
+                agg=stopper.agg_name,
+            )
+            live.update(
+                0,
+                init_snapshot,
+                tracked_values(params, state),
+                monitored_quantiles(init_snapshot),
+            )
+        except Exception as e:
+            log.warning("live dashboard unavailable: %s", e)
+            live = None
+
     t0 = time.perf_counter()
     epoch = 0
     for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
@@ -520,10 +559,16 @@ def train(
         stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
         if grad_probe is not None:
             grad_history.append(_grad_norms(grad_probe(params, state)))
-        for k, v in tracked_values(params, state).items():
+        tracked_now = tracked_values(params, state)
+        monitored_now = monitored_quantiles(snapshot)
+        for k, v in tracked_now.items():
             tracked.setdefault(k, []).append(v)
-        for k, v in monitored_quantiles(snapshot).items():
+        for k, v in monitored_now.items():
             monitored.setdefault(k, []).append(v)
+        if stream is not None:
+            stream.write(epoch, snapshot, tracked_now, monitored_now)
+        if live is not None:
+            live.update(epoch, snapshot, tracked_now, monitored_now)
         # the loop only visits multiples of eval_every; fire whenever a
         # checkpoint_every boundary was crossed since the last visit (so
         # e.g. eval_every=10, checkpoint_every=25 still checkpoints ~every 25)
@@ -606,6 +651,21 @@ def train(
 
     if writer is not None:
         writer.save_final(results)
+    if stream is not None:
+        stream.close()
+        results = dataclasses.replace(results, metrics_stream=stream.path)
+    if live is not None:
+        movie_path = (
+            paths.history_mp4
+            if paths is not None
+            else f"{cfg.model_name}_train.mp4"
+        )
+        try:
+            written = live.finish(movie_path=movie_path)
+            if written:
+                log.info("saved in-training movie to %s", written)
+        except Exception as e:
+            log.warning("movie recording failed: %s", e)
     if cfg.plotting:
         try:
             from ..plotting.plots import train_board

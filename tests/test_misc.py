@@ -147,19 +147,46 @@ def test_plots_render(tmp_path, rbq10_model, rbq10_df):
 
 
 def test_train_plotting_flag(tmp_path, rbq10_model, rbq10_df):
+    """plotting=True drives the live observability stack headless: JSONL
+    metric stream (one line per evaluated epoch), live-board png, and the
+    movie recorded DURING training (reference dashboard.jl:1-87)."""
     pytest.importorskip("matplotlib")
     res = eh.train(
         rbq10_model,
         rbq10_df,
-        nepochs=1,
+        nepochs=3,
         batchsize=64,
         show_progress=False,
         plotting=True,
         save_training=True,
+        tracked_params=["Q10"],
         output_folder=str(tmp_path),
         model_name="plotrun",
     )
     assert os.path.exists(res.paths.history_png)
+    # metric stream: epoch 0 + 3 epochs, parseable, with tracked params
+    from easyhybrid_tpu.plotting.live import read_metric_stream
+
+    assert res.metrics_stream == res.paths.metrics_jsonl
+    records = read_metric_stream(res.metrics_stream)
+    assert [r["epoch"] for r in records] == [0, 1, 2, 3]
+    assert "mse" in records[1]["val"] and "Q10" in records[1]["tracked"]
+    # in-training movie (mp4, or gif fallback without ffmpeg)
+    movie = res.paths.history_mp4
+    gif = movie.rsplit(".", 1)[0] + ".gif"
+    assert os.path.exists(movie) or os.path.exists(gif)
+
+
+def test_metric_stream_without_plotting(tmp_path, rbq10_model, rbq10_df):
+    """save_training alone also streams metrics (headless channel)."""
+    res = eh.train(
+        rbq10_model, rbq10_df, nepochs=2, batchsize=64, show_progress=False,
+        save_training=True, output_folder=str(tmp_path), model_name="streamrun",
+    )
+    from easyhybrid_tpu.plotting.live import read_metric_stream
+
+    records = read_metric_stream(res.paths.metrics_jsonl)
+    assert len(records) == 3 and records[0]["epoch"] == 0
 
 
 def test_record_history_gif(tmp_path, rbq10_model, rbq10_df):
