@@ -58,6 +58,51 @@ def _rebatch(tree, num_batches: int, batch: int):
     return jax.tree.map(reb, tree)
 
 
+def _per_shard_shuffle(tensors: EpochTensors, key, mesh) -> EpochTensors:
+    """Shard-local sample shuffle: each device permutes ONLY the samples it
+    already holds (its slice of every batch), so the reshuffle compiles to
+    pure local gathers — zero cross-chip collectives, unlike a global
+    permutation which is an all-to-all over ICI every epoch.
+
+    Each shard holds num_batches × (batch/n_dev) samples, fully permuted
+    with a per-device key (same quality as a full shuffle within the shard;
+    sample-to-shard assignment stays fixed). TPU-native addition — the
+    reference has no distributed layer (SURVEY.md §2.10)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    data = (tensors.x, tensors.forcing, tensors.y, tensors.mask, tensors.weight)
+
+    def spec_of(a):
+        return P(None, axis) if jnp.ndim(a) >= 2 else P()
+
+    data_specs = jax.tree.map(spec_of, data)
+
+    def local(block, k):
+        k = jax.random.fold_in(k, lax.axis_index(axis))
+        nb, bloc = block[-1].shape  # weight: (num_batches, batch/n_dev)
+        perm = jax.random.permutation(k, nb * bloc)
+
+        def shuf(a):
+            flat = a.reshape((nb * bloc,) + a.shape[2:])
+            return flat[perm].reshape((nb, bloc) + a.shape[2:])
+
+        return jax.tree.map(shuf, block)
+
+    x, forcing, y, mask, weight = shard_map(
+        local, mesh=mesh, in_specs=(data_specs, P()), out_specs=data_specs
+    )(data, key)
+    return EpochTensors(
+        x=x,
+        forcing=forcing,
+        y=y,
+        mask=mask,
+        weight=weight,
+        n_samples=tensors.n_samples,
+    )
+
+
 def can_skip_empty_guard(tensors: EpochTensors) -> bool:
     """True when no shuffled batch can consist entirely of invalid samples,
     so the per-step empty-batch guard (three tree-selects) is provably dead.
@@ -89,6 +134,7 @@ def make_train_epoch(
     epochs_per_call: int = 1,
     skip_empty_guard: bool = False,
     remat: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build ``epoch_fn(params, opt_state, state, tensors, key) ->
     (params, opt_state, state, mean_batch_loss)``.
@@ -146,6 +192,10 @@ def make_train_epoch(
                 weight=shuffled.weight.reshape(num_batches, batch),
                 n_samples=tensors.n_samples,
             )
+        elif shuffle == "per_shard" and num_batches > 1:
+            if mesh is None:
+                raise ValueError("shuffle='per_shard' needs a device mesh")
+            tensors = _per_shard_shuffle(tensors, key, mesh)
         elif shuffle == "batches" and num_batches > 1:
             # permute only the batch ORDER: one (num_batches,) gather instead
             # of a full sample gather. Sample-to-batch assignment stays fixed

@@ -405,15 +405,24 @@ def train(
 
         from .epoch import can_skip_empty_guard
 
+        shuffle = cfg.shuffle_each_epoch
+        if mesh is not None and shuffle is True:
+            # a global permutation over the sharded sample axis is an
+            # all-to-all over ICI every epoch; default to the collective-free
+            # shard-local shuffle under multi_device (same in-shard quality)
+            shuffle = "per_shard"
+            log.info("multi_device: using shard-local shuffle (per_shard)")
+
         epoch_fn = make_train_epoch(
             model,
             logging_loss,
             optimizer,
-            shuffle=cfg.shuffle_each_epoch,
+            shuffle=shuffle,
             jit=cfg.jit,
             epochs_per_call=eval_every,
             skip_empty_guard=can_skip_empty_guard(train_tensors),
             remat=cfg.remat,
+            mesh=mesh,
         )
         return epoch_fn, opt_state
 

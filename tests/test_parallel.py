@@ -169,3 +169,97 @@ def test_multisite_end_to_end_train(rbq10_model):
     assert res.params["globals"]["Q10"].shape == (8, 1)
     # long-format frames: site-major targets flatten with sample/step cols
     assert {"sample", "step"} <= set(res.train_obs.columns)
+
+
+def _sharded_epoch_setup(rbq10_model, shuffle, n_dev=8):
+    """Build a compiled sharded epoch program; returns (hlo_text, run)."""
+    import optax
+
+    from easyhybrid_tpu.data.loaders import build_epoch_tensors
+    from easyhybrid_tpu.data.prepare import prepare_data
+    from easyhybrid_tpu.losses.specs import LoggingLoss
+    from easyhybrid_tpu.parallel.mesh import shard_epoch_tensors
+    from easyhybrid_tpu.training.epoch import make_train_epoch
+
+    mesh = make_mesh(n_dev)
+    df = eh.gen_rbq10_data(512, seed=3)
+    data = prepare_data(rbq10_model, df)
+    tensors = shard_epoch_tensors(build_epoch_tensors(data, 128), mesh)
+    params, state = rbq10_model.init(jax.random.PRNGKey(0))
+    params = replicate(params, mesh)
+    state = replicate(state, mesh)
+    opt = optax.adam(0.01)
+    opt_state = replicate(opt.init(params), mesh)
+    logging = LoggingLoss(loss_types=("mse",), training_loss="mse", agg="sum")
+    epoch_fn = make_train_epoch(
+        rbq10_model, logging, opt, shuffle=shuffle, jit=False, mesh=mesh
+    )
+    key = jax.random.PRNGKey(1)
+    lowered = jax.jit(epoch_fn).lower(params, opt_state, state, tensors, key)
+    hlo = lowered.compile().as_text()
+    return hlo, lambda: jax.jit(epoch_fn)(params, opt_state, state, tensors, key)
+
+
+def test_per_shard_shuffle_collective_free(rbq10_model):
+    """shuffle='per_shard' compiles with NO data-movement collectives (no
+    all-to-all/all-gather/collective-permute); the gradient all-reduce is
+    the only cross-chip op. A global shuffle over the sharded sample axis
+    does insert data collectives — the hazard this mode removes."""
+    hlo, run = _sharded_epoch_setup(rbq10_model, "per_shard")
+    for bad in ("all-to-all", "collective-permute", "all-gather"):
+        assert bad not in hlo, f"per_shard epoch contains {bad}"
+    assert "all-reduce" in hlo  # grad psum still rides ICI
+    p, o, s, loss = run()
+    assert np.isfinite(float(loss))
+
+    hlo_global, _ = _sharded_epoch_setup(rbq10_model, True)
+    assert any(
+        bad in hlo_global
+        for bad in ("all-to-all", "collective-permute", "all-gather")
+    ), "expected the global shuffle to need data collectives"
+
+
+def test_per_shard_shuffle_is_permutation(rbq10_model):
+    """The shard-local shuffle permutes samples (keeps the multiset of
+    sample rows and their target pairing intact)."""
+    from easyhybrid_tpu.data.loaders import build_epoch_tensors
+    from easyhybrid_tpu.data.prepare import prepare_data
+    from easyhybrid_tpu.parallel.mesh import shard_epoch_tensors
+    from easyhybrid_tpu.training.epoch import _per_shard_shuffle
+
+    mesh = make_mesh(4)
+    df = eh.gen_rbq10_data(256, seed=7)
+    data = prepare_data(rbq10_model, df)
+    tensors = shard_epoch_tensors(build_epoch_tensors(data, 64), mesh)
+    out = jax.jit(
+        lambda t, k: _per_shard_shuffle(t, k, mesh)
+    )(tensors, jax.random.PRNGKey(5))
+    ta0 = np.sort(np.asarray(tensors.forcing["ta"]).ravel())
+    ta1 = np.sort(np.asarray(out.forcing["ta"]).ravel())
+    np.testing.assert_array_equal(ta0, ta1)
+    assert not np.array_equal(
+        np.asarray(tensors.forcing["ta"]), np.asarray(out.forcing["ta"])
+    )
+    # row integrity: (ta, reco) pairs survive the permutation together
+    pairs0 = np.sort(
+        np.stack([np.asarray(tensors.forcing["ta"]).ravel(),
+                  np.asarray(tensors.y["reco"]).ravel()], -1), axis=0
+    )
+    pairs1 = np.sort(
+        np.stack([np.asarray(out.forcing["ta"]).ravel(),
+                  np.asarray(out.y["reco"]).ravel()], -1), axis=0
+    )
+    np.testing.assert_array_equal(pairs0, pairs1)
+
+
+def test_multi_device_default_shuffle_is_per_shard(rbq10_model, caplog):
+    import logging as _logging
+
+    df = eh.gen_rbq10_data(256, seed=1)
+    with caplog.at_level(_logging.INFO, logger="easyhybrid_tpu"):
+        res = eh.train(
+            rbq10_model, df, nepochs=1, batchsize=64, multi_device=True,
+            show_progress=False,
+        )
+    assert np.isfinite(res.best_loss)
+    assert any("per_shard" in r.message for r in caplog.records)
