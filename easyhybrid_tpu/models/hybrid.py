@@ -149,9 +149,13 @@ class AbstractHybridModel:
                 lo = self.parameters.lower_of(g)
                 up = self.parameters.upper_of(g)
                 d = self.parameters.default_of(g)
-                raw = float(unscale_param(d, lo, up))
+                # host-side math: bounds/defaults are python floats, so no
+                # device op (and `init` stays jit-traceable — train() runs
+                # the whole init as ONE program instead of op-by-op eager
+                # dispatches, which dominate cold start on a remote TPU)
+                raw = unscale_param(d, lo, up)
             else:
-                raw = float(jax.random.uniform(k, (), jnp.float32))
+                raw = jax.random.uniform(k, (), jnp.float32)
             globals_[g] = jnp.full((1,), raw, jnp.float32)
         return globals_
 

@@ -69,7 +69,14 @@ def inv_hard_sigmoid(y):
 
 
 def inv_sigmoid(y):
-    """Logit: inverse of the logistic sigmoid (reference :354)."""
+    """Logit: inverse of the logistic sigmoid (reference :354).
+
+    Python scalars stay on host (math.log) so init-time seeding dispatches
+    zero device ops; arrays/tracers use jnp."""
+    if isinstance(y, (float, int)):
+        import math
+
+        return math.log(y / (1.0 - y))
     return jnp.log(y / (1.0 - y))
 
 

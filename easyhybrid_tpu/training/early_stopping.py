@@ -22,6 +22,11 @@ log = logging.getLogger("easyhybrid_tpu")
 
 
 def _to_host(tree):
+    # start all copies first so the transfer costs ~one round trip total
+    # (serial per-leaf device_get is ~30ms/leaf on a tunneled TPU)
+    for a in jax.tree.leaves(tree):
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
     return jax.tree.map(lambda a: jax.device_get(a), tree)
 
 

@@ -27,7 +27,13 @@ from ..data.loaders import EpochTensors
 from ..losses.compute import compute_loss
 from ..losses.specs import LoggingLoss
 
-__all__ = ["make_train_epoch", "make_evaluator", "make_loss_fn", "can_skip_empty_guard"]
+__all__ = [
+    "make_train_epoch",
+    "make_evaluator",
+    "make_dual_evaluator",
+    "make_loss_fn",
+    "can_skip_empty_guard",
+]
 
 
 def _tree_gather(tree, idx):
@@ -302,6 +308,34 @@ def make_evaluator(
         if with_outputs:
             return metrics, outputs
         return metrics
+
+    if jit:
+        eval_fn = jax.jit(eval_fn)
+    return eval_fn
+
+
+def make_dual_evaluator(model, logging: LoggingLoss, *, jit: bool = True) -> Callable:
+    """One compiled program evaluating BOTH splits with outputs:
+    ``eval_fn(params, state, train_batch, val_batch) ->
+    ((m_tr, out_tr), (m_va, out_va))``.
+
+    Replaces four separate jit programs (metrics-only × 2 batch shapes +
+    with-outputs × 2) with ONE — the single biggest lever on cold
+    wall-clock-to-MSE, which is compile-dominated on a remote-compile TPU.
+    Outputs stay on device unless fetched, so computing them always is free
+    for callers that only read the metric scalars."""
+    eval_logging = LoggingLoss(
+        loss_types=logging.loss_types,
+        training_loss=logging.training_loss,
+        extra_loss=logging.extra_loss,
+        agg=logging.agg,
+        train_mode=False,
+    )
+
+    def eval_fn(params, state, train_batch, val_batch):
+        m_tr, _, out_tr = compute_loss(model, params, state, train_batch, eval_logging)
+        m_va, _, out_va = compute_loss(model, params, state, val_batch, eval_logging)
+        return (m_tr, out_tr), (m_va, out_va)
 
     if jit:
         eval_fn = jax.jit(eval_fn)

@@ -83,7 +83,12 @@ def train_second_order(
     train_eval_batch = _full_batch(train_data)
     val_eval_batch = _full_batch(val_data)
 
-    params, state = model.init(init_key)
+    from .train import _jit_init
+
+    try:
+        params, state = _jit_init(model, init_key)
+    except TypeError:  # unhashable custom model: eager fallback
+        params, state = model.init(init_key)
     if cfg.promote_f64:
         params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
 

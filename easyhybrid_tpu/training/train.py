@@ -16,6 +16,7 @@ src/training/train.jl — public ``train`` :211-237, kwargs→configs :272-345,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Any, Dict, Mapping, Optional, Tuple
@@ -30,7 +31,7 @@ from ..data.prepare import HybridData
 from ..data.split import split_data
 from ..losses.specs import LoggingLoss
 from .early_stopping import EarlyStopping
-from .epoch import make_evaluator, make_train_epoch
+from .epoch import make_dual_evaluator, make_train_epoch
 from .history import EpochSnapshot, TrainingHistory
 from .optimizers import is_second_order, resolve_optimizer
 
@@ -114,6 +115,16 @@ def fit_input_norm(model, state, train_data: HybridData):
     return new_state
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_init(model, key):
+    """Model init as ONE compiled program. Eager init dispatches dozens of
+    tiny ops (PRNG splits, glorot inits, seeding); on a remote/tunneled TPU
+    each eager op costs a round trip, dominating cold start. Models are
+    frozen dataclasses, so they are valid static args and the executable is
+    shared across train() calls."""
+    return model.init(key)
+
+
 def _get_ps_st(train_from):
     """Warm-start source → (params, state) (parity: get_ps_st,
     train.jl:376-382)."""
@@ -154,11 +165,23 @@ def _trim(arr, n: int):
     return arr
 
 
+def _start_fetch(tree) -> None:
+    """Kick off device→host copies for every leaf without blocking; a later
+    ``np.asarray``/``device_get`` then completes in ~one round trip instead
+    of one serial round trip per leaf (the dominant host-loop cost on a
+    remote/tunneled TPU)."""
+    for a in jax.tree.leaves(tree):
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+
+
 def _host_metrics(metrics) -> Dict[str, Dict[str, float]]:
+    _start_fetch(metrics)
     return jax.tree.map(lambda v: float(v), jax.device_get(metrics))
 
 
 def _outputs_to_host(outputs, n: int):
+    _start_fetch(outputs)
     out = {}
     for k, v in outputs.items():
         if isinstance(v, Mapping):
@@ -262,6 +285,10 @@ def train(
     cfg, dcfg, leftovers = kwargs_to_configs(kwargs, train_cfg, data_cfg)
     validate_config(cfg)
 
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if is_second_order(cfg.optimizer) or cfg.second_order:
         from .lbfgs import train_second_order
 
@@ -328,7 +355,10 @@ def train(
     if warm is not None:
         params, state = jax.tree.map(jnp.asarray, warm)
     else:
-        params, state = model.init(init_key)
+        try:
+            params, state = _jit_init(model, init_key)
+        except TypeError:  # unhashable custom model: eager fallback
+            params, state = model.init(init_key)
     state = fit_input_norm(model, state, train_data)
 
     logging_loss = LoggingLoss(
@@ -431,23 +461,36 @@ def train(
     else:
         epoch_fn, opt_state = build_xla_epoch()
     want_outputs = bool(cfg.keep_history or cfg.plotting or cfg.monitor_names)
-    evaluator = make_evaluator(
-        model, logging_loss, jit=cfg.jit, with_outputs=want_outputs
-    )
+    # ONE compiled eval program for both splits, with outputs; outputs stay
+    # on device unless a snapshot actually wants them, and the final
+    # prediction pass reuses the same executable (no extra compile)
+    evaluator = make_dual_evaluator(model, logging_loss, jit=cfg.jit)
 
-    def snapshot_of(params, state) -> EpochSnapshot:
+    def snapshot_dispatch(params, state):
+        """Enqueue the eval program and start the device→host copies —
+        non-blocking, so the next epoch can be dispatched while the metric
+        scalars travel back."""
+        (m_tr, out_tr), (m_va, out_va) = evaluator(
+            params, state, train_eval_batch, val_eval_batch
+        )
+        _start_fetch((m_tr, m_va))
         if want_outputs:
-            m_tr, out_tr = evaluator(params, state, train_eval_batch)
-            m_va, out_va = evaluator(params, state, val_eval_batch)
+            _start_fetch((out_tr, out_va))
+        return m_tr, out_tr, m_va, out_va
+
+    def snapshot_collect(dispatched) -> EpochSnapshot:
+        m_tr, out_tr, m_va, out_va = dispatched
+        if want_outputs:
             return EpochSnapshot(
                 _host_metrics(m_tr),
                 _host_metrics(m_va),
                 _outputs_to_host(out_tr, train_data.n_samples),
                 _outputs_to_host(out_va, val_data.n_samples),
             )
-        m_tr = evaluator(params, state, train_eval_batch)
-        m_va = evaluator(params, state, val_eval_batch)
         return EpochSnapshot(_host_metrics(m_tr), _host_metrics(m_va))
+
+    def snapshot_of(params, state) -> EpochSnapshot:
+        return snapshot_collect(snapshot_dispatch(params, state))
 
     def monitored_quantiles(snapshot) -> Dict[str, Dict[str, float]]:
         """q25/q50/q75 of monitored per-sample physical parameters from the
@@ -558,13 +601,11 @@ def train(
             live = None
 
     t0 = time.perf_counter()
-    epoch = 0
-    for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
-        key, shuffle_key = jax.random.split(key)
-        params, opt_state, state, mean_loss = epoch_fn(
-            params, opt_state, state, train_tensors, shuffle_key
-        )
-        snapshot = snapshot_of(params, state)
+
+    def process_epoch(epoch: int, snapshot: EpochSnapshot, params, state):
+        """Host-side bookkeeping for an evaluated epoch. ``params``/``state``
+        must be the live values AT that epoch (run this BEFORE they are
+        donated into the next epoch's program)."""
         stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
         if grad_probe is not None:
             grad_history.append(_grad_norms(grad_probe(params, state)))
@@ -607,8 +648,28 @@ def train(
                 stopper.best_epoch,
                 time.perf_counter() - t0,
             )
-        if stopper.done:
-            break
+
+    # one-step-lagged pipeline: epoch N's metric fetch overlaps epoch N+1's
+    # dispatch/compute on device. Processing epoch N happens at the TOP of
+    # iteration N+1 — before params are donated into epoch N+1's program, so
+    # best-model copies read live buffers — and the early-stop decision still
+    # gates epoch N+1's dispatch (the same epochs run as in the eager loop).
+    pending = None  # (epoch index, dispatched snapshot)
+    for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
+        if pending is not None:
+            p_epoch, dispatched = pending
+            pending = None
+            process_epoch(p_epoch, snapshot_collect(dispatched), params, state)
+            if stopper.done:
+                break
+        key, shuffle_key = jax.random.split(key)
+        params, opt_state, state, mean_loss = epoch_fn(
+            params, opt_state, state, train_tensors, shuffle_key
+        )
+        pending = (epoch, snapshot_dispatch(params, state))
+    if pending is not None:
+        p_epoch, dispatched = pending
+        process_epoch(p_epoch, snapshot_collect(dispatched), params, state)
 
     if cfg.show_progress and len(history) > 1:
         from .show import progress_table
@@ -621,10 +682,10 @@ def train(
     best_params = jax.tree.map(jnp.asarray, best_params)
     best_state = jax.tree.map(jnp.asarray, best_state)
 
-    # ---- final predictions + results ----
-    final_eval = make_evaluator(model, logging_loss, jit=cfg.jit, with_outputs=True)
-    _, out_tr = final_eval(best_params, best_state, train_eval_batch)
-    _, out_va = final_eval(best_params, best_state, val_eval_batch)
+    # ---- final predictions + results (reuses the compiled evaluator) ----
+    (_, out_tr), (_, out_va) = evaluator(
+        best_params, best_state, train_eval_batch, val_eval_batch
+    )
     out_tr = _outputs_to_host(out_tr, train_data.n_samples)
     out_va = _outputs_to_host(out_va, val_data.n_samples)
 
