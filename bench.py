@@ -1,151 +1,338 @@
-"""Headline benchmark: RbQ10 hybrid grad-steps/sec.
+"""Benchmark scoreboard: every BASELINE.json config, pinned methodology.
 
-Config (BASELINE.md / reference README quick-start): 20k synthetic rows,
-MLP [16,16] swish, batch 512, Adam — one grad step = fused forward (NN +
-sigmoid bound scaling + Q10 mechanistic model) + backward + optimizer update.
+Headline (printed as the single JSON line's ``value``): RbQ10 hybrid
+grad-steps/sec — 20k synthetic rows, MLP [16,16] swish, batch 512, Adam;
+one grad step = fused forward (NN + sigmoid bound scaling + Q10 mechanistic
+model) + backward + optimizer update (BASELINE.md / reference README
+quick-start). The ``configs`` field carries the full scoreboard:
 
-Framework path: one jitted lax.scan epoch over device-resident padded batch
-tensors (39 grad steps per program) — the per-step cost is pure compute, no
-dispatch. Baseline: the same model/step implemented in torch on CPU
-(the reference is Julia/Lux on CPU, which is not installed here; torch-CPU
-is the closest available stand-in and is measured fresh on this machine).
+* ``rbq10``        — single-series headline config (torch-CPU baseline)
+* ``multi_target`` — 2-target hybrid, per-target masked MSE, 10% NaNs
+                     (torch-CPU baseline)
+* ``large_mlp``    — reference GPU-tutorial config [1024,512,256,128,64],
+                     batch 64, 5k rows (torch-CPU baseline)
+* ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
+                     (no reference counterpart; framework-only)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology (pinned): torch baselines run on ONE CPU thread
+(``torch.set_num_threads(1)`` — the reference's Julia loop is
+single-threaded); each side reports the MEDIAN of ``REPEATS`` timed blocks;
+absolute ms/step is emitted for both sides so the ratio can be re-derived.
+The framework path times jitted scan-epoch programs (compute only, no
+dispatch); compile/warmup excluded on both sides.
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "configs": {...}}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
-N_ROWS = 20_000
-BATCH = 512
-HIDDEN = (16, 16)
-TIMED_EPOCHS = 20
+REPEATS = 3
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_framework() -> float:
+def _median_rate(run_block, steps_per_block: int, repeats: int = REPEATS):
+    """Median steps/sec over ``repeats`` timed blocks (block pre-warmed)."""
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_block()
+        dt = time.perf_counter() - t0
+        rates.append(steps_per_block / dt)
+    return statistics.median(rates)
+
+
+# --------------------------------------------------------------------------
+# framework side
+# --------------------------------------------------------------------------
+
+def _epoch_bench(model, data, batch: int, epochs_per_call: int, loss_types=("mse",)):
+    """Median grad-steps/sec of the jitted scan-epoch program."""
     import jax
     import optax
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import easyhybrid_tpu as eh
     from easyhybrid_tpu.data.loaders import build_epoch_tensors
     from easyhybrid_tpu.training.epoch import can_skip_empty_guard, make_train_epoch
+    from easyhybrid_tpu.training.train import fit_input_norm
+
+    tensors = jax.device_put(build_epoch_tensors(data, batch))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+    optimizer = optax.flatten(optax.adam(0.01))
+    opt_state = optimizer.init(params)
+    logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=loss_types)
+    epoch_fn = make_train_epoch(
+        model, logging_loss, optimizer, shuffle=True,
+        epochs_per_call=epochs_per_call,
+        skip_empty_guard=can_skip_empty_guard(tensors),
+    )
+
+    carry = [params, opt_state, state]
+
+    def block():
+        p, o, s, loss = epoch_fn(
+            carry[0], carry[1], carry[2], tensors, jax.random.PRNGKey(2)
+        )
+        jax.block_until_ready(loss)
+        carry[0], carry[1], carry[2] = p, o, s
+
+    block()  # warmup/compile
+    steps = epochs_per_call * tensors.num_batches
+    return _median_rate(block, steps)
+
+
+def bench_rbq10() -> float:
+    import easyhybrid_tpu as eh
 
     def rbq10(*, ta, rb, Q10, tref=15.0):
         return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
 
     model = eh.construct_hybrid_model(
-        predictors=["sw_pot", "dsw_pot"],
-        forcing=["ta"],
-        targets=["reco"],
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
         mechanistic_model=rbq10,
         parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
-        neural_param_names=["rb"],
-        global_param_names=["Q10"],
-        hidden_layers=list(HIDDEN),
-        activation="swish",
-        scale_nn_outputs=True,
-        input_batchnorm="static",
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
     )
-    df = eh.gen_rbq10_data(N_ROWS, seed=42)
+    df = eh.gen_rbq10_data(20_000, seed=42)
     data = eh.prepare_data(model, df)
-    tensors = build_epoch_tensors(data, BATCH)
-    tensors = jax.device_put(tensors)
-    num_batches = tensors.num_batches
+    return _epoch_bench(model, data, batch=512, epochs_per_call=20)
 
-    params, state = model.init(jax.random.PRNGKey(0))
-    from easyhybrid_tpu.training.train import fit_input_norm
 
-    state = fit_input_norm(model, state, data)
-    optimizer = optax.flatten(optax.adam(0.01))
-    opt_state = optimizer.init(params)
-    logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
-    epoch_fn = make_train_epoch(
-        model, logging_loss, optimizer, shuffle=True,
-        epochs_per_call=TIMED_EPOCHS,
-        skip_empty_guard=can_skip_empty_guard(tensors),
+def bench_multi_target() -> float:
+    """2-target hybrid + per-target masked MSE with 10% NaN targets."""
+    import jax.numpy as jnp
+
+    import easyhybrid_tpu as eh
+
+    def mech(*, ta, rb, gpp_max, Q10):
+        reco = rb * Q10 ** (0.1 * (ta - 15.0))
+        gpp = gpp_max * (1.0 - jnp.exp(-0.1 * ta))
+        return {"reco": reco, "nee": reco - gpp}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"],
+        targets=["reco", "nee"],
+        mechanistic_model=mech,
+        parameters={
+            "rb": (3.0, 0.0, 13.0),
+            "gpp_max": (5.0, 0.0, 20.0),
+            "Q10": (2.0, 1.0, 4.0),
+        },
+        neural_param_names=["rb", "gpp_max"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
     )
+    df = eh.gen_rbq10_data(20_000, seed=7)
+    rng = np.random.default_rng(0)
+    reco = np.asarray(df["reco"], np.float32)
+    nee = reco - 5.0 * (1.0 - np.exp(-0.1 * np.asarray(df["ta"], np.float32)))
+    for col, vals in (("reco", reco.copy()), ("nee", nee)):
+        vals = np.asarray(vals, np.float32)
+        vals[rng.random(len(vals)) < 0.1] = np.nan
+        df[col] = vals
+    data = eh.prepare_data(model, df)
+    return _epoch_bench(model, data, batch=512, epochs_per_call=20)
 
-    key = jax.random.PRNGKey(1)
-    # warmup/compile
-    params, opt_state, state, loss = epoch_fn(params, opt_state, state, tensors, key)
-    jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    params, opt_state, state, loss = epoch_fn(
-        params, opt_state, state, tensors, jax.random.PRNGKey(2)
+def bench_large_mlp() -> float:
+    """Reference GPU-tutorial config: [1024,512,256,128,64], batch 64, 5k rows."""
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
     )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    steps = TIMED_EPOCHS * num_batches
-    return steps / dt
+    df = eh.gen_rbq10_data(5_000, seed=42)
+    data = eh.prepare_data(model, df)
+    return _epoch_bench(model, data, batch=64, epochs_per_call=3)
 
 
-def bench_torch_cpu_baseline(max_seconds: float = 20.0) -> float:
-    """Same model + grad step in torch on CPU (reference-equivalent stand-in)."""
+def bench_multisite() -> float:
+    """10k vmapped sites × 64 obs (shared NN + per-site Q10): grad steps/s
+    over the full site batch (640k samples per step)."""
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    base = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True,
+    )
+    S, N = 10_000, 64
+    model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
+    rng = np.random.default_rng(0)
+    from easyhybrid_tpu.data.prepare import HybridData
+
+    data = HybridData(
+        x=rng.random((S, N, 2)).astype(np.float32),
+        forcing={"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)},
+        y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
+    )
+    return _epoch_bench(model, data, batch=S, epochs_per_call=10)
+
+
+# --------------------------------------------------------------------------
+# torch-CPU baselines (reference stand-in: same model + grad step; the
+# reference is Julia/Lux on CPU, not installed here)
+# --------------------------------------------------------------------------
+
+def _torch_setup():
     import torch
 
+    torch.set_num_threads(1)  # pinned: single-thread CPU baseline
     torch.manual_seed(0)
-    g = torch.Generator().manual_seed(0)
-    x = torch.randn(N_ROWS, 2, generator=g)
-    ta = torch.randn(N_ROWS, generator=g) * 8 + 10
-    y = torch.randn(N_ROWS, generator=g) + 3
+    return torch
 
-    net = torch.nn.Sequential(
-        torch.nn.BatchNorm1d(2),
-        torch.nn.Linear(2, HIDDEN[0]),
-        torch.nn.SiLU(),
-        torch.nn.Linear(HIDDEN[0], HIDDEN[1]),
-        torch.nn.SiLU(),
-        torch.nn.Linear(HIDDEN[1], 1),
-    )
+
+def _torch_bench(step, num_batches: int, block_steps: int):
+    for w in range(num_batches):  # warmup
+        step(w)
+
+    def block():
+        for i in range(block_steps):
+            step(i % num_batches)
+
+    return _median_rate(block, block_steps)
+
+
+def baseline_rbq10(hidden=(16, 16), n_rows=20_000, batch=512, steps=120) -> float:
+    torch = _torch_setup()
+    g = torch.Generator().manual_seed(0)
+    x = torch.randn(n_rows, 2, generator=g)
+    ta = torch.randn(n_rows, generator=g) * 8 + 10
+    y = torch.randn(n_rows, generator=g) + 3
+
+    layers, prev = [torch.nn.BatchNorm1d(2)], 2
+    for h in hidden:
+        layers += [torch.nn.Linear(prev, h), torch.nn.SiLU()]
+        prev = h
+    layers += [torch.nn.Linear(prev, 1)]
+    net = torch.nn.Sequential(*layers)
     raw_q10 = torch.nn.Parameter(torch.zeros(1))
     opt = torch.optim.Adam(list(net.parameters()) + [raw_q10], lr=0.01)
-
-    num_batches = N_ROWS // BATCH
+    num_batches = n_rows // batch
 
     def step(i):
-        sl = slice(i * BATCH, (i + 1) * BATCH)
-        xb, tab, yb = x[sl], ta[sl], y[sl]
-        rb = 13.0 * torch.sigmoid(net(xb).squeeze(-1))
+        sl = slice(i * batch, (i + 1) * batch)
+        rb = 13.0 * torch.sigmoid(net(x[sl]).squeeze(-1))
         q10 = 1.0 + 3.0 * torch.sigmoid(raw_q10)
-        pred = rb * q10 ** (0.1 * (tab - 15.0))
-        loss = torch.mean((pred - yb) ** 2)
+        pred = rb * q10 ** (0.1 * (ta[sl] - 15.0))
+        loss = torch.mean((pred - y[sl]) ** 2)
         opt.zero_grad()
         loss.backward()
         opt.step()
 
-    for w in range(num_batches):  # warmup epoch (allocator, kernels)
-        step(w)
-    steps = 0
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < max_seconds and steps < 10 * num_batches:
-        step(steps % num_batches)
-        steps += 1
-    dt = time.perf_counter() - t0
-    return steps / dt
+    return _torch_bench(step, num_batches, steps)
+
+
+def baseline_multi_target(n_rows=20_000, batch=512, steps=120) -> float:
+    torch = _torch_setup()
+    g = torch.Generator().manual_seed(0)
+    x = torch.randn(n_rows, 2, generator=g)
+    ta = torch.randn(n_rows, generator=g) * 8 + 10
+    y1 = torch.randn(n_rows, generator=g) + 3
+    y2 = torch.randn(n_rows, generator=g)
+    m1 = (torch.rand(n_rows, generator=g) > 0.1).float()
+    m2 = (torch.rand(n_rows, generator=g) > 0.1).float()
+
+    net = torch.nn.Sequential(
+        torch.nn.BatchNorm1d(2),
+        torch.nn.Linear(2, 16), torch.nn.SiLU(),
+        torch.nn.Linear(16, 16), torch.nn.SiLU(),
+        torch.nn.Linear(16, 2),
+    )
+    raw_q10 = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam(list(net.parameters()) + [raw_q10], lr=0.01)
+    num_batches = n_rows // batch
+
+    def step(i):
+        sl = slice(i * batch, (i + 1) * batch)
+        out = net(x[sl])
+        rb = 13.0 * torch.sigmoid(out[:, 0])
+        gpp_max = 20.0 * torch.sigmoid(out[:, 1])
+        q10 = 1.0 + 3.0 * torch.sigmoid(raw_q10)
+        reco = rb * q10 ** (0.1 * (ta[sl] - 15.0))
+        nee = reco - gpp_max * (1.0 - torch.exp(-0.1 * ta[sl]))
+        l1 = ((reco - y1[sl]) ** 2 * m1[sl]).sum() / m1[sl].sum()
+        l2 = ((nee - y2[sl]) ** 2 * m2[sl]).sum() / m2[sl].sum()
+        loss = l1 + l2
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _torch_bench(step, num_batches, steps)
+
+
+def baseline_large_mlp(steps=30) -> float:
+    return baseline_rbq10(
+        hidden=(1024, 512, 256, 128, 64), n_rows=5_000, batch=64, steps=steps
+    )
 
 
 def main():
-    value = bench_framework()
-    try:
-        baseline = bench_torch_cpu_baseline()
-    except Exception:
-        baseline = float("nan")
-    vs = value / baseline if baseline == baseline else float("nan")
+    configs = {}
+
+    def entry(name, fw_fn, base_fn):
+        fw = fw_fn()
+        base = float("nan")
+        if base_fn is not None:
+            try:
+                base = base_fn()
+            except Exception:
+                pass
+        row = {
+            "steps_per_s": round(fw, 2),
+            "ms_per_step": round(1000.0 / fw, 4),
+        }
+        if base == base:
+            row["baseline_steps_per_s"] = round(base, 2)
+            row["baseline_ms_per_step"] = round(1000.0 / base, 4)
+            row["vs_baseline"] = round(fw / base, 2)
+        configs[name] = row
+        return row
+
+    headline = entry("rbq10", bench_rbq10, baseline_rbq10)
+    entry("multi_target", bench_multi_target, baseline_multi_target)
+    entry("large_mlp", bench_large_mlp, baseline_large_mlp)
+    entry("multisite", bench_multisite, None)
+    configs["multisite"]["site_steps_per_s"] = round(
+        configs["multisite"]["steps_per_s"] * 10_000, 0
+    )
+
     print(
         json.dumps(
             {
                 "metric": "rbq10_grad_steps_per_sec",
-                "value": round(value, 2),
-                "unit": "grad steps/s (batch 512, 20k rows, MLP[16,16])",
-                "vs_baseline": round(vs, 2) if vs == vs else None,
+                "value": headline["steps_per_s"],
+                "unit": "grad steps/s (batch 512, 20k rows, MLP[16,16]; "
+                "baseline: torch CPU 1 thread, median of "
+                f"{REPEATS})",
+                "vs_baseline": headline.get("vs_baseline"),
+                "configs": configs,
             }
         )
     )
