@@ -18,8 +18,9 @@ Methodology (pinned): torch baselines run on ONE CPU thread
 (``torch.set_num_threads(1)`` — the reference's Julia loop is
 single-threaded); each side reports the MEDIAN of ``REPEATS`` timed blocks;
 absolute ms/step is emitted for both sides so the ratio can be re-derived.
-The framework path times jitted scan-epoch programs (compute only, no
-dispatch); compile/warmup excluded on both sides.
+The framework path times blocks of chained jitted scan-epoch program calls
+(async dispatch overlapping compute, exactly like ``train()``'s pipelined
+host loop; one sync per block); compile/warmup excluded on both sides.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "configs": {...}}.
@@ -55,8 +56,22 @@ def _median_rate(run_block, steps_per_block: int, repeats: int = REPEATS):
 # framework side
 # --------------------------------------------------------------------------
 
-def _epoch_bench(model, data, batch: int, epochs_per_call: int, loss_types=("mse",)):
-    """Median grad-steps/sec of the jitted scan-epoch program."""
+def _epoch_bench(
+    model,
+    data,
+    batch: int,
+    epochs_per_call: int,
+    loss_types=("mse",),
+    calls_per_block: int = 10,
+):
+    """Median grad-steps/sec of the jitted scan-epoch program.
+
+    A timed block chains ``calls_per_block`` program invocations with NO
+    host sync in between (exactly how ``train()``'s pipelined host loop
+    dispatches between eval points) and blocks once at the end — dispatch
+    latency overlaps compute, as in real training. Each call runs
+    ``epochs_per_call`` re-shuffled epochs on-device.
+    """
     import jax
     import optax
 
@@ -80,14 +95,14 @@ def _epoch_bench(model, data, batch: int, epochs_per_call: int, loss_types=("mse
     carry = [params, opt_state, state]
 
     def block():
-        p, o, s, loss = epoch_fn(
-            carry[0], carry[1], carry[2], tensors, jax.random.PRNGKey(2)
-        )
+        p, o, s = carry
+        for c in range(calls_per_block):
+            p, o, s, loss = epoch_fn(p, o, s, tensors, jax.random.PRNGKey(2 + c))
         jax.block_until_ready(loss)
         carry[0], carry[1], carry[2] = p, o, s
 
     block()  # warmup/compile
-    steps = epochs_per_call * tensors.num_batches
+    steps = calls_per_block * epochs_per_call * tensors.num_batches
     return _median_rate(block, steps)
 
 

@@ -252,16 +252,16 @@ def make_fused_epoch(
         masks = [tensors.mask[t] for t in target_names]
 
         if shuffle and num_batches > 1:
-            perm = jax.random.permutation(key, num_batches * batch)
+            # identical permutation + packed gather as the XLA scan epoch
+            # (training/epoch.py) so the two paths realize the same order
+            from ..training.epoch import epoch_permutation, shuffle_epoch_tensors
 
-            def shuf(a):
-                flat = a.reshape((num_batches * batch,) + a.shape[2:])
-                return flat[perm].reshape(a.shape)
-
-            x = shuf(x)
-            forcing = [shuf(f) for f in forcing]
-            ys = [shuf(y) for y in ys]
-            masks = [shuf(m) for m in masks]
+            perm = epoch_permutation(key, num_batches * batch)
+            shuffled = shuffle_epoch_tensors(tensors, perm)
+            x = shuffled.x
+            forcing = [shuffled.forcing[f] for f in forcing_names]
+            ys = [shuffled.y[t] for t in target_names]
+            masks = [shuffled.mask[t] for t in target_names]
 
         # TPU block shapes: the last two dims must divide (8, 128) or equal
         # the array dims. (NB, B) streams become (NB, 1, B) so the per-step

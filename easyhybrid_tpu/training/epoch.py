@@ -41,27 +41,52 @@ def _tree_gather(tree, idx):
     return jax.tree.map(lambda a: a[idx], tree)
 
 
-def _flatten_batches(tensors: EpochTensors):
-    """(nb, B, ...) → (nb*B, ...) views across the epoch pytree."""
+def epoch_permutation(key, n: int):
+    """Uniform random permutation of ``n`` samples via one key-sort.
 
-    def flat(a):
-        return a.reshape((-1,) + a.shape[2:])
+    Used by BOTH the XLA scan epoch and the fused Pallas epoch so the two
+    paths realize the identical sample order for a given key. Batches over
+    leading key dims: ``jax.vmap(epoch_permutation, (0, None))`` sorts all
+    epochs' keys in ONE fused sort — much cheaper than per-epoch sorts."""
+    return jnp.argsort(jax.random.uniform(key, (n,)))
 
+
+def shuffle_epoch_tensors(tensors: EpochTensors, perm) -> EpochTensors:
+    """Apply a sample permutation with ONE packed gather.
+
+    Seven separate per-leaf gathers cost ~4× more than a single gather of
+    the concatenated ``(n_samples, total_features)`` matrix (narrow rank-1
+    gathers waste the vector lanes), so all float32 per-sample leaves are
+    packed column-wise, gathered once, and sliced back out. Non-f32 leaves
+    (none in the standard pipeline) fall back to per-leaf gathers."""
+    num_batches, batch = tensors.weight.shape
+    n = num_batches * batch
+    data = (tensors.x, tensors.forcing, tensors.y, tensors.mask, tensors.weight)
+    leaves, treedef = jax.tree.flatten(data)
+    flat = [l.reshape((n, -1)) for l in leaves]
+    if all(f.dtype == jnp.float32 for f in flat):
+        packed = jnp.concatenate(flat, axis=1) if len(flat) > 1 else flat[0]
+        packed = packed[perm]
+        out, off = [], 0
+        for l, f in zip(leaves, flat):
+            d = f.shape[1]
+            col = packed[:, off : off + d]
+            out.append(col.reshape((num_batches, batch) + l.shape[2:]))
+            off += d
+    else:
+        out = [
+            f[perm].reshape((num_batches, batch) + l.shape[2:])
+            for l, f in zip(leaves, flat)
+        ]
+    x, forcing, y, mask, weight = jax.tree.unflatten(treedef, out)
     return EpochTensors(
-        x=jax.tree.map(flat, tensors.x),
-        forcing={k: flat(v) for k, v in tensors.forcing.items()},
-        y={k: flat(v) for k, v in tensors.y.items()},
-        mask={k: flat(v) for k, v in tensors.mask.items()},
-        weight=tensors.weight.reshape(-1),
+        x=x,
+        forcing=forcing,
+        y=y,
+        mask=mask,
+        weight=weight,
         n_samples=tensors.n_samples,
     )
-
-
-def _rebatch(tree, num_batches: int, batch: int):
-    def reb(a):
-        return a.reshape((num_batches, batch) + a.shape[1:])
-
-    return jax.tree.map(reb, tree)
 
 
 def _per_shard_shuffle(tensors: EpochTensors, key, mesh) -> EpochTensors:
@@ -172,32 +197,17 @@ def make_train_epoch(
 
     grad_fn = jax.value_and_grad(loss_for_batch, has_aux=True)
 
-    def one_epoch(params, opt_state, state, tensors: EpochTensors, key):
+    def one_epoch(params, opt_state, state, tensors: EpochTensors, key, perm=None):
         num_batches = tensors.weight.shape[0]
         batch = tensors.weight.shape[1]
 
         if shuffle is True and num_batches > 1:
-            # full sample-level reshuffle (reference DataLoader parity);
-            # costs one random gather over the epoch data (~20% of a small
-            # model's epoch) — see shuffle="batches" for the cheap variant
-            flat = _flatten_batches(tensors)
-            perm = jax.random.permutation(key, num_batches * batch)
-            shuffled = EpochTensors(
-                x=_tree_gather(flat.x, perm),
-                forcing=_tree_gather(flat.forcing, perm),
-                y=_tree_gather(flat.y, perm),
-                mask=_tree_gather(flat.mask, perm),
-                weight=flat.weight[perm],
-                n_samples=flat.n_samples,
-            )
-            tensors = EpochTensors(
-                x=_rebatch(shuffled.x, num_batches, batch),
-                forcing=_rebatch(shuffled.forcing, num_batches, batch),
-                y=_rebatch(shuffled.y, num_batches, batch),
-                mask=_rebatch(shuffled.mask, num_batches, batch),
-                weight=shuffled.weight.reshape(num_batches, batch),
-                n_samples=tensors.n_samples,
-            )
+            # full sample-level reshuffle (reference DataLoader parity):
+            # one key-sort permutation + ONE packed gather over the epoch
+            # data — see shuffle="batches" for the gather-free variant
+            if perm is None:
+                perm = epoch_permutation(key, num_batches * batch)
+            tensors = shuffle_epoch_tensors(tensors, perm)
         elif shuffle == "per_shard" and num_batches > 1:
             if mesh is None:
                 raise ValueError("shuffle='per_shard' needs a device mesh")
@@ -257,14 +267,26 @@ def make_train_epoch(
     else:
 
         def epoch_fn(params, opt_state, state, tensors, key):
-            def outer(carry, k):
+            keys = jax.random.split(key, epochs_per_call)
+            num_batches, batch = tensors.weight.shape
+            if shuffle is True and num_batches > 1:
+                # generate ALL epochs' permutations in one fused batched
+                # key-sort — E-fold cheaper than a sort inside every epoch
+                perms = jax.vmap(
+                    lambda k: epoch_permutation(k, num_batches * batch)
+                )(keys)
+                xs = (keys, perms)
+            else:
+                xs = (keys, None)
+
+            def outer(carry, sl):
+                k, perm = sl
                 p, o, s = carry
-                p, o, s, loss = one_epoch(p, o, s, tensors, k)
+                p, o, s, loss = one_epoch(p, o, s, tensors, k, perm=perm)
                 return (p, o, s), loss
 
-            keys = jax.random.split(key, epochs_per_call)
             (params, opt_state, state), losses = lax.scan(
-                outer, (params, opt_state, state), keys
+                outer, (params, opt_state, state), xs
             )
             return params, opt_state, state, losses[-1]
 
