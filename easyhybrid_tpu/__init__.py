@@ -118,6 +118,7 @@ from .io.checkpoint import (
 from .io.paths import TrainingPaths, resolve_paths
 
 # utils
+from .plotting.theme import hybrid_colors, set_theme, theme_easy_hybrid, use_theme
 from .utils.weights import extract_weights, weight_l2, l2_extra_loss
 from .utils.folds import make_folds
 from .utils.wrapped_tuples import WrappedTuples
@@ -224,6 +225,10 @@ __all__ = [
     # utils
     "extract_weights",
     "weight_l2",
+    "hybrid_colors",
+    "set_theme",
+    "theme_easy_hybrid",
+    "use_theme",
     "l2_extra_loss",
     "make_folds",
     "WrappedTuples",

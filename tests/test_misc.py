@@ -283,3 +283,29 @@ def test_best_hyperparams_direction_aware():
     trials = [({"lr": 0.1}, FakeResult(0.2)), ({"lr": 0.3}, FakeResult(0.9))]
     assert eh.best_hyperparams(trials, metric="r2") == {"lr": 0.3}
     assert eh.best_hyperparams(trials, metric="mse") == {"lr": 0.1}
+
+
+def test_theme_renders_and_matches_reference_palette(tmp_path):
+    """Theme parity with ext/HybridTheme.jl:1-96: 7-color palette, covarying
+    color/marker/linestyle cycle, serif 16pt, plasma colormap."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cols = eh.hybrid_colors(0.8)
+    assert len(cols) == 7 and cols[0][:3] == (0.0, 0.0, 0.0)
+    assert all(c[3] == 0.8 for c in cols)
+    rc = eh.theme_easy_hybrid()
+    assert rc["font.size"] == 16 and rc["image.cmap"] == "plasma"
+    cycle = list(rc["axes.prop_cycle"])
+    assert len(cycle) == 7 and {"color", "marker", "linestyle"} <= set(cycle[0])
+    with eh.use_theme():
+        assert matplotlib.rcParams["font.size"] == 16
+        fig, ax = plt.subplots()
+        for i in range(3):
+            ax.plot([0, 1], [i, i + 1], label=f"s{i}")
+        ax.legend()
+        fig.savefig(tmp_path / "theme.png")
+        plt.close(fig)
+    assert matplotlib.rcParams["font.size"] != 16  # context restores
