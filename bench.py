@@ -83,14 +83,40 @@ def _epoch_bench(
     tensors = jax.device_put(build_epoch_tensors(data, batch))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     state = fit_input_norm(model, state, data)
-    optimizer = optax.flatten(optax.adam(0.01))
-    opt_state = optimizer.init(params)
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=loss_types)
-    epoch_fn = make_train_epoch(
-        model, logging_loss, optimizer, shuffle=True,
-        epochs_per_call=epochs_per_call,
-        skip_empty_guard=can_skip_empty_guard(tensors),
+
+    # measure what train() actually dispatches: the fused Pallas epoch
+    # kernel when supported AND the runtime exactness gate passes on this
+    # chip, otherwise the XLA scan epoch
+    from easyhybrid_tpu.ops.fused_epoch import (
+        fused_exactness_check,
+        init_fused_opt_state,
+        make_fused_epoch,
+        supports_fused_epoch,
     )
+
+    opt_spec = ("adam", 0.01)
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and supports_fused_epoch(model, opt_spec, logging_loss)
+        and fused_exactness_check(
+            model, params, state, opt_spec, logging_loss, tensors
+        )[0]
+    )
+    if use_fused:
+        opt_state = init_fused_opt_state(params)
+        epoch_fn = make_fused_epoch(
+            model, state, opt_spec, logging_loss, shuffle=True,
+            epochs_per_call=epochs_per_call,
+        )
+    else:
+        optimizer = optax.flatten(optax.adam(0.01))
+        opt_state = optimizer.init(params)
+        epoch_fn = make_train_epoch(
+            model, logging_loss, optimizer, shuffle=True,
+            epochs_per_call=epochs_per_call,
+            skip_empty_guard=can_skip_empty_guard(tensors),
+        )
 
     carry = [params, opt_state, state]
 
@@ -103,7 +129,7 @@ def _epoch_bench(
 
     block()  # warmup/compile
     steps = calls_per_block * epochs_per_call * tensors.num_batches
-    return _median_rate(block, steps)
+    return _median_rate(block, steps), ("fused_pallas" if use_fused else "xla_scan")
 
 
 def bench_rbq10() -> float:
@@ -313,6 +339,9 @@ def main():
 
     def entry(name, fw_fn, base_fn):
         fw = fw_fn()
+        path = None
+        if isinstance(fw, tuple):
+            fw, path = fw
         base = float("nan")
         if base_fn is not None:
             try:
@@ -323,6 +352,8 @@ def main():
             "steps_per_s": round(fw, 2),
             "ms_per_step": round(1000.0 / fw, 4),
         }
+        if path is not None:
+            row["epoch_path"] = path
         if base == base:
             row["baseline_steps_per_s"] = round(base, 2)
             row["baseline_ms_per_step"] = round(1000.0 / base, 4)

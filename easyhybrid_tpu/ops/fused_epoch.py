@@ -1,54 +1,67 @@
-"""Pallas TPU kernel: a full training epoch as ONE kernel launch.
+"""Pallas TPU kernel: full training epochs as single kernel launches.
 
-The XLA scan-epoch path (training/epoch.py) already fuses an epoch into one
-program, but each SGD step still costs dozens of small HLO ops (~70 µs/step
-for a [16,16] hybrid — fixed op overhead, not FLOPs). This kernel removes
-that floor: the batch grid runs INSIDE one Pallas kernel, parameters and
-Adam moments live in VMEM output refs carried across the (sequential) grid
-steps, each batch streams HBM→VMEM through the automatic block pipeline, and
-the fused forward+backward+Adam update is traced into the kernel body with
-``jax.value_and_grad`` — the mechanistic model compiles into the same kernel
-as the MLP (the "fused NN-forward + mechanistic-model evaluation" north star
-of BASELINE.json).
+The XLA scan-epoch path (training/epoch.py) fuses an epoch into one program,
+but each SGD step still costs dozens of small HLO ops (~16 µs/step for a
+[16,16] hybrid — fixed op overhead, not FLOPs). This kernel removes that
+floor: the batch grid runs INSIDE one Pallas kernel, parameters and optimizer
+moments live in VMEM output refs carried across the (sequential) grid steps,
+each batch streams HBM→VMEM through the automatic block pipeline, and the
+fused forward + backward + optimizer update — the NN, the sigmoid bound
+scaling, AND the user's mechanistic model — compiles into one kernel (the
+"fused NN-forward + mechanistic-model evaluation" north star of
+BASELINE.json; reference unit: GenericHybridModel.jl:370-431).
 
-Supported fast path (falls back to the XLA scan epoch otherwise):
-SingleNN MLP hybrid (no LSTM), input_batchnorm in {False, "static"},
-jnp-pure training loss, Adam/SGD with static hyperparameters.
+Differentiation strategy (the round-1 bisection conclusion, see git history
+of this file): this libtpu's Mosaic silently miscompiles REVERSE-mode
+(``jax.vjp``-transposed) programs that write gradients into tiny (1,1)
+buffers — grads of global physical parameters came out as garbage on-chip
+while interpret mode was exact. The kernel therefore contains NO reverse-mode
+AD at all:
 
-STATUS (2026-08-16, ~40 bisection experiments against this libtpu build):
+* the MLP backward is written symbolically in a transposed, feature-major
+  layout — weights ride as ``(out, in)``, activations as ``(features,
+  batch)`` — so every gradient is a plain ``dot_general`` with chosen
+  contraction dims (zero in-kernel transposes), the hand-written pattern
+  proven exact on-chip in round 1 (≤1e-4 after 4 sgd steps);
+* every elementwise derivative (activations, sigmoid bound scaling, the
+  user's mechanistic model) comes from FORWARD-mode ``jax.jvp`` — no
+  transposition, verified exact in-kernel in round 1. Mechanistic-parameter
+  gradients are jvp-seeded per parameter: for elementwise physics the
+  one-hot-tangent jvp yields the diagonal Jacobian column directly.
 
-* Numerics are validated against the XLA scan epoch in INTERPRET mode
-  (tests/test_fused.py: param-exact, multi-epoch Adam bias correction).
-* The kernel COMPILES AND RUNS on a real v5e at 18.4k steps/s after a full
-  rank-2 redesign. Compile blockers found and fixed:
-  - "Not implemented: Offset change" for ANY rank-0 or size-1-rank-1 value
-    on a differentiated path -> differentiate the rank-2 forward twin
-    (``forward_rank2``) with jax.vjp and hand-computed (1,B) mse cotangents;
-    never build a scalar loss in-kernel;
-  - the same error for SMEM scalar stores coexisting with AD -> no in-kernel
-    loss output;
-  - compiler HANG when ``pl.when`` wraps the parameter updates ->
-    arithmetic select (``valid`` factor) instead;
-  - ``jnp.power(const, traced)`` and ``integer_pow`` -> exp*log / x*x forms.
-* REMAINING BLOCKER - silent miscompilation: on-chip, gradients of the
-  (1,1)-shaped leaves (global physical params, output bias) come out as
-  garbage (e.g. a constant ~-7e5 for the Q10 grad regardless of the
-  mechanistic form), while the (F,H)/(1,H) leaf grads track XLA. Neither
-  tiling the small leaves over the batch (explicit dot reductions outside
-  AD), nor exp*log mechanistic forms, nor a hand-written jax.vjp chain fixes
-  the vjp-based kernel; yet a FULLY hand-written backward with the same
-  (1,1) aliased buffers (dot-based scalar chain, no jax.vjp) is numerically
-  EXACT on-chip (<=1e-4 after 4 sgd steps). Interpret mode is always exact.
-  Conclusion: Mosaic codegen bug triggered by vjp-transposed programs
-  touching tiny buffers. Because the errors are SILENT, the kernel stays
-  opt-in (EASYHYBRID_PALLAS=1 / use_pallas=True); next-round options:
-  (a) newer libtpu, (b) generate the backward symbolically per-layer — the
-  hand-written dot/elementwise pattern is proven exact on-chip, and
-  forward-mode ``jax.jvp`` (no transposition) is VERIFIED exact in-kernel
-  (0.1% vs XLA), so mechanistic-model derivatives can come from jvp seeds
-  per parameter while the MLP backward uses the hand pattern. Measured
-  upside at [16,16]/batch-512 is ~+9% over the XLA scan epoch (18.4k vs
-  16.9k steps/s); larger wins need deeper in-kernel pipelining work.
+Because nothing is reverse-differentiated, the kernel can also accumulate
+the scalar training loss in a VMEM output again (round 1's AD+SMEM-store
+Mosaic conflict does not apply).
+
+Round-2 on-chip bisection findings (probe experiments, 2026-08-16), which
+shape three more hard rules in this kernel:
+
+1. **No ``input_output_aliases``.** With several aliased in/out pairs this
+   Mosaic build mis-schedules the carried buffers — the kernel body
+   observably computes with POST-update parameter values (the forward's
+   loss matched a forward evaluated at the already-updated parameter) and
+   step counters advance by garbage amounts. Parameters/moments/counter are
+   instead carried in plain OUTPUT blocks (VMEM-resident across the
+   sequential grid) initialized from separate read-only input blocks at
+   ``i == 0`` via ``jnp.where`` — verified exact over multi-step grids.
+2. **Tile-padded state buffers.** All parameter/moment/state/counter/loss
+   buffers are zero-padded to (≥8, ≥128) tiles; values are sliced out for
+   compute and gradients are zero-padded back (explicit concat), so every
+   ref write is a full-tile write. (1,1)-shaped buffers were implicated in
+   round-1's silent corruption; padded buffers measure exact.
+3. **Scalar splats only.** ``broadcast_to((1,1) -> (8,128))`` does not
+   lower ("Broadcast in both sublanes and lanes"); rank-0 scalars broadcast
+   fine, so tiny quantities (step counter, loss) are reduced to scalars
+   before being splatted into padded tiles.
+
+Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
+epoch otherwise): SingleNN MLP hybrid (or pure-parameter model with no NN),
+``input_batchnorm`` in {False, "static"}, training loss in {mse, mae, rmse},
+agg in {sum, mean}, optimizer in {adam, adamw, sgd, rmsprop} with static
+hyperparameters, no ``extra_loss``. Multi-target losses with per-target NaN
+masks are supported. ``training.train`` auto-enables the kernel behind a
+runtime exactness check against the XLA path (``fused_exactness_check``)
+because round 1's failure mode was SILENT.
 """
 
 from __future__ import annotations
@@ -63,63 +76,185 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..losses.specs import LoggingLoss
-from ..models.hybrid import SingleNNHybridModel
-from ..models.nn import MLP
+from ..models.hybrid import SingleNNHybridModel, _call_mechanistic
+from ..models.nn import MLP, get_activation
+from ..params import scale_param
 
-__all__ = ["supports_fused_epoch", "make_fused_epoch", "init_fused_opt_state"]
+__all__ = [
+    "supports_fused_epoch",
+    "make_fused_epoch",
+    "init_fused_opt_state",
+    "fused_exactness_check",
+    "parse_opt_spec",
+]
 
 
-def _to2d_shape(shape: Tuple[int, ...]) -> Tuple[int, int]:
-    if len(shape) == 0:
-        return (1, 1)
-    if len(shape) == 1:
-        return (1, shape[0])
-    if len(shape) == 2:
-        return shape
-    return (int(np.prod(shape[:-1])), shape[-1])
+# --------------------------------------------------------------------------
+# optimizer spec parsing (must mirror training/optimizers.resolve_optimizer
+# + the optax update formulas exactly — the exactness gate compares against
+# the optax path)
+# --------------------------------------------------------------------------
+
+_OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
+    "adam": dict(learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8),
+    "adamw": dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-4
+    ),
+    "sgd": dict(learning_rate=0.01),
+    "rmsprop": dict(learning_rate=0.01, decay=0.9, eps=1e-8),
+}
+
+_OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
+    "adam": ("learning_rate", "b1", "b2", "eps"),
+    "adamw": ("learning_rate", "b1", "b2", "eps"),
+    "sgd": ("learning_rate",),
+    "rmsprop": ("learning_rate", "decay", "eps"),
+}
+
+
+def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
+    """Parse an optimizer spec into ``(name, hyperparams)`` if the fused
+    kernel supports it, else None. Defaults match ``resolve_optimizer``
+    (lr=0.01) and the optax constructors."""
+    if isinstance(spec, str):
+        name, rest = spec.lower(), ()
+    elif isinstance(spec, tuple) and spec and isinstance(spec[0], str):
+        name, rest = spec[0].lower(), spec[1:]
+    else:
+        return None
+    if name not in _OPT_DEFAULTS:
+        return None
+    hyper = dict(_OPT_DEFAULTS[name])
+    if len(rest) == 1 and isinstance(rest[0], Mapping):
+        kw = dict(rest[0])
+        if not set(kw) <= set(hyper):
+            return None  # e.g. sgd momentum, rmsprop centered: not fused
+        hyper.update({k: float(v) for k, v in kw.items()})
+    else:
+        names = _OPT_POSITIONAL[name]
+        if len(rest) > len(names):
+            return None
+        for k, v in zip(names, rest):
+            if not isinstance(v, (int, float)):
+                return None
+            hyper[k] = float(v)
+    return name, hyper
+
+
+_FUSED_LOSSES = ("mse", "mae", "rmse")
 
 
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
+    """Static support check for the fused-epoch fast path."""
     if not isinstance(model, SingleNNHybridModel):
         return False
     if model.nn is not None and not isinstance(model.nn, MLP):
         return False
     if model.nn is not None and model.nn.input_batchnorm is True:
         return False  # trainable running-stats BN mutates state per step
+    if model.nn is not None and model.nn.compute_dtype is not None:
+        return False  # kernel computes in float32
+    if model.nn is not None and not model.neural_param_names:
+        return False
     if logging.extra_loss is not None:
         return False
-    # the kernel computes the loss COTANGENT manually (no scalar loss on the
-    # AD path — Mosaic cannot lower rank-0 reduction chains); mse only
-    if logging.training_loss != "mse":
+    if logging.training_loss not in _FUSED_LOSSES:
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
-    if isinstance(optimizer_spec, Mapping):
-        return False
-    name = (
-        optimizer_spec[0]
-        if isinstance(optimizer_spec, tuple) and optimizer_spec
-        else optimizer_spec
-    )
-    return isinstance(name, str) and name.lower() in ("adam", "sgd")
-
-
-def _opt_hyper(optimizer_spec) -> Tuple[str, float]:
-    if isinstance(optimizer_spec, str):
-        return optimizer_spec.lower(), 0.01
-    name = optimizer_spec[0].lower()
-    lr = float(optimizer_spec[1]) if len(optimizer_spec) > 1 else 0.01
-    return name, lr
+    return parse_opt_spec(optimizer_spec) is not None
 
 
 def init_fused_opt_state(params) -> Dict[str, Any]:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    """Moments + step counter for the in-kernel optimizer (adam layout;
+    sgd/rmsprop simply ignore the unused slots)."""
     return {
-        "m": zeros,
+        "m": jax.tree.map(jnp.zeros_like, params),
         "v": jax.tree.map(jnp.zeros_like, params),
         "t": jnp.zeros((1,), jnp.int32),
     }
 
+
+# --------------------------------------------------------------------------
+# transposed (feature-major) leaf layout
+# --------------------------------------------------------------------------
+
+def _ceil_to(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+def _kernel_shape(orig_shape) -> Tuple[int, int]:
+    """Logical 2-D kernel-layout shape for an original leaf shape:
+    rank-2 ``(in, out)`` → ``(out, in)`` (feature-major weights); rank-1
+    ``(n,)`` → ``(1, n)`` row; rank-0 → ``(1, 1)``."""
+    if len(orig_shape) == 2:
+        return (orig_shape[1], orig_shape[0])
+    if len(orig_shape) == 1:
+        return (1, orig_shape[0])
+    return (1, 1)
+
+
+def _buffer_shape(orig_shape) -> Tuple[int, int]:
+    """Tile-padded VMEM buffer shape holding the kernel-layout leaf."""
+    a, b = _kernel_shape(orig_shape)
+    return (_ceil_to(a, 8), _ceil_to(b, 128))
+
+
+def _to_kernel_buffer(leaf):
+    """Original leaf → zero-padded kernel-layout VMEM buffer (XLA side)."""
+    leaf = jnp.asarray(leaf, jnp.float32)
+    if leaf.ndim == 2:
+        v = leaf.T
+    elif leaf.ndim == 1:
+        v = leaf[None, :]
+    else:
+        v = leaf.reshape(1, 1)
+    A, L = _buffer_shape(leaf.shape)
+    return jnp.pad(v, ((0, A - v.shape[0]), (0, L - v.shape[1])))
+
+
+def _from_kernel_buffer(arr, orig_shape):
+    """Padded kernel buffer → original leaf shape (XLA side)."""
+    a, b = _kernel_shape(orig_shape)
+    v = arr[:a, :b]
+    if len(orig_shape) == 2:
+        return v.T
+    if len(orig_shape) == 1:
+        return v[0, :]
+    return v.reshape(orig_shape)
+
+
+def _pad_to(g, shape: Tuple[int, int]):
+    """Zero-pad a 2-D value to a buffer shape by explicit concatenation
+    (in-kernel safe: static shapes, full-tile result)."""
+    if g.shape[0] < shape[0]:
+        g = jnp.concatenate(
+            [g, jnp.zeros((shape[0] - g.shape[0], g.shape[1]), jnp.float32)], 0
+        )
+    if g.shape[1] < shape[1]:
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], shape[1] - g.shape[1]), jnp.float32)], 1
+        )
+    return g
+
+
+def _dot11(a, b):
+    """(1,B)·(1,B) → (1,1) reduction as an explicit dot."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _rowsum(a, ones_b1):
+    """(R,B) @ (B,1) → (R,1) reduction over the batch lanes."""
+    return jax.lax.dot_general(
+        a, ones_b1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
 
 def make_fused_epoch(
     model,
@@ -127,281 +262,368 @@ def make_fused_epoch(
     optimizer_spec,
     logging: LoggingLoss,
     *,
-    shuffle: bool = True,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
+    shuffle: Any = True,
+    epochs_per_call: int = 1,
     interpret: Optional[bool] = None,
 ):
     """Build ``fn(params, opt_state, state, tensors, key) -> (params,
     opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` with
     ``opt_state`` from :func:`init_fused_opt_state`.
 
-    ``state`` (fixed params + frozen norm stats) is baked into the kernel as
-    constants; it is returned unchanged.
+    ``epochs_per_call > 1`` scans that many re-shuffled epochs inside ONE
+    jit program, one kernel launch per epoch (shuffling — the same packed
+    gather as the XLA path — happens between launches, in-program).
     """
-    opt_name, lr = _opt_hyper(optimizer_spec)
+    parsed = parse_opt_spec(optimizer_spec)
+    if parsed is None:
+        raise ValueError(f"fused epoch does not support optimizer {optimizer_spec!r}")
+    opt_name, hyper = parsed
+    lr = hyper["learning_rate"]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    train_logging = LoggingLoss(
-        loss_types=logging.loss_types,
-        training_loss=logging.training_loss,
-        extra_loss=None,
-        agg=logging.agg,
-        train_mode=True,
-    )
+    loss_name = logging.training_loss
+    if loss_name not in _FUSED_LOSSES:
+        raise ValueError(f"fused epoch does not support training loss {loss_name!r}")
+    agg_name = logging.agg_name
 
+    mlp: Optional[MLP] = model.nn
     forcing_names = tuple(model.forcing)
     target_names = tuple(model.targets)
+    neural_names = tuple(model.neural_param_names) if mlp is not None else ()
+    global_names = tuple(model.global_param_names)
+    bounds = {
+        name: (model.parameters.lower_of(name), model.parameters.upper_of(name))
+        for name in (*neural_names, *global_names)
+    }
+    has_norm = bool(mlp is not None and mlp.input_batchnorm)
 
-    def forward_rank2(p, state2d, x_b, forcing_b):
-        """Spec-driven rank-2 twin of ``SingleNNHybridModel.apply``.
+    def kernel_body(
+        i,
+        p,            # params pytree in kernel layout (read from aliased refs)
+        state2d,      # state pytree in kernel layout
+        x_fb,         # (F, B) predictors, feature-major
+        forcing_b,    # {name: (1, B)}
+        y_b,          # {target: (1, B)}
+        mask_b,       # {target: (1, B)}
+        t_old,        # rank-0 float32 step counter
+    ):
+        """One SGD step: fused forward + symbolic backward + update math.
+        Returns ``(grads_tree, t_new, valid, batch_loss)``."""
+        bsz = x_fb.shape[1] if mlp is not None else next(
+            iter(forcing_b.values())
+        ).shape[1]
+        ones_b1 = jnp.ones((bsz, 1), jnp.float32)
 
-        Numerically identical to ``model.apply`` (verified in interpret mode
-        against the XLA path by tests/test_fused.py) but keeps EVERY value on
-        the differentiated path at rank ≥ 2 — Mosaic cannot lower the
-        cotangent chains of rank-1/rank-0 intermediates ("Offset change").
-        Leaves arrive in their 2-D kernel shapes; the user's mechanistic
-        function receives (1,B)/(1,1) arrays (broadcasting keeps its math
-        unchanged).
-        """
-        from ..params import scale_param
-        from ..models.nn import get_activation
+        # ---- forward (saving residuals) ---------------------------------
+        mech_params: Dict[str, Any] = {}
+        dscale: Dict[str, Any] = {}   # d scaled / d raw, per bounded param
+        residual_h: List[Any] = []    # dense-layer inputs h_{i-1} (H, B)
+        residual_dact: List[Any] = [] # act'(z_i) (H, B)
+        xhat = None
 
-        # static input norm (frozen BatchNorm): state stats as (1,F)
-        h = x_b  # (B, F)
-        nn_spec = model.nn
-        if nn_spec is not None and nn_spec.input_batchnorm:
-            norm_state = state2d["nn"]["norm"]
-            mean2d, var2d = norm_state["mean"], norm_state["var"]
-            h = (h - mean2d) * jax.lax.rsqrt(var2d + 1e-5)
-            norm_params = p.get("nn", {}).get("norm")
-            if norm_params is not None:
-                h = h * norm_params["scale"] + norm_params["bias"]
-        if nn_spec is not None:
-            for layer, lp in zip(nn_spec.layers, p["nn"]["layers"]):
-                h = jnp.dot(h, lp["w"], preferred_element_type=jnp.float32)
-                h = h + lp["b"]  # (1,H) broadcasts
-                h = get_activation(layer.activation)(h)
-        nn_out = h  # (B, P)
+        if mlp is not None:
+            h = x_fb
+            if has_norm:
+                norm_state = state2d["nn"]["norm"]
+                mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
+                xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
+                h = xhat
+                if mlp.norm.affine:
+                    np_ = p["nn"]["norm"]
+                    h = xhat * np_["scale"] + np_["bias"]  # (F,1) broadcast
+            for layer, lp in zip(mlp.layers, p["nn"]["layers"]):
+                residual_h.append(h)
+                z = jax.lax.dot_general(
+                    lp["w"], h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (out, in) @ (in, B) → (out, B)
+                z = z + lp["b"]  # (out, 1) broadcasts over lanes
+                act = get_activation(layer.activation)
+                # forward-mode: value AND elementwise derivative in one pass
+                h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
+                residual_dact.append(dact)
+            nn_out = h  # (P, B)
 
-        all_params = {}
-        for idx, name in enumerate(model.neural_param_names):
-            col = nn_out[:, idx : idx + 1].T  # (1, B) — rank-2 slice
-            if model.scale_nn_outputs:
-                lo = model.parameters.lower_of(name)
-                up = model.parameters.upper_of(name)
-                col = scale_param(col, lo, up)
-            all_params[name] = col
-        for g in model.global_param_names:
-            lo = model.parameters.lower_of(g)
-            up = model.parameters.upper_of(g)
-            all_params[g] = scale_param(p["globals"][g], lo, up)  # (1,1)
+            for idx, name in enumerate(neural_names):
+                raw = nn_out[idx : idx + 1, :]  # (1, B) sublane slice
+                if model.scale_nn_outputs:
+                    lo, up = bounds[name]
+                    col, dcol = jax.jvp(
+                        lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
+                        (raw,),
+                        (jnp.ones_like(raw),),
+                    )
+                    mech_params[name] = col
+                    dscale[name] = dcol
+                else:
+                    mech_params[name] = raw
+                    dscale[name] = None
+
+        for g in global_names:
+            lo, up = bounds[g]
+            rawg = p["globals"][g]  # (1, 1)
+            val, dval = jax.jvp(
+                lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
+                (rawg,),
+                (jnp.ones_like(rawg),),
+            )
+            mech_params[g] = val
+            dscale[g] = dval
         for f in model.fixed_param_names:
-            all_params[f] = state2d["fixed"][f]  # (1,1)
+            mech_params[f] = state2d["fixed"][f]  # (1, 1)
 
-        from ..models.hybrid import _call_mechanistic
+        # ---- mechanistic model + jvp-seeded parameter tangents ----------
+        def mech_preds(pd):
+            outs = _call_mechanistic(
+                model.mechanistic_model, {**forcing_b, **pd}
+            )
+            return tuple(
+                jnp.broadcast_to(jnp.asarray(outs[t]).reshape(1, -1), (1, bsz))
+                for t in target_names
+            )
 
-        outputs = _call_mechanistic(
-            model.mechanistic_model, {**forcing_b, **all_params}
-        )
-        return outputs
+        diff_names = (*neural_names, *global_names)
+        tangents: Dict[str, Tuple[Any, ...]] = {}
+        preds = None
+        for name in diff_names:
+            def f(v, _name=name):
+                pd = dict(mech_params)
+                pd[_name] = v
+                return mech_preds(pd)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, state_in, tensors, key):
-        from jax.tree_util import tree_flatten_with_path
+            preds, tangents[name] = jax.jvp(
+                f, (mech_params[name],), (jnp.ones_like(mech_params[name]),)
+            )
+        if preds is None:  # no trainable parameter feeds the physics
+            preds = mech_preds(mech_params)
 
-        path_leaves, treedef = tree_flatten_with_path(params)
-        leaf_paths = [
-            "/".join(str(getattr(k, "key", k)) for k in path)
-            for path, _ in path_leaves
-        ]
-        leaves = [l for _, l in path_leaves]
-        m_leaves = jax.tree.flatten(opt_state["m"])[0]
-        v_leaves = jax.tree.flatten(opt_state["v"])[0]
-        orig_shapes = [l.shape for l in leaves]
-        shapes2d = [_to2d_shape(s) for s in orig_shapes]
-        # "broadcast leaves" (rank ≤ 1 originals: biases, BN affine, globals)
-        # enter the differentiated path PRE-TILED over the batch so their AD
-        # cotangents are full-size elementwise arrays; the reduction back to
-        # the leaf shape is an explicit dot OUTSIDE AD. Motivation: this
-        # libtpu's Mosaic silently miscompiles AD-generated reductions into
-        # small buffers (see module docstring).
-        #   mode None      — 2-D weight, used directly
-        #   mode "global"  — (1,1) leaf under globals/ → tile (1, B)
-        #   mode "bias"    — (1,n) leaf → tile (B, n)
-        tile_mode = [
-            None
-            if len(orig_shapes[k]) >= 2
-            else ("global" if leaf_paths[k].startswith("globals") else "bias")
-            for k in range(len(leaves))
-        ]
-        # state (fixed params, frozen norm stats) rides along as read-only
-        # kernel inputs — pallas forbids captured array constants
-        st_leaves, st_treedef = jax.tree.flatten(state_in)
-        st_shapes = [np.shape(l) for l in st_leaves]
-        st_shapes2d = [_to2d_shape(s) for s in st_shapes]
-        nst = len(st_leaves)
+        # ---- per-target loss + manual cotangent --------------------------
+        # matches losses/metrics masked reductions: n = max(Σ mask, 1).
+        # Mosaic constraint: chained adds of reduction RESULTS fuse into
+        # accumulator-form vector.multi_reductions it cannot compile ("only
+        # constant accumulators supported"), so per-target terms are
+        # combined ELEMENTWISE first and reduced exactly once.
+        agg_scale = 1.0 / len(target_names) if agg_name == "mean" else 1.0
+        cots: List[Any] = []
+        loss_elem = None  # (1, B) elementwise loss contributions (mse/mae)
+        rmse_terms: List[Any] = []
+        for j, t in enumerate(target_names):
+            m = mask_b[t]
+            diff = (preds[j] - y_b[t]) * m  # mask zeroes padding AND NaN slots
+            n = jnp.maximum(_dot11(m, m), 1.0)  # Σ m (m ∈ {0,1} → m·m = m)
+            if loss_name == "mse":
+                term = (agg_scale / n) * diff * diff
+                cot = (2.0 * agg_scale / n) * diff
+            elif loss_name == "mae":
+                term = (agg_scale / n) * jnp.abs(diff)
+                cot = (agg_scale / n) * jnp.sign(diff)
+            else:  # rmse
+                mse_t = _dot11(diff, diff) / n
+                r = jnp.sqrt(mse_t)
+                rmse_terms.append(agg_scale * r)
+                # max() only guards the all-masked batch (discarded anyway);
+                # a genuine zero-residual batch is ±inf on the XLA path too
+                cot = (agg_scale / (n * jnp.maximum(r, 1e-30))) * diff
+                term = None
+            if term is not None:
+                loss_elem = term if loss_elem is None else loss_elem + term
+            cots.append(cot)
+        if loss_name == "rmse":
+            bl = rmse_terms[0]
+            for rterm in rmse_terms[1:]:
+                bl = bl + rterm  # (1,1) adds post-sqrt: no reduction fusion
+            batch_loss = bl[0, 0]
+        else:
+            batch_loss = _dot11(loss_elem, jnp.ones_like(loss_elem))[0, 0]
 
+        # ---- backward: mechanistic → bound scaling → MLP -----------------
+        def param_grad_row(name):
+            """dL/d mech_params[name] as (1, B): Σ_t cot_t ⊙ ∂pred_t/∂p —
+            exact for elementwise physics (diagonal Jacobian)."""
+            row = jnp.zeros((1, bsz), jnp.float32)
+            for j in range(len(target_names)):
+                tang = jnp.broadcast_to(tangents[name][j], (1, bsz))
+                row = row + cots[j] * tang
+            return row
+
+        grads = {}
+        if global_names:
+            grads["globals"] = {}
+            for g in global_names:
+                row = param_grad_row(g)  # (1, B)
+                gg = _rowsum(row, ones_b1)  # (1, 1)
+                grads["globals"][g] = gg * dscale[g]
+        else:
+            grads["globals"] = {}
+
+        if mlp is not None:
+            gcols = []
+            for name in neural_names:
+                row = param_grad_row(name)
+                if dscale[name] is not None:
+                    row = row * dscale[name]
+                gcols.append(row)
+            D = jnp.concatenate(gcols, axis=0) if len(gcols) > 1 else gcols[0]
+
+            layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
+            for li in range(len(mlp.layers) - 1, -1, -1):
+                D = D * residual_dact[li]  # dL/dz_li (out, B)
+                gw = jax.lax.dot_general(
+                    D, residual_h[li], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (out, B) ×_B (in, B) → (out, in)
+                gb = _rowsum(D, ones_b1)  # (out, 1)
+                layer_grads[li] = {"w": gw, "b": gb}
+                if li > 0 or (has_norm and mlp.norm.affine):
+                    w = p["nn"]["layers"][li]["w"]  # (out, in)
+                    D = jax.lax.dot_general(
+                        w, D, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # contract out → (in, B)
+            grads["nn"] = {"layers": layer_grads}
+            if has_norm and mlp.norm.affine:
+                grads["nn"]["norm"] = {
+                    "bias": _rowsum(D, ones_b1),
+                    "scale": _rowsum(D * xhat, ones_b1),
+                }
+
+        # ---- empty-batch validity (arithmetic gate: pl.when around the
+        # updates hangs this Mosaic build — round-1 bisection finding) ------
+        if mask_b:
+            msum = None  # elementwise-combine masks, reduce ONCE (see above)
+            for m in mask_b.values():
+                msum = m if msum is None else msum + m
+            total = _dot11(msum, jnp.ones_like(msum))
+            valid = (total[0, 0] > 0.0).astype(jnp.float32)
+        else:
+            valid = jnp.float32(1.0)
+
+        t_new = t_old + valid
+        return grads, t_new, valid, batch_loss * valid
+
+    # ---- optimizer update (per kernel-layout leaf) -----------------------
+    def update_leaf(pv, mv, vv, g, valid, t_new):
+        """Returns (p', m', v') matching the optax formulas exactly.
+        ``valid`` ∈ {0,1} gates the whole update arithmetically (discarded
+        batches leave params/moments/counter bit-identical, like the XLA
+        path's tree-select guard)."""
+        if opt_name == "sgd":
+            return pv - (valid * lr) * g, mv, vv
+        if opt_name == "rmsprop":
+            decay, eps = hyper["decay"], hyper["eps"]
+            v_new = decay * vv + (1.0 - decay) * g * g
+            v_sel = vv + valid * (v_new - vv)
+            upd = g / jnp.sqrt(v_sel + eps)  # optax eps_in_sqrt=True
+            return pv - (valid * lr) * upd, mv, v_sel
+        b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+        # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
+        b1_t = jnp.exp(t_new * np.log(b1).astype(np.float32))
+        b2_t = jnp.exp(t_new * np.log(b2).astype(np.float32))
+        m_new = b1 * mv + (1.0 - b1) * g
+        v_new = b2 * vv + (1.0 - b2) * g * g
+        m_sel = mv + valid * (m_new - mv)
+        v_sel = vv + valid * (v_new - vv)
+        m_hat = m_sel / (1.0 - b1_t)
+        v_hat = v_sel / (1.0 - b2_t)
+        upd = m_hat / (jnp.sqrt(v_hat) + eps)
+        if opt_name == "adamw":
+            upd = upd + hyper["weight_decay"] * pv
+        return pv - (valid * lr) * upd, m_sel, v_sel
+
+    # ---- one pallas_call = one epoch --------------------------------------
+    _PAD = (8, 128)
+
+    def run_kernel_epoch(
+        p_bufs, m_bufs, v_bufs, t_buf,
+        st_bufs, st_treedef, st_orig_shapes,
+        treedef, orig_shapes, tensors,
+    ):
         num_batches, batch = tensors.weight.shape
-
         x = tensors.x
-        forcing = [tensors.forcing[f] for f in forcing_names]
-        ys = [tensors.y[t] for t in target_names]
-        masks = [tensors.mask[t] for t in target_names]
+        if mlp is not None:
+            x_t = jnp.swapaxes(x, 1, 2)  # (nb, F, B) feature-major stream
+        else:
+            x_t = jnp.zeros((num_batches, 1, batch), jnp.float32)
 
-        if shuffle and num_batches > 1:
-            # identical permutation + packed gather as the XLA scan epoch
-            # (training/epoch.py) so the two paths realize the same order
-            from ..training.epoch import epoch_permutation, shuffle_epoch_tensors
-
-            perm = epoch_permutation(key, num_batches * batch)
-            shuffled = shuffle_epoch_tensors(tensors, perm)
-            x = shuffled.x
-            forcing = [shuffled.forcing[f] for f in forcing_names]
-            ys = [shuffled.y[t] for t in target_names]
-            masks = [shuffled.mask[t] for t in target_names]
-
-        # TPU block shapes: the last two dims must divide (8, 128) or equal
-        # the array dims. (NB, B) streams become (NB, 1, B) so the per-step
-        # block (1, 1, B) is legal; the kernel reads [0, 0] -> (B,).
         def as3d(a):
             return a.reshape(a.shape[0], 1, a.shape[1])
 
-        forcing = [as3d(f) for f in forcing]
-        ys = [as3d(y) for y in ys]
-        masks = [as3d(m) for m in masks]
+        forcing = [as3d(tensors.forcing[f]) for f in forcing_names]
+        ys = [as3d(tensors.y[t]) for t in target_names]
+        masks = [as3d(tensors.mask[t]) for t in target_names]
+        nf, nt = len(forcing), len(ys)
+        npar, nst = len(p_bufs), len(st_bufs)
+        buf_shapes = [_buffer_shape(s) for s in orig_shapes]
 
-        nf, nt, npar = len(forcing), len(target_names), len(leaves)
+        def read_forward(buf, orig_shape):
+            """Padded buffer value → forward-pass shape: weights (out, in);
+            rank-1 leaves become columns (n, 1) via an in-kernel transpose
+            (round-1-validated relayout)."""
+            a, b = _kernel_shape(orig_shape)
+            v = buf[0:a, 0:b]
+            return v.T if len(orig_shape) == 1 else v
 
         def kernel(*refs):
-            # params/moments are input_output_aliased: the output refs start
-            # with the input contents, carry across the (sequential) grid and
-            # need no i==0 copy; the aliased input refs are unused.
-            t0_ref = refs[0]
-            idx = 1
+            idx = 0
             x_ref = refs[idx]; idx += 1
             f_refs = refs[idx : idx + nf]; idx += nf
             y_refs = refs[idx : idx + nt]; idx += nt
-            m_refs_in = refs[idx : idx + nt]; idx += nt
+            m_refs = refs[idx : idx + nt]; idx += nt
             st_refs = refs[idx : idx + nst]; idx += nst
-            idx += 3 * npar  # aliased param/m/v input refs (unused)
+            p_in = refs[idx : idx + npar]; idx += npar
+            m_in = refs[idx : idx + npar]; idx += npar
+            v_in = refs[idx : idx + npar]; idx += npar
+            t_in = refs[idx]; idx += 1
             p_out = refs[idx : idx + npar]; idx += npar
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
+            t_out = refs[idx]; idx += 1
+            loss_out = refs[idx]
 
             i = pl.program_id(0)
-
-            # streams stay RANK-2 ((1,B)) end to end: Mosaic mishandles
-            # rank-1/rank-0 values on differentiated paths (bisection)
-            x_b = x_ref[0]
+            first = i == 0
+            x_fb = x_ref[0]  # (F, B)
             forcing_b = {f: f_refs[j][0] for j, f in enumerate(forcing_names)}
             y_b = {t: y_refs[j][0] for j, t in enumerate(target_names)}
-            mask_b = {t: m_refs_in[j][0] for j, t in enumerate(target_names)}
-            # state leaves stay in 2-D kernel shapes (rank-2 discipline)
-            state2d = jax.tree.unflatten(st_treedef, [r[...] for r in st_refs])
+            mask_b = {t: m_refs[j][0] for j, t in enumerate(target_names)}
+            state2d = jax.tree.unflatten(
+                st_treedef,
+                [read_forward(r[...], s) for r, s in zip(st_refs, st_orig_shapes)],
+            )
+            # carried state: output blocks stay VMEM-resident across the
+            # sequential grid; at i==0 seed them from the read-only inputs
+            # (NO input_output_aliases — see module docstring, rule 1)
+            pb = [jnp.where(first, p_in[k][...], p_out[k][...]) for k in range(npar)]
+            mb = [jnp.where(first, m_in[k][...], am_out[k][...]) for k in range(npar)]
+            vb = [jnp.where(first, v_in[k][...], av_out[k][...]) for k in range(npar)]
+            t_old = jnp.where(first, t_in[0, 0], t_out[0, 0])
 
-            def apply_targets(vals_in):
-                """Fused forward returning per-target (1,B) predictions.
+            p = jax.tree.unflatten(
+                treedef,
+                [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
+            )
 
-                The kernel differentiates THIS (via jax.vjp with rank-2
-                cotangents) rather than a scalar loss; broadcast leaves are
-                already tiled, so every cotangent in the backward is a
-                full-size elementwise array or a weight dot — the two forms
-                this Mosaic build compiles correctly.
-                """
-                p = jax.tree.unflatten(treedef, list(vals_in))
-                outputs = forward_rank2(p, state2d, x_b, forcing_b)
-                return tuple(
-                    outputs[t].reshape(1, -1) for t in target_names
+            grads_tree, t_new, valid, batch_loss = kernel_body(
+                i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_old
+            )
+            t_out[...] = jnp.zeros(_PAD, jnp.float32) + t_new
+            g_leaves = jax.tree.flatten(grads_tree)[0]
+            for k in range(npar):
+                g = g_leaves[k]
+                if len(orig_shapes[k]) == 1:
+                    g = g.T  # column grad → row store layout
+                g_pad = _pad_to(g, buf_shapes[k])
+                p_new, m_new, v_new = update_leaf(
+                    pb[k], mb[k], vb[k], g_pad, valid, t_new
                 )
+                p_out[k][...] = p_new
+                am_out[k][...] = m_new
+                av_out[k][...] = v_new
+            prev = loss_out[0, 0]
+            acc = jnp.where(first, batch_loss, prev + batch_loss)
+            loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc
 
-            bsz = x_b.shape[0]
-            vals_in = []
-            for k in range(npar):
-                v = p_out[k][...]
-                if tile_mode[k] == "global":
-                    v = jnp.broadcast_to(v[:, :1], (1, bsz))
-                elif tile_mode[k] == "bias":
-                    v = jnp.broadcast_to(v, (bsz, v.shape[1]))
-                vals_in.append(v)
-            preds, vjp_fn = jax.vjp(apply_targets, vals_in)
-
-            # manual masked-mse cotangent per target:
-            # dL/dpred_t = agg_scale * 2 * (pred_t - y_t) * m_t / n_t
-            agg_scale = (
-                1.0 / len(target_names) if train_logging.agg_name == "mean" else 1.0
-            )
-            cots = tuple(
-                (2.0 * agg_scale / jnp.maximum(jnp.sum(mask_b[t]), 1.0))
-                * (preds[j] - y_b[t])
-                * mask_b[t]
-                for j, t in enumerate(target_names)
-            )
-            raw_grads = vjp_fn(cots)[0]
-            # reduce tiled-leaf cotangents back to leaf shapes with EXPLICIT
-            # dots (outside AD): ones(1,B) @ (B,n) and (1,B) @ ones(B,1)
-            ones_b1 = jnp.ones((bsz, 1), jnp.float32)
-            ones_1b = jnp.ones((1, bsz), jnp.float32)
-            grads = []
-            for k in range(npar):
-                g = raw_grads[k]
-                if tile_mode[k] == "global":
-                    g = jax.lax.dot_general(
-                        g, ones_b1, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (1,1)
-                elif tile_mode[k] == "bias":
-                    g = jax.lax.dot_general(
-                        ones_1b, g, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (1,n)
-                grads.append(g)
-
-            # empty-batch skip via ARITHMETIC selection (pl.when around the
-            # updates hangs this Mosaic build's compiler — final bisection
-            # finding): valid=0 leaves params and moments bit-identical.
-            valid = (
-                (sum(jnp.sum(m) for m in mask_b.values()) > 0.0).astype(
-                    jnp.float32
-                )
-                if mask_b
-                else jnp.float32(1.0)
-            )
-
-            t = (t0_ref[0, 0] + i + 1).astype(jnp.float32)
-            # b^t as exp(t·log b): Mosaic does not lower jnp.power with
-            # a traced exponent
-            b1_t = jnp.exp(t * np.log(b1).astype(np.float32))
-            b2_t = jnp.exp(t * np.log(b2).astype(np.float32))
-            for k in range(npar):
-                g = grads[k]
-                if opt_name == "sgd":
-                    p_out[k][...] = p_out[k][...] - (valid * lr) * g
-                    # aliased outputs must be written in the kernel
-                    am_out[k][...] = am_out[k][...]
-                    av_out[k][...] = av_out[k][...]
-                else:
-                    m_old = am_out[k][...]
-                    v_old = av_out[k][...]
-                    m_new = b1 * m_old + (1.0 - b1) * g
-                    v_new = b2 * v_old + (1.0 - b2) * g * g
-                    m_sel = m_old + valid * (m_new - m_old)
-                    v_sel = v_old + valid * (v_new - v_old)
-                    am_out[k][...] = m_sel
-                    av_out[k][...] = v_sel
-                    m_hat = m_sel / (1.0 - b1_t)
-                    v_hat = v_sel / (1.0 - b2_t)
-                    p_out[k][...] = p_out[k][...] - (valid * lr) * m_hat / (
-                        jnp.sqrt(v_hat) + eps
-                    )
-            # NOTE: the batch loss is intentionally NOT emitted — an SMEM
-            # scalar store in a kernel that also runs autodiff trips Mosaic
-            # ("Not implemented: Offset change"). Loss reporting comes from
-            # the jitted evaluator, which the trainer runs per eval point.
-
-        # ---- specs ----
         def batch_spec(arr):
             blk = (1,) + arr.shape[1:]
             ndim = arr.ndim
@@ -418,30 +640,24 @@ def make_fused_epoch(
                 memory_space=pltpu.VMEM,
             )
 
-        leaves2d = [l.reshape(s) for l, s in zip(leaves, shapes2d)]
-        m2d = [l.reshape(s) for l, s in zip(m_leaves, shapes2d)]
-        v2d = [l.reshape(s) for l, s in zip(v_leaves, shapes2d)]
-        st2d = [
-            jnp.asarray(l, jnp.float32).reshape(s)
-            for l, s in zip(st_leaves, st_shapes2d)
-        ]
-
         in_specs = (
-            [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-            + [batch_spec(x)]
+            [batch_spec(x_t)]
             + [batch_spec(f) for f in forcing]
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
-            + [full_spec(s) for s in st_shapes2d]
-            + [full_spec(s) for s in shapes2d] * 3
+            + [full_spec(tuple(s.shape)) for s in st_bufs]
+            + [full_spec(s) for s in buf_shapes] * 3
+            + [full_spec(_PAD)]
         )
-        out_specs = [full_spec(s) for s in shapes2d] * 3
-        out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes2d] * 3
+        out_specs = (
+            [full_spec(s) for s in buf_shapes] * 3
+            + [full_spec(_PAD), full_spec(_PAD)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
+            + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
+        )
 
-        t0 = opt_state["t"].reshape(1, 1)
-        # alias the param/moment inputs onto the outputs (in-place update)
-        first_param_operand = 2 + nf + 2 * nt + nst
-        aliases = {first_param_operand + j: j for j in range(3 * npar)}
         outs = pl.pallas_call(
             kernel,
             grid=(num_batches,),
@@ -449,28 +665,168 @@ def make_fused_epoch(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-            input_output_aliases=aliases,
-        )(t0, x, *forcing, *ys, *masks, *st2d, *leaves2d, *m2d, *v2d)
+        )(x_t, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs, t_buf)
 
-        new_p2d = outs[:npar]
-        new_m2d = outs[npar : 2 * npar]
-        new_v2d = outs[2 * npar : 3 * npar]
-        # loss is not computed in-kernel (see NOTE above); the trainer reads
-        # metrics from the evaluator
-        loss_sum = jnp.full((), jnp.nan, jnp.float32)
+        new_p = list(outs[:npar])
+        new_m = list(outs[npar : 2 * npar])
+        new_v = list(outs[2 * npar : 3 * npar])
+        t_new = outs[3 * npar]
+        loss_sum = outs[3 * npar + 1]
+        mean_loss = loss_sum[0, 0] / num_batches
+        return new_p, new_m, new_v, t_new, mean_loss
+
+    # ---- jit wrapper: layout conversion + shuffled multi-epoch scan -------
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, state_in, tensors, key):
+        from ..training.epoch import epoch_permutation, shuffle_epoch_tensors
+
+        leaves, treedef = jax.tree.flatten(params)
+        orig_shapes = [l.shape for l in leaves]
+        p_bufs = [_to_kernel_buffer(l) for l in leaves]
+        m_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["m"])[0]]
+        v_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["v"])[0]]
+        t_buf = jnp.pad(
+            opt_state["t"].reshape(1, 1).astype(jnp.float32), ((0, 7), (0, 127))
+        )
+        st_leaves, st_treedef = jax.tree.flatten(state_in)
+        st_orig_shapes = [jnp.shape(l) for l in st_leaves]
+        st_bufs = [_to_kernel_buffer(l) for l in st_leaves]
+
+        num_batches, batch = tensors.weight.shape
+        n = num_batches * batch
+        epochs = max(1, int(epochs_per_call))
+        keys = jax.random.split(key, epochs)
+
+        do_sample_shuffle = shuffle is True and num_batches > 1
+        do_batch_shuffle = shuffle == "batches" and num_batches > 1
+        if do_sample_shuffle:
+            # all epochs' permutations in ONE vmapped key-sort (same
+            # permutations as the XLA scan epoch for the same keys)
+            xs = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
+        elif do_batch_shuffle:
+            xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
+        else:
+            xs = jnp.zeros((epochs, 1), jnp.int32)
+
+        def body(carry, perm):
+            p_bufs, m_bufs, v_bufs, t_buf = carry
+            ts = tensors
+            if do_sample_shuffle:
+                ts = shuffle_epoch_tensors(tensors, perm)
+            elif do_batch_shuffle:
+                from ..data.loaders import EpochTensors
+
+                ts = EpochTensors(
+                    x=jax.tree.map(lambda a: a[perm], tensors.x),
+                    forcing={k: v[perm] for k, v in tensors.forcing.items()},
+                    y={k: v[perm] for k, v in tensors.y.items()},
+                    mask={k: v[perm] for k, v in tensors.mask.items()},
+                    weight=tensors.weight[perm],
+                    n_samples=tensors.n_samples,
+                )
+            p_bufs, m_bufs, v_bufs, t_buf, mean_loss = run_kernel_epoch(
+                list(p_bufs), list(m_bufs), list(v_bufs), t_buf,
+                st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes, ts,
+            )
+            return (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), mean_loss
+
+        (p_bufs, m_bufs, v_bufs, t_buf), losses = jax.lax.scan(
+            body, (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), xs
+        )
 
         new_params = jax.tree.unflatten(
-            treedef, [p.reshape(s) for p, s in zip(new_p2d, orig_shapes)]
+            treedef,
+            [_from_kernel_buffer(a, s) for a, s in zip(p_bufs, orig_shapes)],
         )
         new_opt_state = {
             "m": jax.tree.unflatten(
-                treedef, [p.reshape(s) for p, s in zip(new_m2d, orig_shapes)]
+                treedef,
+                [_from_kernel_buffer(a, s) for a, s in zip(m_bufs, orig_shapes)],
             ),
             "v": jax.tree.unflatten(
-                treedef, [p.reshape(s) for p, s in zip(new_v2d, orig_shapes)]
+                treedef,
+                [_from_kernel_buffer(a, s) for a, s in zip(v_bufs, orig_shapes)],
             ),
-            "t": opt_state["t"] + num_batches,
+            "t": jnp.round(t_buf[0:1, 0]).astype(jnp.int32),
         }
-        return new_params, new_opt_state, state_in, loss_sum
+        return new_params, new_opt_state, state_in, losses[-1]
 
     return epoch_fn
+
+
+# --------------------------------------------------------------------------
+# runtime exactness gate
+# --------------------------------------------------------------------------
+
+def fused_exactness_check(
+    model,
+    params,
+    state,
+    optimizer_spec,
+    logging: LoggingLoss,
+    tensors,
+    *,
+    n_batches: int = 2,
+    tol: float = 3e-2,
+) -> Tuple[bool, float]:
+    """Compare the kernel's fused forward+backward against the XLA scan
+    epoch on a small slice of the actual data, gradient-for-gradient.
+
+    Round 1's Mosaic failure mode was a SILENT miscompile (garbage gradient
+    values, no error; observed ratios 10×–1e33), so the kernel is only
+    auto-enabled when this check passes on the model/data at hand. Both
+    paths run ``n_batches`` plain-SGD steps at a small lr; the implied
+    per-leaf gradients ``(p0 - p) / lr`` are compared relative to the
+    global gradient scale. This is scale-free and tolerates the ~2e-3
+    relative noise of independent bf16 MXU roundings between the two
+    paths (a same-optimizer parameter comparison would not: with Adam,
+    near-zero gradients legitimately flip update signs under benign
+    precision noise). Optimizer arithmetic itself is validated bit-near
+    against optax in interpret mode (tests/test_fused.py). Returns
+    ``(ok, max_relative_gradient_difference)``; any exception on the fused
+    side counts as failure.
+    """
+    import optax
+
+    from ..data.loaders import EpochTensors
+    from ..training.epoch import make_train_epoch
+
+    lr = 1e-3
+    nb = min(n_batches, int(tensors.weight.shape[0]))
+    sub = EpochTensors(
+        x=jax.tree.map(lambda a: a[:nb], tensors.x),
+        forcing={k: v[:nb] for k, v in tensors.forcing.items()},
+        y={k: v[:nb] for k, v in tensors.y.items()},
+        mask={k: v[:nb] for k, v in tensors.mask.items()},
+        weight=tensors.weight[:nb],
+        n_samples=tensors.n_samples,
+    )
+    key = jax.random.PRNGKey(0)
+    try:
+        fused = make_fused_epoch(model, state, ("sgd", lr), logging, shuffle=False)
+        p_f, _, _, loss_f = fused(
+            jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+            state, sub, key,
+        )
+        optimizer = optax.flatten(optax.sgd(lr))
+        xla = make_train_epoch(model, logging, optimizer, shuffle=False)
+        # the XLA epoch donates (params, opt_state, state) — pass copies so
+        # the caller's live state survives the gate
+        p_x, _, _, loss_x = xla(
+            jax.tree.map(jnp.copy, params), optimizer.init(params),
+            jax.tree.map(jnp.copy, state), sub, key,
+        )
+        p0_leaves = jax.tree.leaves(params)
+        gscale = 1e-6
+        for p0, b in zip(p0_leaves, jax.tree.leaves(p_x)):
+            gscale = max(gscale, float(jnp.max(jnp.abs(p0 - b))) / lr)
+        rel = 0.0
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            gdiff = float(jnp.max(jnp.abs(a - b))) / lr
+            rel = max(rel, gdiff / gscale)
+        lf, lx = float(loss_f), float(loss_x)
+        loss_rel = abs(lf - lx) / (abs(lx) + 1e-6)
+        ok = bool(np.isfinite(rel) and rel < tol and loss_rel < 1e-2)
+        return ok, max(rel, loss_rel)
+    except Exception:  # shape/feature outside the kernel envelope
+        return False, float("inf")

@@ -369,31 +369,62 @@ def train(
     )
 
     # ---- fused Pallas fast path (TPU): whole epoch as one kernel ----
+    # Round 1's kernel failure mode was a SILENT Mosaic miscompile, so
+    # "auto" (the default) only enables the kernel after a runtime
+    # gradient-exactness check against the XLA scan epoch on the actual
+    # model and data (ops/fused_epoch.py::fused_exactness_check).
+    # use_pallas=True / EASYHYBRID_PALLAS=1 skips the backend gate but NOT
+    # the exactness gate; EASYHYBRID_PALLAS=0 / use_pallas=False disables.
+    import os
+
     use_pallas = cfg.use_pallas
-    if use_pallas in ("auto", None):
-        # "auto" currently resolves to the XLA scan epoch: the fused kernel
-        # is validated in interpret mode (tests/test_fused.py) but hits a
-        # Mosaic "Not implemented: Offset change" on the real chip that is
-        # still being isolated. Set use_pallas=True (or EASYHYBRID_PALLAS=1)
-        # to opt in explicitly.
-        import os
+    if os.environ.get("EASYHYBRID_PALLAS") == "1" and use_pallas in ("auto", None):
+        use_pallas = True
+    if os.environ.get("EASYHYBRID_PALLAS") == "0":
+        use_pallas = False
+    eval_every = max(1, int(cfg.eval_every))
 
-        from ..ops.fused_epoch import supports_fused_epoch
+    if use_pallas in ("auto", None, True):
+        from ..ops.fused_epoch import fused_exactness_check, supports_fused_epoch
 
-        use_pallas = (
-            os.environ.get("EASYHYBRID_PALLAS") == "1"
-            and jax.default_backend() == "tpu"
+        forced = use_pallas is True
+        candidate = (
+            (forced or jax.default_backend() == "tpu")
             and not cfg.multi_device
             and cfg.jit
-            and cfg.opt_state is None  # fused kernel has its own adam state
+            and cfg.opt_state is None  # fused kernel has its own opt state
             and supports_fused_epoch(model, cfg.optimizer, logging_loss)
         )
-    eval_every = max(1, int(cfg.eval_every))
+        if candidate:
+            ok, gdiff = fused_exactness_check(
+                model, params, state, cfg.optimizer, logging_loss, train_tensors
+            )
+            if ok:
+                use_pallas = True
+                log.info(
+                    "fused Pallas epoch kernel enabled (exactness gate: "
+                    "max grad diff %.2e)", gdiff,
+                )
+            else:
+                if forced:
+                    log.warning(
+                        "use_pallas was requested but the runtime exactness "
+                        "gate FAILED (max grad diff %.2e) — falling back to "
+                        "the XLA scan epoch to avoid silently wrong "
+                        "training", gdiff,
+                    )
+                use_pallas = False
+        else:
+            if forced:
+                log.warning(
+                    "use_pallas=True but this configuration is outside the "
+                    "fused kernel envelope — using the XLA scan epoch"
+                )
+            use_pallas = False
 
     def build_fused_epoch():
         from ..ops.fused_epoch import init_fused_opt_state, make_fused_epoch
 
-        log.info("using fused Pallas epoch kernel")
         opt_state = init_fused_opt_state(params)
         fused_fn = make_fused_epoch(
             model,
@@ -401,17 +432,9 @@ def train(
             cfg.optimizer,
             logging_loss,
             shuffle=cfg.shuffle_each_epoch,
+            epochs_per_call=eval_every,
         )
-        if eval_every == 1:
-            return fused_fn, opt_state
-
-        def epoch_fn(p, o, s, tensors, k):
-            for _ in range(eval_every):
-                k, kk = jax.random.split(k)
-                p, o, s, loss = fused_fn(p, o, s, tensors, kk)
-            return p, o, s, loss
-
-        return epoch_fn, opt_state
+        return fused_fn, opt_state
 
     def build_xla_epoch():
         nonlocal params, state

@@ -89,10 +89,10 @@ def test_fused_matches_xla_epoch(opt):
         jax.random.PRNGKey(1),
     )
 
-    # the fused kernel does not emit a loss (SMEM scalar store + autodiff
-    # trips Mosaic); parameters are the ground truth here
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    # forward-mode-only kernel emits the epoch loss again (round 2)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
 
 
 def test_fused_multi_epoch_consistency():
@@ -173,3 +173,145 @@ def test_fused_forward_matches_apply():
     np.testing.assert_allclose(
         np.asarray(out["reco"]), np.asarray(ref_out["reco"]), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("opt", [("adamw", 0.01), ("rmsprop", 0.02),
+                                 ("adam", 0.01, {"b1": 0.8})])
+def test_fused_widened_optimizers(opt):
+    """adamw / rmsprop / kwarg-form hyperparameters match optax exactly."""
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    if isinstance(opt[-1], dict):
+        opt = (opt[0], {**opt[-1], "learning_rate": opt[1]})
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, opt, ll)
+    fused = make_fused_epoch(model, state, opt, ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = resolve_optimizer(opt, params)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_name", ["mae", "rmse"])
+def test_fused_widened_losses(loss_name):
+    """Hand-written mae/rmse cotangents match jax.grad through the metrics."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss=loss_name, loss_types=(loss_name,))
+    assert supports_fused_epoch(model, ("sgd", 0.05), ll)
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.sgd(0.05)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_fused_multi_target_masked():
+    """Two targets with NaN masks + agg='mean' match the XLA epoch."""
+    def mech(*, ta, rb, gpp_max, Q10):
+        reco = rb * Q10 ** (0.1 * (ta - 15.0))
+        gpp = gpp_max * (1.0 - jnp.exp(-0.1 * ta))
+        return {"reco": reco, "nee": reco - gpp}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"],
+        targets=["reco", "nee"], mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "gpp_max": (5.0, 0.0, 20.0),
+                    "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb", "gpp_max"], global_param_names=["Q10"],
+        hidden_layers=[8], activation="tanh",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(512, seed=7)
+    rng = np.random.default_rng(0)
+    reco = np.asarray(df["reco"], np.float32)
+    nee = reco - 5.0 * (1.0 - np.exp(-0.1 * np.asarray(df["ta"], np.float32)))
+    for col, vals in (("reco", reco.copy()), ("nee", nee)):
+        vals = np.asarray(vals, np.float32)
+        vals[rng.random(len(vals)) < 0.15] = np.nan
+        df[col] = vals
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 128))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",), agg="mean")
+
+    fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_fused_epochs_per_call_and_shuffle_parity():
+    """epochs_per_call scans match the XLA path epoch-for-epoch, including
+    the shared shuffle permutations (same keys → same realized order)."""
+    model, params, state, tensors = _setup(n=512, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    E = 3
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=E
+    )
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(9),
+    )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=True, epochs_per_call=E)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(9),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+
+
+def test_fused_exactness_gate_passes_in_interpret():
+    from easyhybrid_tpu.ops.fused_epoch import fused_exactness_check
+
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    ok, gdiff = fused_exactness_check(
+        model, params, state, ("adam", 0.01), ll, tensors
+    )
+    assert ok and gdiff < 1e-3
+
+
+def test_parse_opt_spec_envelope():
+    from easyhybrid_tpu.ops.fused_epoch import parse_opt_spec
+
+    assert parse_opt_spec("adam") == ("adam", dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8))
+    assert parse_opt_spec(("rmsprop", 0.003))[1]["learning_rate"] == 0.003
+    assert parse_opt_spec(("adamw", {"weight_decay": 0.01}))[1]["weight_decay"] == 0.01
+    assert parse_opt_spec(("sgd", {"momentum": 0.9})) is None  # not fused
+    assert parse_opt_spec("lbfgs") is None
+    assert parse_opt_spec(("adam", "bad")) is None
