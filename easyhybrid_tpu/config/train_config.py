@@ -36,6 +36,9 @@ class TrainConfig:
     # reference's prebuilt-state-tree opt form, TrainingConfig.jl:16-42);
     # must match the resolved optimizer's state structure
     opt_state: Any = None
+    # patience counts EVAL SNAPSHOTS without improvement, not raw epochs:
+    # with eval_every=N the effective epoch patience is patience*N
+    # (tested: tests/test_train.py::test_patience_counts_snapshots)
     patience: Optional[int] = None
     training_loss: Any = "mse"
     loss_types: Sequence[Any] = ("mse", "r2")
@@ -78,6 +81,10 @@ class TrainConfig:
     multi_device: bool = False      # shard batches over the mesh data axis
     mesh: Any = None                # optional jax.sharding.Mesh
     checkpoint_every: int = 1
+    # checkpoint_format: "pickle" (one file per epoch, JLD2-role default) or
+    # "orbax" (tensorstore-backed directories — integrity metadata and
+    # sharded-array support for large multi-chip states)
+    checkpoint_format: str = "pickle"
     # use_pallas: "auto" (fused whole-epoch Pallas kernel on TPU when the
     # model/loss/optimizer qualify — see ops/fused_epoch.py), True to force
     # (interpret-mode off-TPU), False to always use the XLA scan epoch.

@@ -5,10 +5,16 @@ hooks (reference: src/io/save.jl:3-96, src/io/checkpoints.jl:1-37) —
 per-epoch groups of (ps, st) + tracked physical params + losses, a separate
 best-model file, and a final predictions/observations dump.
 
-Format: pytrees (nested dicts of numpy arrays) pickled per epoch under
-``<run>/checkpoints/epoch_NNNN.pkl``; losses in ``history_*.json``; config
-snapshot via :mod:`..config.yaml_io`. Pickle keeps arbitrary pytrees
-(params, optax states) without a schema, mirroring JLD2's role.
+Formats: pytrees (nested dicts of numpy arrays) written per epoch under
+``<run>/checkpoints/epoch_NNNN.{pkl,orbax}``; losses in ``history_*.json``;
+config snapshot via :mod:`..config.yaml_io`.
+
+* ``"pickle"`` (default) — one file per epoch; keeps arbitrary pytrees
+  (params, optax states) without a schema, mirroring JLD2's role.
+* ``"orbax"`` (``TrainConfig.checkpoint_format="orbax"``) — the TPU-native
+  answer for large multi-chip states: tensorstore-backed directories with
+  integrity metadata, async-safe layout, and sharded-array support; reads
+  back through the same :func:`load_pytree`/:func:`load_group` API.
 """
 
 from __future__ import annotations
@@ -39,18 +45,37 @@ def _to_numpy(tree):
     return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
 
 
-def save_pytree(path: str, tree: Any) -> None:
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pytree(path: str, tree: Any, format: str = "pickle") -> None:
+    """Write a pytree checkpoint. ``format="orbax"`` (or a path ending in
+    ``.orbax``) uses an orbax/tensorstore directory instead of pickle."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if format == "orbax" or path.endswith(".orbax"):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        _orbax_checkpointer().save(os.path.abspath(path), _to_numpy(tree))
+        return
     with open(path, "wb") as f:
         pickle.dump(_to_numpy(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
 def load_pytree(path: str) -> Any:
+    """Read a checkpoint written by :func:`save_pytree` (either format —
+    orbax checkpoints are directories, pickles are files)."""
+    if os.path.isdir(path):
+        return _orbax_checkpointer().restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
-_EPOCH_RE = re.compile(r"epoch_(\d+)\.pkl$")
+_EPOCH_RE = re.compile(r"epoch_(\d+)\.(pkl|orbax)$")
 
 
 def _epoch_files(ckpt_dir: str) -> List[str]:
@@ -65,11 +90,19 @@ def _epoch_files(ckpt_dir: str) -> List[str]:
     return [fname for _, fname in sorted(found)]
 
 
+def _is_orbax_dir(path: str) -> bool:
+    return path.endswith(".orbax") or os.path.exists(
+        os.path.join(path, "_CHECKPOINT_METADATA")
+    )
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Load a checkpoint file or, given a run directory, its best model."""
-    if os.path.isdir(path):
+    if os.path.isdir(path) and not _is_orbax_dir(path):
         for candidate in sorted(os.listdir(path)):
-            if candidate.startswith("best_") and candidate.endswith(".pkl"):
+            if candidate.startswith("best_") and (
+                candidate.endswith(".pkl") or candidate.endswith(".orbax")
+            ):
                 return load_pytree(os.path.join(path, candidate))
         ckpt_dir = os.path.join(path, "checkpoints")
         if os.path.isdir(ckpt_dir):
@@ -108,6 +141,8 @@ class CheckpointWriter:
         self.model = model
         self.cfg = cfg
         self.data_cfg = data_cfg
+        self.format = getattr(cfg, "checkpoint_format", "pickle") or "pickle"
+        self._ext = ".orbax" if self.format == "orbax" else ".pkl"
         self._history: List[Dict[str, Any]] = []
 
     def _tracked(self, params, state) -> Dict[str, float]:
@@ -160,15 +195,21 @@ class CheckpointWriter:
                 }
             )
         save_pytree(
-            os.path.join(self.paths.checkpoint_dir, f"epoch_{epoch:04d}.pkl"),
+            os.path.join(
+                self.paths.checkpoint_dir, f"epoch_{epoch:04d}{self._ext}"
+            ),
             record,
+            format=self.format,
         )
         with open(self.paths.history_json, "w") as f:
             json.dump(self._history, f)
 
     def save_final(self, results) -> None:
+        best_path = self.paths.best_model
+        if self.format == "orbax":
+            best_path = os.path.splitext(best_path)[0] + ".orbax"
         save_pytree(
-            self.paths.best_model,
+            best_path,
             {
                 "params": results.params,
                 "state": results.state,
@@ -195,4 +236,5 @@ class CheckpointWriter:
                     },
                 },
             },
+            format=self.format,
         )

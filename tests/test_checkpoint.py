@@ -95,3 +95,46 @@ def test_epoch_files_numeric_sort(tmp_path):
     assert float(ckpt["params"]["e"][0]) == 10000.0
     seq = eh.load_group(str(run_dir), "params")
     assert [float(p["e"][0]) for p in seq] == [0.0, 9999.0, 10000.0]
+
+
+def test_orbax_checkpoint_format(tmp_path, rbq10_model, rbq10_df):
+    """checkpoint_format='orbax' writes tensorstore-backed directories that
+    read back through the same load_checkpoint/load_group API and can warm
+    start a new run (TPU-native alternative to pickle)."""
+    res = eh.train(
+        rbq10_model,
+        rbq10_df,
+        nepochs=2,
+        batchsize=64,
+        save_training=True,
+        checkpoint_format="orbax",
+        output_folder=str(tmp_path),
+        model_name="orbax_test",
+        tracked_params=["Q10"],
+        show_progress=False,
+    )
+    run_dir = os.path.join(str(tmp_path), "orbax_test")
+    ckpts = sorted(os.listdir(os.path.join(run_dir, "checkpoints")))
+    assert ckpts == ["epoch_0000.orbax", "epoch_0001.orbax", "epoch_0002.orbax"]
+    assert os.path.isdir(os.path.join(run_dir, "best_orbax_test.orbax"))
+
+    all_params = eh.load_group(run_dir, "params")
+    assert len(all_params) == 3
+    tracked = eh.load_group(run_dir, "physical_params")
+    assert 1.0 < tracked[1]["Q10"] < 4.0
+
+    ckpt = eh.load_checkpoint(run_dir)  # dir fallback → best model
+    assert "params" in ckpt and "state" in ckpt
+    np.testing.assert_allclose(
+        np.asarray(ckpt["params"]["globals"]["Q10"]),
+        np.asarray(res.params["globals"]["Q10"]),
+        rtol=1e-6,
+    )
+    res2 = eh.train(
+        rbq10_model,
+        rbq10_df,
+        nepochs=1,
+        train_from=os.path.join(run_dir, "best_orbax_test.orbax"),
+        show_progress=False,
+    )
+    assert np.isfinite(res2.best_loss)

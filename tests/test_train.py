@@ -399,3 +399,18 @@ def test_second_order_prebuilt_instance(rbq10_model, rbq10_df):
     )
     assert np.isfinite(res.best_loss)
     assert res.grad_history is not None
+
+
+def test_patience_counts_snapshots(rbq10_model, rbq10_df):
+    """patience counts eval snapshots, not epochs: with eval_every=N and
+    patience=P, early stopping needs P non-improving SNAPSHOTS, i.e. up to
+    P*N epochs (documented on TrainConfig.patience)."""
+    # an absurd LR makes val loss diverge immediately → every snapshot
+    # after epoch 0 is non-improving
+    res = eh.train(
+        rbq10_model, rbq10_df, nepochs=40, eval_every=2, patience=3,
+        batchsize=64, optimizer=("sgd", 1e6), show_progress=False,
+    )
+    # epoch-0 snapshot + exactly `patience` non-improving eval snapshots
+    assert len(res.train_history) == 1 + 3
+    assert res.best_epoch == 0  # diverged run keeps the initial model
