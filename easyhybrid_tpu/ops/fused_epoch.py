@@ -55,13 +55,13 @@ shape three more hard rules in this kernel:
    before being splatted into padded tiles.
 
 Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
-epoch otherwise): SingleNN MLP hybrid (or pure-parameter model with no NN),
-``input_batchnorm`` in {False, "static"}, training loss in {mse, mae, rmse},
-agg in {sum, mean}, optimizer in {adam, adamw, sgd, rmsprop} with static
-hyperparameters, no ``extra_loss``. Multi-target losses with per-target NaN
-masks are supported. ``training.train`` auto-enables the kernel behind a
-runtime exactness check against the XLA path (``fused_exactness_check``)
-because round 1's failure mode was SILENT.
+epoch otherwise): SingleNN or MultiNN MLP hybrids (or a pure-parameter model
+with no NN), ``input_batchnorm`` in {False, "static"}, training loss in
+{mse, mae, rmse}, agg in {sum, mean}, optimizer in {adam, adamw, sgd,
+rmsprop} with static hyperparameters, no ``extra_loss``. Multi-target losses
+with per-target NaN masks are supported. ``training.train`` auto-enables the
+kernel behind a runtime exactness check against the XLA path
+(``fused_exactness_check``) because round 1's failure mode was SILENT.
 """
 
 from __future__ import annotations
@@ -146,16 +146,25 @@ _FUSED_LOSSES = ("mse", "mae", "rmse")
 
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
     """Static support check for the fused-epoch fast path."""
-    if not isinstance(model, SingleNNHybridModel):
+    from ..models.hybrid import MultiNNHybridModel
+
+    if isinstance(model, MultiNNHybridModel):
+        nns = [nn for _, nn in model.nns]
+        if len(nns) != len(model.neural_param_names):
+            return False
+    elif isinstance(model, SingleNNHybridModel):
+        nns = [model.nn] if model.nn is not None else []
+        if nns and not model.neural_param_names:
+            return False
+    else:
         return False
-    if model.nn is not None and not isinstance(model.nn, MLP):
-        return False
-    if model.nn is not None and model.nn.input_batchnorm is True:
-        return False  # trainable running-stats BN mutates state per step
-    if model.nn is not None and model.nn.compute_dtype is not None:
-        return False  # kernel computes in float32
-    if model.nn is not None and not model.neural_param_names:
-        return False
+    for nn in nns:
+        if not isinstance(nn, MLP):
+            return False
+        if nn.input_batchnorm is True:
+            return False  # trainable running-stats BN mutates state per step
+        if nn.compute_dtype is not None:
+            return False  # kernel computes in float32
     if logging.extra_loss is not None:
         return False
     if logging.training_loss not in _FUSED_LOSSES:
@@ -287,22 +296,86 @@ def make_fused_epoch(
         raise ValueError(f"fused epoch does not support training loss {loss_name!r}")
     agg_name = logging.agg_name
 
-    mlp: Optional[MLP] = model.nn
+    from ..models.hybrid import MultiNNHybridModel
+
+    is_multi = isinstance(model, MultiNNHybridModel)
+    # uniform view: tuple of (branch_name, MLP spec); SingleNN is one branch
+    # producing ALL neural columns, MultiNN is one single-output branch per
+    # neural parameter (GenericHybridModel.jl:483-505 analog)
+    if is_multi:
+        nn_branches: Tuple[Tuple[str, MLP], ...] = tuple(model.nns)
+    elif model.nn is not None:
+        nn_branches = (("nn", model.nn),)
+    else:
+        nn_branches = ()
     forcing_names = tuple(model.forcing)
     target_names = tuple(model.targets)
-    neural_names = tuple(model.neural_param_names) if mlp is not None else ()
+    neural_names = tuple(model.neural_param_names) if nn_branches else ()
     global_names = tuple(model.global_param_names)
     bounds = {
         name: (model.parameters.lower_of(name), model.parameters.upper_of(name))
         for name in (*neural_names, *global_names)
     }
-    has_norm = bool(mlp is not None and mlp.input_batchnorm)
+
+    def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1):
+        """Feature-major MLP forward saving backward residuals.
+        Returns ``(nn_out (out, B), residuals)``."""
+        h = x_fb
+        xhat = None
+        if mlp.input_batchnorm:
+            norm_state = st_nn["norm"]
+            mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
+            xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
+            h = xhat
+            if mlp.norm.affine:
+                h = xhat * pnn["norm"]["scale"] + pnn["norm"]["bias"]
+        residual_h, residual_dact = [], []
+        for layer, lp in zip(mlp.layers, pnn["layers"]):
+            residual_h.append(h)
+            z = jax.lax.dot_general(
+                lp["w"], h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (out, in) @ (in, B) → (out, B)
+            z = z + lp["b"]  # (out, 1) broadcasts over lanes
+            act = get_activation(layer.activation)
+            # forward-mode: value AND elementwise derivative in one pass
+            h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
+            residual_dact.append(dact)
+        return h, (residual_h, residual_dact, xhat)
+
+    def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
+        """Symbolic transposed backward from the nn_out cotangent ``D``
+        (out, B). Returns the branch grads dict mirroring ``pnn``."""
+        residual_h, residual_dact, xhat = residuals
+        has_norm_affine = bool(mlp.input_batchnorm and mlp.norm.affine)
+        layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
+        for li in range(len(mlp.layers) - 1, -1, -1):
+            D = D * residual_dact[li]  # dL/dz_li (out, B)
+            gw = jax.lax.dot_general(
+                D, residual_h[li], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (out, B) ×_B (in, B) → (out, in)
+            gb = _rowsum(D, ones_b1)  # (out, 1)
+            layer_grads[li] = {"w": gw, "b": gb}
+            if li > 0 or has_norm_affine:
+                w = pnn["layers"][li]["w"]  # (out, in)
+                D = jax.lax.dot_general(
+                    w, D, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # contract out → (in, B)
+        grads = {"layers": layer_grads}
+        if has_norm_affine:
+            grads["norm"] = {
+                "bias": _rowsum(D, ones_b1),
+                "scale": _rowsum(D * xhat, ones_b1),
+            }
+        return grads
 
     def kernel_body(
         i,
         p,            # params pytree in kernel layout (read from aliased refs)
         state2d,      # state pytree in kernel layout
-        x_fb,         # (F, B) predictors, feature-major
+        x_fb,         # (F, B) predictors feature-major; dict of them (multi)
         forcing_b,    # {name: (1, B)}
         y_b,          # {target: (1, B)}
         mask_b,       # {target: (1, B)}
@@ -310,55 +383,44 @@ def make_fused_epoch(
     ):
         """One SGD step: fused forward + symbolic backward + update math.
         Returns ``(grads_tree, t_new, valid, batch_loss)``."""
-        bsz = x_fb.shape[1] if mlp is not None else next(
-            iter(forcing_b.values())
-        ).shape[1]
+        bsz = next(iter(y_b.values())).shape[1]
         ones_b1 = jnp.ones((bsz, 1), jnp.float32)
 
         # ---- forward (saving residuals) ---------------------------------
         mech_params: Dict[str, Any] = {}
         dscale: Dict[str, Any] = {}   # d scaled / d raw, per bounded param
-        residual_h: List[Any] = []    # dense-layer inputs h_{i-1} (H, B)
-        residual_dact: List[Any] = [] # act'(z_i) (H, B)
-        xhat = None
+        nn_residuals: Dict[str, Any] = {}
 
-        if mlp is not None:
-            h = x_fb
-            if has_norm:
-                norm_state = state2d["nn"]["norm"]
-                mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
-                xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
-                h = xhat
-                if mlp.norm.affine:
-                    np_ = p["nn"]["norm"]
-                    h = xhat * np_["scale"] + np_["bias"]  # (F,1) broadcast
-            for layer, lp in zip(mlp.layers, p["nn"]["layers"]):
-                residual_h.append(h)
-                z = jax.lax.dot_general(
-                    lp["w"], h, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (out, in) @ (in, B) → (out, B)
-                z = z + lp["b"]  # (out, 1) broadcasts over lanes
-                act = get_activation(layer.activation)
-                # forward-mode: value AND elementwise derivative in one pass
-                h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
-                residual_dact.append(dact)
-            nn_out = h  # (P, B)
+        def scale_neural(name, raw):
+            if model.scale_nn_outputs:
+                lo, up = bounds[name]
+                col, dcol = jax.jvp(
+                    lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
+                    (raw,),
+                    (jnp.ones_like(raw),),
+                )
+                mech_params[name] = col
+                dscale[name] = dcol
+            else:
+                mech_params[name] = raw
+                dscale[name] = None
 
+        if is_multi:
+            for (bname, bmlp), pname in zip(nn_branches, neural_names):
+                out_b, res = forward_mlp(
+                    bmlp, p["nns"][bname],
+                    state2d.get("nns", {}).get(bname, {}),
+                    x_fb[bname], ones_b1,
+                )
+                nn_residuals[bname] = res
+                scale_neural(pname, out_b[0:1, :])  # single-output branch
+        elif nn_branches:
+            nn_out, res = forward_mlp(
+                model.nn, p["nn"], state2d.get("nn", {}), x_fb, ones_b1
+            )
+            nn_residuals["nn"] = res
             for idx, name in enumerate(neural_names):
-                raw = nn_out[idx : idx + 1, :]  # (1, B) sublane slice
-                if model.scale_nn_outputs:
-                    lo, up = bounds[name]
-                    col, dcol = jax.jvp(
-                        lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
-                        (raw,),
-                        (jnp.ones_like(raw),),
-                    )
-                    mech_params[name] = col
-                    dscale[name] = dcol
-                else:
-                    mech_params[name] = raw
-                    dscale[name] = None
+                scale_neural(name, nn_out[idx : idx + 1, :])
 
         for g in global_names:
             lo, up = bounds[g]
@@ -457,36 +519,25 @@ def make_fused_epoch(
         else:
             grads["globals"] = {}
 
-        if mlp is not None:
-            gcols = []
-            for name in neural_names:
-                row = param_grad_row(name)
-                if dscale[name] is not None:
-                    row = row * dscale[name]
-                gcols.append(row)
-            D = jnp.concatenate(gcols, axis=0) if len(gcols) > 1 else gcols[0]
+        def neural_grad_row(name):
+            row = param_grad_row(name)
+            if dscale[name] is not None:
+                row = row * dscale[name]
+            return row
 
-            layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
-            for li in range(len(mlp.layers) - 1, -1, -1):
-                D = D * residual_dact[li]  # dL/dz_li (out, B)
-                gw = jax.lax.dot_general(
-                    D, residual_h[li], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (out, B) ×_B (in, B) → (out, in)
-                gb = _rowsum(D, ones_b1)  # (out, 1)
-                layer_grads[li] = {"w": gw, "b": gb}
-                if li > 0 or (has_norm and mlp.norm.affine):
-                    w = p["nn"]["layers"][li]["w"]  # (out, in)
-                    D = jax.lax.dot_general(
-                        w, D, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # contract out → (in, B)
-            grads["nn"] = {"layers": layer_grads}
-            if has_norm and mlp.norm.affine:
-                grads["nn"]["norm"] = {
-                    "bias": _rowsum(D, ones_b1),
-                    "scale": _rowsum(D * xhat, ones_b1),
-                }
+        if is_multi:
+            grads["nns"] = {}
+            for (bname, bmlp), pname in zip(nn_branches, neural_names):
+                grads["nns"][bname] = backward_mlp(
+                    bmlp, p["nns"][bname], neural_grad_row(pname),
+                    nn_residuals[bname], ones_b1,
+                )
+        elif nn_branches:
+            gcols = [neural_grad_row(name) for name in neural_names]
+            D = jnp.concatenate(gcols, axis=0) if len(gcols) > 1 else gcols[0]
+            grads["nn"] = backward_mlp(
+                model.nn, p["nn"], D, nn_residuals["nn"], ones_b1
+            )
 
         # ---- empty-batch validity (arithmetic gate: pl.when around the
         # updates hangs this Mosaic build — round-1 bisection finding) ------
@@ -540,11 +591,15 @@ def make_fused_epoch(
         treedef, orig_shapes, tensors,
     ):
         num_batches, batch = tensors.weight.shape
-        x = tensors.x
-        if mlp is not None:
-            x_t = jnp.swapaxes(x, 1, 2)  # (nb, F, B) feature-major stream
+        # predictor streams, feature-major (nb, F, B): one per NN branch
+        if is_multi:
+            x_ts = [
+                jnp.swapaxes(tensors.x[bname], 1, 2) for bname, _ in nn_branches
+            ]
+        elif nn_branches:
+            x_ts = [jnp.swapaxes(tensors.x, 1, 2)]
         else:
-            x_t = jnp.zeros((num_batches, 1, batch), jnp.float32)
+            x_ts = []
 
         def as3d(a):
             return a.reshape(a.shape[0], 1, a.shape[1])
@@ -564,9 +619,11 @@ def make_fused_epoch(
             v = buf[0:a, 0:b]
             return v.T if len(orig_shape) == 1 else v
 
+        nx = len(x_ts)
+
         def kernel(*refs):
             idx = 0
-            x_ref = refs[idx]; idx += 1
+            x_refs = refs[idx : idx + nx]; idx += nx
             f_refs = refs[idx : idx + nf]; idx += nf
             y_refs = refs[idx : idx + nt]; idx += nt
             m_refs = refs[idx : idx + nt]; idx += nt
@@ -583,7 +640,13 @@ def make_fused_epoch(
 
             i = pl.program_id(0)
             first = i == 0
-            x_fb = x_ref[0]  # (F, B)
+            if is_multi:
+                x_fb = {
+                    bname: x_refs[j][0]
+                    for j, (bname, _) in enumerate(nn_branches)
+                }
+            else:
+                x_fb = x_refs[0][0] if nx else None  # (F, B)
             forcing_b = {f: f_refs[j][0] for j, f in enumerate(forcing_names)}
             y_b = {t: y_refs[j][0] for j, t in enumerate(target_names)}
             mask_b = {t: m_refs[j][0] for j, t in enumerate(target_names)}
@@ -641,7 +704,7 @@ def make_fused_epoch(
             )
 
         in_specs = (
-            [batch_spec(x_t)]
+            [batch_spec(x) for x in x_ts]
             + [batch_spec(f) for f in forcing]
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
@@ -665,7 +728,7 @@ def make_fused_epoch(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(x_t, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs, t_buf)
+        )(*x_ts, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs, t_buf)
 
         new_p = list(outs[:npar])
         new_m = list(outs[npar : 2 * npar])

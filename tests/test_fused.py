@@ -315,3 +315,56 @@ def test_parse_opt_spec_envelope():
     assert parse_opt_spec(("sgd", {"momentum": 0.9})) is None  # not fused
     assert parse_opt_spec("lbfgs") is None
     assert parse_opt_spec(("adam", "bad")) is None
+
+
+def test_fused_multinn_matches_xla():
+    """MultiNN (one single-output MLP per neural parameter, own predictor
+    sets) through the fused kernel matches the XLA epoch + gate passes."""
+    from easyhybrid_tpu.ops.fused_epoch import fused_exactness_check
+
+    def mech(*, ta, rb, gpp_max, Q10):
+        reco = rb * Q10 ** (0.1 * (ta - 15.0))
+        gpp = gpp_max * (1.0 - jnp.exp(-0.1 * ta))
+        return {"nee": reco - gpp}
+
+    model = eh.construct_hybrid_model(
+        predictors={"rb": ["sw_pot", "dsw_pot"], "gpp_max": ["sw_pot"]},
+        forcing=["ta"], targets=["nee"], mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "gpp_max": (5.0, 0.0, 20.0),
+                    "Q10": (2.0, 1.0, 4.0)},
+        global_param_names=["Q10"],
+        hidden_layers=[8], activation="tanh",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll)
+
+    df = eh.gen_rbq10_data(512, seed=13)
+    ta = np.asarray(df["ta"], np.float32)
+    df["nee"] = np.asarray(df["reco"], np.float32) - 5.0 * (
+        1.0 - np.exp(-0.1 * ta)
+    )
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 128))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+
+    fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+    ok, gdiff = fused_exactness_check(
+        model, params, state, ("adam", 0.01), ll, tensors
+    )
+    assert ok and gdiff < 1e-3
