@@ -165,8 +165,10 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
             return False  # trainable running-stats BN mutates state per step
         if nn.compute_dtype is not None:
             return False  # kernel computes in float32
-    if logging.extra_loss is not None:
-        return False
+    if logging.extra_loss is not None and not hasattr(
+        logging.extra_loss, "_l2_spec"
+    ):
+        return False  # only the declarative weight-L2 extra loss is fused
     if logging.training_loss not in _FUSED_LOSSES:
         return False
     if logging.agg_name not in ("sum", "mean"):
@@ -295,6 +297,15 @@ def make_fused_epoch(
     if loss_name not in _FUSED_LOSSES:
         raise ValueError(f"fused epoch does not support training loss {loss_name!r}")
     agg_name = logging.agg_name
+    l2_spec = getattr(logging.extra_loss, "_l2_spec", None)
+    if logging.extra_loss is not None and l2_spec is None:
+        raise ValueError(
+            "fused epoch only supports the declarative weight-L2 extra loss"
+        )
+    # compute_loss applies agg AGAIN over [target_loss, extra]
+    # (losses/compute.py) — for agg='mean' that halves both terms and their
+    # gradients
+    ex_outer = 0.5 if (l2_spec is not None and agg_name == "mean") else 1.0
 
     from ..models.hybrid import MultiNNHybridModel
 
@@ -466,7 +477,9 @@ def make_fused_epoch(
         # accumulator-form vector.multi_reductions it cannot compile ("only
         # constant accumulators supported"), so per-target terms are
         # combined ELEMENTWISE first and reduced exactly once.
-        agg_scale = 1.0 / len(target_names) if agg_name == "mean" else 1.0
+        agg_scale = (
+            1.0 / len(target_names) if agg_name == "mean" else 1.0
+        ) * ex_outer  # ex_outer: outer agg over [target_loss, extra_loss]
         cots: List[Any] = []
         loss_elem = None  # (1, B) elementwise loss contributions (mse/mae)
         rmse_terms: List[Any] = []
@@ -588,7 +601,7 @@ def make_fused_epoch(
     def run_kernel_epoch(
         p_bufs, m_bufs, v_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
-        treedef, orig_shapes, tensors,
+        treedef, orig_shapes, tensors, is_weight,
     ):
         num_batches, batch = tensors.weight.shape
         # predictor streams, feature-major (nb, F, B): one per NN branch
@@ -670,6 +683,33 @@ def make_fused_epoch(
             grads_tree, t_new, valid, batch_loss = kernel_body(
                 i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_old
             )
+            l2_coeff = 0.0
+            if l2_spec is not None:
+                # declarative weight-L2 extra loss: symbolic value+grad.
+                # Padded buffer regions are zero so they contribute nothing.
+                count = sum(
+                    int(np.prod(orig_shapes[k]))
+                    for k in range(npar)
+                    if is_weight[k]
+                )
+                norm_div = float(count) if l2_spec["normalize"] else 1.0
+                l2_sum = None
+                for k in range(npar):
+                    if not is_weight[k]:
+                        continue
+                    wb = pb[k]
+                    sq_col = _rowsum(
+                        wb * wb, jnp.ones((wb.shape[1], 1), jnp.float32)
+                    )  # (O, 1)
+                    s11 = jax.lax.dot_general(
+                        jnp.ones((1, wb.shape[0]), jnp.float32), sq_col,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, 1)
+                    l2_sum = s11 if l2_sum is None else l2_sum + s11
+                l2_val = (l2_spec["scale"] / norm_div) * l2_sum[0, 0]
+                batch_loss = batch_loss + (ex_outer * valid) * l2_val
+                l2_coeff = ex_outer * 2.0 * l2_spec["scale"] / norm_div
             t_out[...] = jnp.zeros(_PAD, jnp.float32) + t_new
             g_leaves = jax.tree.flatten(grads_tree)[0]
             for k in range(npar):
@@ -677,6 +717,8 @@ def make_fused_epoch(
                 if len(orig_shapes[k]) == 1:
                     g = g.T  # column grad → row store layout
                 g_pad = _pad_to(g, buf_shapes[k])
+                if l2_spec is not None and is_weight[k]:
+                    g_pad = g_pad + l2_coeff * pb[k]
                 p_new, m_new, v_new = update_leaf(
                     pb[k], mb[k], vb[k], g_pad, valid, t_new
                 )
@@ -743,7 +785,15 @@ def make_fused_epoch(
     def epoch_fn(params, opt_state, state_in, tensors, key):
         from ..training.epoch import epoch_permutation, shuffle_epoch_tensors
 
-        leaves, treedef = jax.tree.flatten(params)
+        from jax.tree_util import tree_flatten_with_path
+
+        path_leaves, treedef = tree_flatten_with_path(params)
+        leaves = [l for _, l in path_leaves]
+        l2_key = l2_spec["key"] if l2_spec is not None else "w"
+        is_weight = [
+            bool(path) and getattr(path[-1], "key", None) == l2_key
+            for path, _ in path_leaves
+        ]
         orig_shapes = [l.shape for l in leaves]
         p_bufs = [_to_kernel_buffer(l) for l in leaves]
         m_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["m"])[0]]
@@ -789,7 +839,8 @@ def make_fused_epoch(
                 )
             p_bufs, m_bufs, v_bufs, t_buf, mean_loss = run_kernel_epoch(
                 list(p_bufs), list(m_bufs), list(v_bufs), t_buf,
-                st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes, ts,
+                st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
+                ts, is_weight,
             )
             return (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), mean_loss
 

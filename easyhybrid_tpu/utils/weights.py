@@ -48,11 +48,17 @@ def weight_l2(params: Any, *, normalize: bool = True, key: str = "w"):
     return total
 
 
-def l2_extra_loss(scale: float = 1.0, *, normalize: bool = True):
-    """Build an ``extra_loss`` callable ``(outputs, params) -> scalar``."""
+def l2_extra_loss(scale: float = 1.0, *, normalize: bool = True, key: str = "w"):
+    """Build an ``extra_loss`` callable ``(outputs, params) -> scalar``.
+
+    The returned closure carries a declarative ``_l2_spec`` so the fused
+    Pallas epoch kernel can add the penalty (value and symbolic gradient
+    ``2·scale·w/count``) without reverse-mode AD; arbitrary ``extra_loss``
+    callables fall back to the XLA scan epoch."""
 
     def extra(outputs, params):
-        return scale * weight_l2(params, normalize=normalize)
+        return scale * weight_l2(params, normalize=normalize, key=key)
 
     extra.__name__ = "weight_l2"
+    extra._l2_spec = {"scale": float(scale), "normalize": bool(normalize), "key": key}
     return extra

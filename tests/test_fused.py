@@ -49,8 +49,14 @@ def test_supports_fused_epoch():
     assert supports_fused_epoch(model, ("adam", 0.01), ll)
     assert supports_fused_epoch(model, "sgd", ll)
     assert not supports_fused_epoch(model, {"nn": "adam"}, ll)  # per-branch
-    assert not supports_fused_epoch(
+    # the declarative weight-L2 extra loss IS fused (symbolic gradient);
+    # arbitrary extra_loss callables are not
+    assert supports_fused_epoch(
         model, ("adam", 0.01), eh.LoggingLoss(extra_loss=eh.l2_extra_loss())
+    )
+    assert not supports_fused_epoch(
+        model, ("adam", 0.01),
+        eh.LoggingLoss(extra_loss=lambda outputs, params: 0.0),
     )
     # trainable BN not supported
     m2 = eh.construct_hybrid_model(
@@ -368,3 +374,37 @@ def test_fused_multinn_matches_xla():
         model, params, state, ("adam", 0.01), ll, tensors
     )
     assert ok and gdiff < 1e-3
+
+
+def test_fused_l2_extra_loss_matches_xla():
+    """The declarative weight-L2 extra loss is fused (value + symbolic
+    2·scale·w/count gradient) and matches the XLA path, for both aggs."""
+    for agg in ("sum", "mean"):
+        model, params, state, tensors = _setup()
+        ll = eh.LoggingLoss(
+            training_loss="mse", loss_types=("mse",), agg=agg,
+            extra_loss=eh.l2_extra_loss(0.5),
+        )
+        assert supports_fused_epoch(model, ("adam", 0.01), ll)
+        fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=False)
+        p_f, _, _, loss_f = fused(
+            jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+            state, tensors, jax.random.PRNGKey(1),
+        )
+        optimizer = optax.adam(0.01)
+        xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+        p_x, _, _, loss_x = xla(
+            jax.tree.map(jnp.array, params), optimizer.init(params),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+        )
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-6,
+                err_msg=f"agg={agg}",
+            )
+        np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+    # arbitrary extra_loss callables stay on the XLA path
+    ll_custom = eh.LoggingLoss(
+        training_loss="mse", extra_loss=lambda outputs, params: 0.0
+    )
+    assert not supports_fused_epoch(model, ("adam", 0.01), ll_custom)
