@@ -171,17 +171,27 @@ def split_data(
     return prepared.take(train_idx), prepared.take(val_idx)
 
 
+def merged_sequence_kwargs(data_config) -> Optional[dict]:
+    """The ONE windowing-defaults policy for every entry point: copy
+    ``sequence_kwargs`` and ``setdefault`` ``input_window=sequence_length``.
+    Used by ``prepare_splits``, ``train`` and ``train_second_order`` so the
+    same DataConfig windows identically everywhere."""
+    if not (
+        getattr(data_config, "sequence_length", None)
+        or getattr(data_config, "sequence_kwargs", None)
+    ):
+        return None
+    sequence_kwargs = dict(data_config.sequence_kwargs or {})
+    if data_config.sequence_length:
+        sequence_kwargs.setdefault("input_window", data_config.sequence_length)
+    return sequence_kwargs or None
+
+
 def prepare_splits(data, model, data_config, *, seed: Optional[int] = None):
     """Map a :class:`~easyhybrid_tpu.config.DataConfig` onto ``split_data``.
 
     Parity: reference ``prepare_splits`` (src/data/splits.jl:3-30)."""
-    sequence_kwargs = None
-    if getattr(data_config, "sequence_length", None) or getattr(
-        data_config, "sequence_kwargs", None
-    ):
-        sequence_kwargs = dict(data_config.sequence_kwargs or {})
-        if data_config.sequence_length:
-            sequence_kwargs.setdefault("input_window", data_config.sequence_length)
+    sequence_kwargs = merged_sequence_kwargs(data_config)
     return split_data(
         data,
         model,

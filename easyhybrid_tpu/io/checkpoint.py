@@ -46,7 +46,13 @@ def _to_numpy(tree):
 
 
 def _orbax_checkpointer():
-    import orbax.checkpoint as ocp
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise ImportError(
+            "checkpoint_format='orbax' needs the optional dependency "
+            "orbax-checkpoint (pip install easyhybrid-tpu[orbax])"
+        ) from e
 
     return ocp.PyTreeCheckpointer()
 

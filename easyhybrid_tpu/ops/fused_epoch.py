@@ -285,6 +285,12 @@ def make_fused_epoch(
     jit program, one kernel launch per epoch (shuffling — the same packed
     gather as the XLA path — happens between launches, in-program).
     """
+    if shuffle not in (True, False, "batches"):
+        # the XLA path raises for e.g. "per_shard" without a mesh; never
+        # silently train unshuffled on a mode this kernel doesn't implement
+        raise ValueError(
+            f"fused epoch supports shuffle=True/False/'batches', got {shuffle!r}"
+        )
     parsed = parse_opt_spec(optimizer_spec)
     if parsed is None:
         raise ValueError(f"fused epoch does not support optimizer {optimizer_spec!r}")
@@ -582,8 +588,14 @@ def make_fused_epoch(
             return pv - (valid * lr) * upd, mv, v_sel
         b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
         # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
-        b1_t = jnp.exp(t_new * np.log(b1).astype(np.float32))
-        b2_t = jnp.exp(t_new * np.log(b2).astype(np.float32))
+        # t clamped to >=1: a fully-masked batch at step 0 leaves t_new==0,
+        # where 1-b^0 == 0 would make m_hat 0/0=NaN — and the arithmetic
+        # valid-gate propagates it (0*NaN=NaN). With valid==0 the update is
+        # discarded anyway, so the clamped exponent never changes real math
+        # (any valid step has t_new >= 1).
+        t_safe = jnp.maximum(t_new, 1.0)
+        b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+        b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
         m_new = b1 * mv + (1.0 - b1) * g
         v_new = b2 * vv + (1.0 - b2) * g * g
         m_sel = mv + valid * (m_new - mv)
@@ -808,7 +820,10 @@ def make_fused_epoch(
         num_batches, batch = tensors.weight.shape
         n = num_batches * batch
         epochs = max(1, int(epochs_per_call))
-        keys = jax.random.split(key, epochs)
+        # single-epoch programs consume the caller's key directly, exactly
+        # like the XLA path's one_epoch — splitting would realize a
+        # different shuffle order for the same key
+        keys = jax.random.split(key, epochs) if epochs > 1 else key[None]
 
         do_sample_shuffle = shuffle is True and num_batches > 1
         do_batch_shuffle = shuffle == "batches" and num_batches > 1

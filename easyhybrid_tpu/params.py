@@ -76,6 +76,13 @@ def inv_sigmoid(y):
     if isinstance(y, (float, int)):
         import math
 
+        # mirror jnp.log semantics at/outside the bounds so a parameter whose
+        # default equals lower/upper initializes pinned (±inf) instead of
+        # raising math-domain/zero-division errors
+        if y <= 0.0:
+            return -math.inf if y == 0.0 else math.nan
+        if y >= 1.0:
+            return math.inf if y == 1.0 else math.nan
         return math.log(y / (1.0 - y))
     return jnp.log(y / (1.0 - y))
 

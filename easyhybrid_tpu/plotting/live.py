@@ -199,7 +199,9 @@ class LiveDashboard:
         if len(self.frames) < self.max_frames:
             self.fig.canvas.draw()
             buf = np.asarray(self.fig.canvas.buffer_rgba())
-            self.frames.append(buf[..., :3].copy())
+            # store PNG-compressed (~50 kB) instead of raw RGB (~2.8 MB):
+            # bounds a 120-frame movie at a few MB of host memory
+            self.frames.append(_encode_frame(buf[..., :3]))
 
     def finish(
         self,
@@ -218,8 +220,31 @@ class LiveDashboard:
         return written
 
 
-def _write_movie(frames: List[np.ndarray], path: str, fps: int = 5) -> str:
-    """Write RGB frames as .mp4 (ffmpeg) or .gif (pillow fallback)."""
+def _encode_frame(rgb: np.ndarray) -> bytes:
+    """RGB array → PNG bytes (lossless, ~50× smaller than raw)."""
+    import io
+
+    from PIL import Image
+
+    bio = io.BytesIO()
+    Image.fromarray(rgb).save(bio, format="PNG")
+    return bio.getvalue()
+
+
+def _decode_frame(fr) -> np.ndarray:
+    if isinstance(fr, (bytes, bytearray)):
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(fr)).convert("RGB"))
+    return fr
+
+
+def _write_movie(frames: List, path: str, fps: int = 5) -> str:
+    """Write frames (RGB arrays or PNG bytes) as .mp4 (ffmpeg) or .gif
+    (pillow fallback). Frames are decoded one at a time on the mp4 path."""
+    first = _decode_frame(frames[0])
     if path.endswith(".mp4"):
         try:
             import matplotlib.animation as animation
@@ -227,15 +252,15 @@ def _write_movie(frames: List[np.ndarray], path: str, fps: int = 5) -> str:
             if animation.FFMpegWriter.isAvailable():
                 import matplotlib.pyplot as plt
 
-                h, w = frames[0].shape[:2]
+                h, w = first.shape[:2]
                 fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
                 ax = fig.add_axes([0, 0, 1, 1])
                 ax.axis("off")
-                im = ax.imshow(frames[0])
+                im = ax.imshow(first)
                 writer = animation.FFMpegWriter(fps=fps)
                 with writer.saving(fig, path, dpi=100):
                     for fr in frames:
-                        im.set_data(fr)
+                        im.set_data(_decode_frame(fr))
                         writer.grab_frame()
                 plt.close(fig)
                 return path
@@ -244,7 +269,7 @@ def _write_movie(frames: List[np.ndarray], path: str, fps: int = 5) -> str:
         path = path.rsplit(".", 1)[0] + ".gif"
     from PIL import Image
 
-    imgs = [Image.fromarray(fr) for fr in frames]
+    imgs = [Image.fromarray(_decode_frame(fr)) for fr in frames]
     imgs[0].save(
         path,
         save_all=True,

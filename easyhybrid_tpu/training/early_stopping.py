@@ -10,10 +10,9 @@ from __future__ import annotations
 import logging
 from typing import Any, Optional
 
-import jax
-
 from ..losses.metrics import is_better
 from ..losses.specs import loss_name
+from ..utils.host import to_host as _to_host
 from .history import EpochSnapshot, TrainingHistory, _agg_loss
 
 __all__ = ["EarlyStopping"]
@@ -21,13 +20,6 @@ __all__ = ["EarlyStopping"]
 log = logging.getLogger("easyhybrid_tpu")
 
 
-def _to_host(tree):
-    # start all copies first so the transfer costs ~one round trip total
-    # (serial per-leaf device_get is ~30ms/leaf on a tunneled TPU)
-    for a in jax.tree.leaves(tree):
-        if hasattr(a, "copy_to_host_async"):
-            a.copy_to_host_async()
-    return jax.tree.map(lambda a: jax.device_get(a), tree)
 
 
 class EarlyStopping:

@@ -216,7 +216,9 @@ def make_train_epoch(
             # permute only the batch ORDER: one (num_batches,) gather instead
             # of a full sample gather. Sample-to-batch assignment stays fixed
             # (trades shuffle quality for ~20% epoch speed on small models).
-            perm = jax.random.permutation(key, num_batches)
+            # epoch_permutation (key-sort), NOT jax.random.permutation, so the
+            # fused Pallas epoch realizes the identical batch order per key.
+            perm = epoch_permutation(key, num_batches)
             tensors = EpochTensors(
                 x=_tree_gather(tensors.x, perm),
                 forcing=_tree_gather(tensors.forcing, perm),

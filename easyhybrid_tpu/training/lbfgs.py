@@ -28,7 +28,7 @@ import optax
 
 from ..config.train_config import DataConfig, TrainConfig, TrainResults
 from ..data.loaders import batch_iterator
-from ..data.split import split_data
+from ..data.split import merged_sequence_kwargs, split_data
 from ..losses.specs import LoggingLoss
 from .early_stopping import EarlyStopping
 from .epoch import make_evaluator, make_loss_fn
@@ -66,9 +66,7 @@ def train_second_order(
     key = jax.random.PRNGKey(cfg.random_seed)
     key, init_key = jax.random.split(key)
 
-    sequence_kwargs = dict(dcfg.sequence_kwargs) if dcfg.sequence_kwargs else {}
-    if dcfg.sequence_length:
-        sequence_kwargs.setdefault("input_window", dcfg.sequence_length)
+    sequence_kwargs = merged_sequence_kwargs(dcfg)
     train_data, val_data = split_data(
         data,
         model,
@@ -77,7 +75,7 @@ def train_second_order(
         val_fold=dcfg.val_fold,
         shuffleobs=dcfg.shuffleobs,
         split_data_at=dcfg.split_data_at,
-        sequence_kwargs=sequence_kwargs or None,
+        sequence_kwargs=sequence_kwargs,
         seed=cfg.random_seed,
     )
     train_eval_batch = _full_batch(train_data)
@@ -87,7 +85,9 @@ def train_second_order(
 
     try:
         params, state = _jit_init(model, init_key)
-    except TypeError:  # unhashable custom model: eager fallback
+    except (TypeError, ValueError):
+        # unhashable custom model (jax raises ValueError for non-hashable
+        # static args, older versions TypeError): eager fallback
         params, state = model.init(init_key)
     if cfg.promote_f64:
         params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)

@@ -28,8 +28,9 @@ import numpy as np
 from ..config.train_config import DataConfig, TrainConfig, TrainResults, validate_config
 from ..data.loaders import build_epoch_tensors
 from ..data.prepare import HybridData
-from ..data.split import split_data
+from ..data.split import merged_sequence_kwargs, split_data
 from ..losses.specs import LoggingLoss
+from ..utils.host import start_fetch as _start_fetch
 from .early_stopping import EarlyStopping
 from .epoch import make_dual_evaluator, make_train_epoch
 from .history import EpochSnapshot, TrainingHistory
@@ -165,15 +166,6 @@ def _trim(arr, n: int):
     return arr
 
 
-def _start_fetch(tree) -> None:
-    """Kick off device→host copies for every leaf without blocking; a later
-    ``np.asarray``/``device_get`` then completes in ~one round trip instead
-    of one serial round trip per leaf (the dominant host-loop cost on a
-    remote/tunneled TPU)."""
-    for a in jax.tree.leaves(tree):
-        if hasattr(a, "copy_to_host_async"):
-            a.copy_to_host_async()
-
 
 def _host_metrics(metrics) -> Dict[str, Dict[str, float]]:
     _start_fetch(metrics)
@@ -302,12 +294,7 @@ def train(
     key, init_key = jax.random.split(key)
 
     # ---- data ----
-    # merge sequence_length into sequence_kwargs the same way prepare_splits
-    # does (setdefault), so both entry points window identically
-    sequence_kwargs = dict(dcfg.sequence_kwargs) if dcfg.sequence_kwargs else {}
-    if dcfg.sequence_length:
-        sequence_kwargs.setdefault("input_window", dcfg.sequence_length)
-    sequence_kwargs = sequence_kwargs or None
+    sequence_kwargs = merged_sequence_kwargs(dcfg)
     train_data, val_data = split_data(
         data,
         model,
@@ -357,7 +344,9 @@ def train(
     else:
         try:
             params, state = _jit_init(model, init_key)
-        except TypeError:  # unhashable custom model: eager fallback
+        except (TypeError, ValueError):
+            # unhashable custom model (jax raises ValueError for non-hashable
+            # static args, older versions TypeError): eager fallback
             params, state = model.init(init_key)
     state = fit_input_norm(model, state, train_data)
 
@@ -393,6 +382,7 @@ def train(
             and not cfg.multi_device
             and cfg.jit
             and cfg.opt_state is None  # fused kernel has its own opt state
+            and cfg.shuffle_each_epoch in (True, False, "batches")
             and supports_fused_epoch(model, cfg.optimizer, logging_loss)
         )
         if candidate:

@@ -101,6 +101,7 @@ def test_orbax_checkpoint_format(tmp_path, rbq10_model, rbq10_df):
     """checkpoint_format='orbax' writes tensorstore-backed directories that
     read back through the same load_checkpoint/load_group API and can warm
     start a new run (TPU-native alternative to pickle)."""
+    pytest.importorskip("orbax.checkpoint")
     res = eh.train(
         rbq10_model,
         rbq10_df,

@@ -408,3 +408,60 @@ def test_fused_l2_extra_loss_matches_xla():
         training_loss="mse", extra_loss=lambda outputs, params: 0.0
     )
     assert not supports_fused_epoch(model, ("adam", 0.01), ll_custom)
+
+
+def test_fused_adam_masked_first_batch_no_nan():
+    """A fully-masked FIRST batch at optimizer step 0 must not NaN-corrupt
+    parameters: adam's bias correction is 0/0 when the step counter stays 0
+    and the arithmetic valid-gate would propagate it (0*NaN=NaN)."""
+    model, params, state, tensors = _setup(n=256, batch=128)
+    tensors = tensors._replace(
+        mask={k: v.at[0].set(0.0) for k, v in tensors.mask.items()}
+    )
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(p_f))
+    assert np.isfinite(float(loss_f))
+    # and matches the XLA path, which tree-selects the update away
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(0),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_rejects_unknown_shuffle_mode():
+    """Unsupported shuffle modes must raise, never silently train
+    unshuffled (the XLA path raises for per_shard without a mesh)."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    with pytest.raises(ValueError, match="shuffle"):
+        make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle="per_shard")
+
+
+def test_fused_batch_shuffle_order_parity():
+    """shuffle='batches' realizes the same batch order on both paths for
+    the same key (both use epoch_permutation's key-sort)."""
+    model, params, state, tensors = _setup(n=512, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle="batches")
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(3),
+    )
+    optimizer = optax.sgd(0.05)
+    xla = make_train_epoch(model, ll, optimizer, shuffle="batches")
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -64,3 +64,37 @@ def test_subset_and_as_dict():
     assert sub.names == ("b",)
     d = pc.as_dict()
     assert d["a"]["upper"] == 2.0
+
+
+def test_unscale_param_default_at_bound():
+    """default == lower/upper pins the parameter (±inf raw) instead of
+    raising math-domain errors on the host-scalar fast path."""
+    import math
+
+    raw = eh.unscale_param(0.0, 0.0, 13.0)
+    assert raw == -math.inf
+    assert float(eh.scale_param(raw, 0.0, 13.0)) == 0.0
+    raw = eh.unscale_param(13.0, 0.0, 13.0)
+    assert raw == math.inf
+    assert float(eh.scale_param(raw, 0.0, 13.0)) == 13.0
+
+
+def test_model_init_with_default_at_bound():
+    """A model declaring a global default equal to its bound initializes
+    (pinned) instead of crashing model.init."""
+    import jax
+
+    def mech(*, ta, rb, Q10):
+        return {"reco": rb * Q10 ** (0.1 * (ta - 15.0))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot"],
+        forcing=["ta"],
+        targets=["reco"],
+        mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (1.0, 1.0, 4.0)},
+        neural_param_names=["rb"],
+        global_param_names=["Q10"],
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert float(params["globals"]["Q10"][0]) == float("-inf")
