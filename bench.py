@@ -80,7 +80,9 @@ def _epoch_bench(
     from easyhybrid_tpu.training.epoch import can_skip_empty_guard, make_train_epoch
     from easyhybrid_tpu.training.train import fit_input_norm
 
-    tensors = jax.device_put(build_epoch_tensors(data, batch))
+    host_tensors = build_epoch_tensors(data, batch)
+    skip_guard = can_skip_empty_guard(host_tensors)  # on HOST arrays: free
+    tensors = jax.device_put(host_tensors)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     state = fit_input_norm(model, state, data)
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=loss_types)
@@ -96,40 +98,68 @@ def _epoch_bench(
     )
 
     opt_spec = ("adam", 0.01)
-    use_fused = (
+    fused_candidate = (
         jax.default_backend() == "tpu"
         and supports_fused_epoch(model, opt_spec, logging_loss)
-        and fused_exactness_check(
-            model, params, state, opt_spec, logging_loss, tensors
-        )[0]
     )
-    if use_fused:
+    # IMPORTANT ordering: time the fused path BEFORE the exactness gate.
+    # The gate performs one device→host readback, and on this rig ANY
+    # readback permanently drops the process's async dispatch ~25×
+    # (docs/tpu_notes.md) — gating first would measure the degraded
+    # regime, not the one train() runs in (its gate verdict is disk-cached
+    # after the first run, so steady-state training makes no gate readback).
+    def build_xla():
+        optimizer = optax.flatten(optax.adam(0.01))
+        return optimizer, optimizer.init(params), make_train_epoch(
+            model, logging_loss, optimizer, shuffle=True,
+            epochs_per_call=epochs_per_call,
+            skip_empty_guard=skip_guard,
+        )
+
+    if fused_candidate:
         opt_state = init_fused_opt_state(params)
         epoch_fn = make_fused_epoch(
             model, state, opt_spec, logging_loss, shuffle=True,
             epochs_per_call=epochs_per_call,
         )
     else:
-        optimizer = optax.flatten(optax.adam(0.01))
-        opt_state = optimizer.init(params)
-        epoch_fn = make_train_epoch(
-            model, logging_loss, optimizer, shuffle=True,
-            epochs_per_call=epochs_per_call,
-            skip_empty_guard=can_skip_empty_guard(tensors),
-        )
+        _, opt_state, epoch_fn = build_xla()
 
-    carry = [params, opt_state, state]
-
-    def block():
-        p, o, s = carry
-        for c in range(calls_per_block):
-            p, o, s, loss = epoch_fn(p, o, s, tensors, jax.random.PRNGKey(2 + c))
-        jax.block_until_ready(loss)
-        carry[0], carry[1], carry[2] = p, o, s
-
-    block()  # warmup/compile
     steps = calls_per_block * epochs_per_call * tensors.num_batches
-    return _median_rate(block, steps), ("fused_pallas" if use_fused else "xla_scan")
+
+    def measure(fn, o0):
+        carry = [params, o0, state]
+
+        def block():
+            p, o, s = carry
+            for c in range(calls_per_block):
+                p, o, s, loss = fn(p, o, s, tensors, jax.random.PRNGKey(2 + c))
+            jax.block_until_ready(loss)
+            carry[0], carry[1], carry[2] = p, o, s
+
+        block()  # warmup/compile
+        return _median_rate(block, steps)
+
+    rate = measure(epoch_fn, opt_state)
+
+    if not fused_candidate:
+        return rate, "xla_scan", None
+
+    def gate_and_fallback():
+        """Run AFTER every config is measured: the gate's readback flips the
+        process into the degraded-dispatch regime (docs/tpu_notes.md)."""
+        p2, _ = jax.jit(model.init)(jax.random.PRNGKey(0))
+        ok, _ = fused_exactness_check(
+            model, p2, state, opt_spec, logging_loss, tensors
+        )
+        if ok:
+            return None  # keep the fused measurement
+        nonlocal params
+        params = p2
+        _, o2, xla_fn = build_xla()
+        return measure(xla_fn, o2), "xla_scan"
+
+    return rate, "fused_pallas", gate_and_fallback
 
 
 def bench_rbq10() -> float:
@@ -335,17 +365,39 @@ def baseline_large_mlp(steps=30) -> float:
 
 
 def main():
+    # persistent compilation cache (same one train() uses): repeated bench
+    # runs skip the Mosaic/XLA compiles, which dominate a cold run
+    from easyhybrid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    verbose = os.environ.get("BENCH_VERBOSE") == "1"
     configs = {}
+    deferred_gates = []
 
     def entry(name, fw_fn, base_fn):
+        t0 = time.perf_counter()
         fw = fw_fn()
+        if verbose:
+            print(f"# {name}: fw bench {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
         path = None
         if isinstance(fw, tuple):
-            fw, path = fw
+            if len(fw) == 3:
+                fw, path, gate = fw
+                if gate is not None:
+                    deferred_gates.append((name, gate))
+            else:
+                fw, path = fw
         base = float("nan")
         if base_fn is not None:
             try:
+                t0 = time.perf_counter()
                 base = base_fn()
+                if verbose:
+                    print(
+                        f"# {name}: baseline {time.perf_counter() - t0:.1f}s",
+                        file=sys.stderr,
+                    )
             except Exception:
                 pass
         row = {
@@ -365,6 +417,26 @@ def main():
     entry("multi_target", bench_multi_target, baseline_multi_target)
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
     entry("multisite", bench_multisite, None)
+
+    # exactness gates LAST: their device→host readback permanently degrades
+    # this rig's async dispatch, so they must not precede any measurement
+    for name, gate in deferred_gates:
+        t0 = time.perf_counter()
+        fb = gate()
+        if verbose:
+            print(f"# {name}: gate {time.perf_counter() - t0:.1f}s "
+                  f"({'ok' if fb is None else 'FAILED -> xla'})",
+                  file=sys.stderr)
+        if fb is not None:  # gate failed: replace with the XLA measurement
+            fw, path = fb
+            row = configs[name]
+            row["steps_per_s"] = round(fw, 2)
+            row["ms_per_step"] = round(1000.0 / fw, 4)
+            row["epoch_path"] = path
+            if "baseline_steps_per_s" in row:
+                row["vs_baseline"] = round(fw / row["baseline_steps_per_s"], 2)
+            if name == "rbq10":
+                headline.update(row)
     configs["multisite"]["site_steps_per_s"] = round(
         configs["multisite"]["steps_per_s"] * 10_000, 0
     )

@@ -67,6 +67,7 @@ kernel behind a runtime exactness check against the XLA path
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import jax
@@ -613,25 +614,35 @@ def make_fused_epoch(
     def run_kernel_epoch(
         p_bufs, m_bufs, v_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
-        treedef, orig_shapes, tensors, is_weight,
+        treedef, orig_shapes, data, is_weight,
+        epochs=1, stacked=False,
     ):
-        num_batches, batch = tensors.weight.shape
-        # predictor streams, feature-major (nb, F, B): one per NN branch
+        """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
+        ``(epochs, num_batches)`` — one kernel launch total, so the launch /
+        prologue cost amortizes over every epoch instead of being paid per
+        epoch. ``data`` is the ``(x, forcing, y, mask, weight)`` leaf tuple;
+        with ``stacked=True`` each leaf carries a leading per-epoch axis
+        (pre-shuffled copies) and blocks index ``(e, i)``; unstacked leaves
+        are shared by all epochs (index ignores ``e`` — zero extra memory,
+        the no-shuffle case)."""
+        x_all, forcing_all, y_all, mask_all, weight_all = data
+        num_batches, batch = weight_all.shape[-2:]
+        # predictor streams, feature-major (..., F, B): one per NN branch
         if is_multi:
             x_ts = [
-                jnp.swapaxes(tensors.x[bname], 1, 2) for bname, _ in nn_branches
+                jnp.swapaxes(x_all[bname], -1, -2) for bname, _ in nn_branches
             ]
         elif nn_branches:
-            x_ts = [jnp.swapaxes(tensors.x, 1, 2)]
+            x_ts = [jnp.swapaxes(x_all, -1, -2)]
         else:
             x_ts = []
 
         def as3d(a):
-            return a.reshape(a.shape[0], 1, a.shape[1])
+            return a.reshape(a.shape[:-1] + (1, a.shape[-1]))
 
-        forcing = [as3d(tensors.forcing[f]) for f in forcing_names]
-        ys = [as3d(tensors.y[t]) for t in target_names]
-        masks = [as3d(tensors.mask[t]) for t in target_names]
+        forcing = [as3d(forcing_all[f]) for f in forcing_names]
+        ys = [as3d(y_all[t]) for t in target_names]
+        masks = [as3d(mask_all[t]) for t in target_names]
         nf, nt = len(forcing), len(ys)
         npar, nst = len(p_bufs), len(st_bufs)
         buf_shapes = [_buffer_shape(s) for s in orig_shapes]
@@ -663,18 +674,27 @@ def make_fused_epoch(
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]
 
-            i = pl.program_id(0)
-            first = i == 0
+            e = pl.program_id(0)
+            i = pl.program_id(1)
+            # scalar arithmetic only (e+i==0 ⟺ both 0): avoids boolean-and
+            # lowering risk on this Mosaic build
+            first = (e + i) == 0
+            epoch_start = i == 0
+
+            def block0(ref):
+                # drop the singleton grid dims of a streamed block
+                return ref[0, 0] if stacked else ref[0]
+
             if is_multi:
                 x_fb = {
-                    bname: x_refs[j][0]
+                    bname: block0(x_refs[j])
                     for j, (bname, _) in enumerate(nn_branches)
                 }
             else:
-                x_fb = x_refs[0][0] if nx else None  # (F, B)
-            forcing_b = {f: f_refs[j][0] for j, f in enumerate(forcing_names)}
-            y_b = {t: y_refs[j][0] for j, t in enumerate(target_names)}
-            mask_b = {t: m_refs[j][0] for j, t in enumerate(target_names)}
+                x_fb = block0(x_refs[0]) if nx else None  # (F, B)
+            forcing_b = {f: block0(f_refs[j]) for j, f in enumerate(forcing_names)}
+            y_b = {t: block0(y_refs[j]) for j, t in enumerate(target_names)}
+            mask_b = {t: block0(m_refs[j]) for j, t in enumerate(target_names)}
             state2d = jax.tree.unflatten(
                 st_treedef,
                 [read_forward(r[...], s) for r, s in zip(st_refs, st_orig_shapes)],
@@ -738,22 +758,33 @@ def make_fused_epoch(
                 am_out[k][...] = m_new
                 av_out[k][...] = v_new
             prev = loss_out[0, 0]
-            acc = jnp.where(first, batch_loss, prev + batch_loss)
+            # reset at the start of EVERY epoch: the launch returns the LAST
+            # epoch's summed loss (same value the per-epoch-launch scan's
+            # losses[-1] produced)
+            acc = jnp.where(epoch_start, batch_loss, prev + batch_loss)
             loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc
 
         def batch_spec(arr):
+            if stacked:
+                blk = (1, 1) + arr.shape[2:]
+                ndim = arr.ndim
+                return pl.BlockSpec(
+                    blk,
+                    lambda e, i, _n=ndim: (e, i) + (0,) * (_n - 2),
+                    memory_space=pltpu.VMEM,
+                )
             blk = (1,) + arr.shape[1:]
             ndim = arr.ndim
             return pl.BlockSpec(
                 blk,
-                lambda i, _n=ndim: (i,) + (0,) * (_n - 1),
+                lambda e, i, _n=ndim: (i,) + (0,) * (_n - 1),
                 memory_space=pltpu.VMEM,
             )
 
         def full_spec(shape):
             return pl.BlockSpec(
                 shape,
-                lambda i, _n=len(shape): (0,) * _n,
+                lambda e, i, _n=len(shape): (0,) * _n,
                 memory_space=pltpu.VMEM,
             )
 
@@ -777,7 +808,7 @@ def make_fused_epoch(
 
         outs = pl.pallas_call(
             kernel,
-            grid=(num_batches,),
+            grid=(epochs, num_batches),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -827,41 +858,83 @@ def make_fused_epoch(
 
         do_sample_shuffle = shuffle is True and num_batches > 1
         do_batch_shuffle = shuffle == "batches" and num_batches > 1
-        if do_sample_shuffle:
-            # all epochs' permutations in ONE vmapped key-sort (same
-            # permutations as the XLA scan epoch for the same keys)
-            xs = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
-        elif do_batch_shuffle:
-            xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
-        else:
-            xs = jnp.zeros((epochs, 1), jnp.int32)
 
-        def body(carry, perm):
-            p_bufs, m_bufs, v_bufs, t_buf = carry
-            ts = tensors
+        def sample_shuffled(perm):
+            ts = shuffle_epoch_tensors(tensors, perm)
+            return (ts.x, ts.forcing, ts.y, ts.mask, ts.weight)
+
+        def batch_shuffled(perm):
+            return (
+                jax.tree.map(lambda a: a[perm], tensors.x),
+                {k2: v[perm] for k2, v in tensors.forcing.items()},
+                {k2: v[perm] for k2, v in tensors.y.items()},
+                {k2: v[perm] for k2, v in tensors.mask.items()},
+                tensors.weight[perm],
+            )
+
+        # all epochs in ONE kernel launch whenever possible: the per-launch
+        # prologue/epilogue cost amortizes over every epoch. Unshuffled
+        # epochs share the same data blocks (zero extra memory); shuffled
+        # epochs need per-epoch pre-gathered copies — stacked only while the
+        # copies fit the HBM budget, else one launch per epoch (lax.scan).
+        needs_stack = do_sample_shuffle or do_batch_shuffle
+        epoch_bytes = sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree.leaves(
+                (tensors.x, tensors.forcing, tensors.y, tensors.mask,
+                 tensors.weight)
+            )
+        )
+        cap = int(os.environ.get("EASYHYBRID_FUSED_STACK_MB", "256")) * 2**20
+        single_launch = (not needs_stack) or (epochs * epoch_bytes <= cap)
+
+        if single_launch:
             if do_sample_shuffle:
-                ts = shuffle_epoch_tensors(tensors, perm)
+                # all epochs' permutations in ONE vmapped key-sort (same
+                # permutations as the XLA scan epoch for the same keys),
+                # applied as ONE vmapped packed gather
+                perms = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
+                data = jax.vmap(sample_shuffled)(perms)
+                stacked = True
             elif do_batch_shuffle:
-                from ..data.loaders import EpochTensors
-
-                ts = EpochTensors(
-                    x=jax.tree.map(lambda a: a[perm], tensors.x),
-                    forcing={k: v[perm] for k, v in tensors.forcing.items()},
-                    y={k: v[perm] for k, v in tensors.y.items()},
-                    mask={k: v[perm] for k, v in tensors.mask.items()},
-                    weight=tensors.weight[perm],
-                    n_samples=tensors.n_samples,
-                )
-            p_bufs, m_bufs, v_bufs, t_buf, mean_loss = run_kernel_epoch(
+                perms = jax.vmap(
+                    lambda k: epoch_permutation(k, num_batches)
+                )(keys)
+                data = jax.vmap(batch_shuffled)(perms)
+                stacked = True
+            else:
+                data = (tensors.x, tensors.forcing, tensors.y, tensors.mask,
+                        tensors.weight)
+                stacked = False
+            p_bufs, m_bufs, v_bufs, t_buf, last_loss = run_kernel_epoch(
                 list(p_bufs), list(m_bufs), list(v_bufs), t_buf,
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
-                ts, is_weight,
+                data, is_weight, epochs=epochs, stacked=stacked,
             )
-            return (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), mean_loss
+        else:
+            if do_sample_shuffle:
+                xs = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
+            else:
+                xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
 
-        (p_bufs, m_bufs, v_bufs, t_buf), losses = jax.lax.scan(
-            body, (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), xs
-        )
+            def body(carry, perm):
+                pb, mb, vb, tb = carry
+                data = (
+                    sample_shuffled(perm)
+                    if do_sample_shuffle
+                    else batch_shuffled(perm)
+                )
+                pb, mb, vb, tb, mean_loss = run_kernel_epoch(
+                    list(pb), list(mb), list(vb), tb,
+                    st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
+                    data, is_weight,
+                )
+                return (tuple(pb), tuple(mb), tuple(vb), tb), mean_loss
+
+            (p_bufs, m_bufs, v_bufs, t_buf), losses = jax.lax.scan(
+                body, (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), xs
+            )
+            last_loss = losses[-1]
 
         new_params = jax.tree.unflatten(
             treedef,
@@ -878,7 +951,7 @@ def make_fused_epoch(
             ),
             "t": jnp.round(t_buf[0:1, 0]).astype(jnp.int32),
         }
-        return new_params, new_opt_state, state_in, losses[-1]
+        return new_params, new_opt_state, state_in, last_loss
 
     return epoch_fn
 
@@ -920,6 +993,11 @@ def fused_exactness_check(
     from ..data.loaders import EpochTensors
     from ..training.epoch import make_train_epoch
 
+    cache_key = _gate_cache_key(model, params, optimizer_spec, logging, tensors)
+    cached = _gate_cache_read(cache_key)
+    if cached is not None:
+        return bool(cached[0]), float(cached[1])
+
     lr = 1e-3
     nb = min(n_batches, int(tensors.weight.shape[0]))
     sub = EpochTensors(
@@ -945,17 +1023,97 @@ def fused_exactness_check(
             jax.tree.map(jnp.copy, params), optimizer.init(params),
             jax.tree.map(jnp.copy, state), sub, key,
         )
-        p0_leaves = jax.tree.leaves(params)
-        gscale = 1e-6
-        for p0, b in zip(p0_leaves, jax.tree.leaves(p_x)):
-            gscale = max(gscale, float(jnp.max(jnp.abs(p0 - b))) / lr)
-        rel = 0.0
-        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
-            gdiff = float(jnp.max(jnp.abs(a - b))) / lr
-            rel = max(rel, gdiff / gscale)
-        lf, lx = float(loss_f), float(loss_x)
-        loss_rel = abs(lf - lx) / (abs(lx) + 1e-6)
+        # all comparisons in ONE jitted program + ONE device_get: every
+        # device→host readback permanently degrades this rig's async
+        # dispatch (~25×, see docs/tpu_notes.md), so the gate makes exactly
+        # one — and its verdict is disk-cached so repeat runs make none.
+        def _compare(pf, px, p0, lf, lx):
+            gscale = jnp.float32(1e-6)
+            for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(px)):
+                gscale = jnp.maximum(gscale, jnp.max(jnp.abs(a - b)) / lr)
+            rel = jnp.float32(0.0)
+            for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(px)):
+                rel = jnp.maximum(rel, jnp.max(jnp.abs(a - b)) / lr)
+            rel = rel / gscale
+            loss_rel = jnp.abs(lf - lx) / (jnp.abs(lx) + 1e-6)
+            return rel, loss_rel
+
+        rel, loss_rel = jax.device_get(
+            jax.jit(_compare)(p_f, p_x, params, loss_f, loss_x)
+        )
+        rel, loss_rel = float(rel), float(loss_rel)
         ok = bool(np.isfinite(rel) and rel < tol and loss_rel < 1e-2)
+        _gate_cache_write(cache_key, ok, max(rel, loss_rel))
         return ok, max(rel, loss_rel)
     except Exception:  # shape/feature outside the kernel envelope
         return False, float("inf")
+
+
+# ---- gate verdict disk cache ---------------------------------------------
+# The gate's one readback still flips the process into the slow-dispatch
+# regime; caching its verdict per (model structure, shapes, optimizer, loss,
+# jax/backend version) means only the FIRST run of a configuration pays it.
+
+def _gate_cache_key(model, params, optimizer_spec, logging, tensors) -> str:
+    import hashlib
+    import inspect
+
+    try:
+        mech_src = inspect.getsource(model.mechanistic_model)
+    except (OSError, TypeError):
+        mech_src = getattr(model.mechanistic_model, "__qualname__", "?")
+    leaf_shapes = [
+        (list(map(str, p)), tuple(l.shape))
+        for p, l in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+    data_shapes = jax.tree.map(lambda a: tuple(a.shape), (
+        tensors.x, tensors.forcing, tensors.y, tensors.mask))
+    parts = [
+        type(model).__name__,
+        str(model.neural_param_names), str(model.global_param_names),
+        str(getattr(model, "scale_nn_outputs", None)),
+        mech_src,
+        str(optimizer_spec),
+        str(logging.training_loss), str(logging.agg_name),
+        str(getattr(logging.extra_loss, "_l2_spec", None)),
+        str(leaf_shapes), str(data_shapes),
+        jax.__version__, jax.default_backend(),
+    ]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:32]
+
+
+def _gate_cache_path() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(base, "easyhybrid_tpu", "fused_gate.json")
+
+
+def _gate_cache_read(key: str):
+    if os.environ.get("EASYHYBRID_GATE_CACHE") == "0":
+        return None
+    import json
+
+    try:
+        with open(_gate_cache_path()) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _gate_cache_write(key: str, ok: bool, gdiff: float) -> None:
+    if os.environ.get("EASYHYBRID_GATE_CACHE") == "0":
+        return
+    import json
+
+    path = _gate_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            d = {}
+        d[key] = [bool(ok), float(gdiff)]
+        with open(path, "w") as f:
+            json.dump(d, f)
+    except OSError:  # read-only filesystem: cache is best-effort
+        pass

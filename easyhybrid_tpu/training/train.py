@@ -327,6 +327,12 @@ def train(
 
     pad_mult = mesh.devices.size if mesh is not None else 1
     train_tensors = build_epoch_tensors(train_data, batchsize)
+    # guard provability is decided while the tensors are still HOST numpy:
+    # post-sharding it would be a device→host readback (costly on a
+    # tunneled TPU, and readbacks degrade async dispatch — docs/tpu_notes.md)
+    from .epoch import can_skip_empty_guard
+
+    skip_empty_guard = can_skip_empty_guard(train_tensors)
     train_eval_batch = _full_batch(train_data, pad_mult)
     val_eval_batch = _full_batch(val_data, pad_mult)
 
@@ -446,8 +452,6 @@ def train(
             state = replicate(state, mesh)
             opt_state = replicate(opt_state, mesh)
 
-        from .epoch import can_skip_empty_guard
-
         shuffle = cfg.shuffle_each_epoch
         if mesh is not None and shuffle is True:
             # a global permutation over the sharded sample axis is an
@@ -463,7 +467,7 @@ def train(
             shuffle=shuffle,
             jit=cfg.jit,
             epochs_per_call=eval_every,
-            skip_empty_guard=can_skip_empty_guard(train_tensors),
+            skip_empty_guard=skip_empty_guard,
             remat=cfg.remat,
             mesh=mesh,
         )

@@ -465,3 +465,32 @@ def test_fused_batch_shuffle_order_parity():
     np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_stack_cap_fallback_matches_single_launch(monkeypatch):
+    """With the stacked-copy memory cap forced to 0 the shuffled multi-epoch
+    path falls back to one launch per epoch (lax.scan) and must produce the
+    same trajectory as the all-epochs-in-one-launch path."""
+    model, params, state, tensors = _setup(n=512, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    E = 3
+
+    single = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=E
+    )
+    p_s, _, _, loss_s = single(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(11),
+    )
+
+    monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "0")
+    scan = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=E
+    )
+    p_c, _, _, loss_c = scan(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(11),
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_c), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
