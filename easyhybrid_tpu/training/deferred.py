@@ -1,0 +1,257 @@
+"""Deferred (zero-readback) training loop.
+
+On the target TPU deployment, ANY device→host readback permanently degrades
+the process's async program dispatch ~25× (measured; see docs/tpu_notes.md
+§2). The standard host loop reads metric scalars every ``eval_every`` epochs
+for early stopping / progress — each run therefore executes in the degraded
+regime.
+
+This module provides the TPU-native alternative used by ``train()`` whenever
+nothing actually needs mid-run values (``show_progress=False``,
+``plotting=False``, ``save_training=False``, no prediction-carrying history,
+no gradient probe): **early stopping runs on device inside the jitted
+program**, the host dispatches every training block back-to-back without a
+single fetch, and ONE ``device_get`` at the end retrieves the whole metric
+history, the best parameters, and the tracked-parameter trajectories. The
+host then replays the identical patience arithmetic on the fetched scalars to
+truncate the history where the eager loop would have stopped — semantics are
+bit-identical to the readback loop (same epochs trained: blocks after the
+stop point run a frozen no-op branch and are discarded).
+
+Reference parity: the early-stop arithmetic mirrors ``EarlyStopping``
+(src/training/early_stopping.jl:16-42) — direction-aware comparison on the
+aggregated scalar of the FIRST ``loss_types`` entry, patience counted in
+snapshots, best params/state snapshot retained.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.metrics import best_direction
+from ..losses.specs import loss_name
+from .early_stopping import EarlyStopping
+from .history import EpochSnapshot, TrainingHistory, _agg_loss
+
+__all__ = ["can_defer", "run_deferred_loop"]
+
+log = logging.getLogger("easyhybrid_tpu")
+
+
+def can_defer(cfg, want_outputs: bool, grad_probe) -> bool:
+    """True when no consumer needs mid-run host values, so the whole run can
+    dispatch without a single device→host readback."""
+    return (
+        not cfg.show_progress
+        and not cfg.plotting
+        and not cfg.save_training
+        and not want_outputs
+        and grad_probe is None
+        and cfg.jit
+    )
+
+
+def _first_loss_agg(metrics, agg_name: str):
+    """Aggregated scalar of the FIRST metric — device analog of
+    history._agg_loss."""
+    first = next(iter(metrics.values()))
+    return first[agg_name]
+
+
+def run_deferred_loop(
+    *,
+    cfg,
+    model,
+    params,
+    opt_state,
+    state,
+    epoch_fn,
+    evaluator,
+    train_tensors,
+    train_eval_batch,
+    val_eval_batch,
+    key,
+    eval_every: int,
+    tracked_fn=None,
+):
+    """Dispatch the full training run with zero mid-run readbacks.
+
+    Returns ``(params, opt_state, state, history, stopper, tracked)`` with
+    the same meanings as the eager loop's state at exit: ``stopper`` is an
+    :class:`EarlyStopping` whose best/patience fields were reconstructed by
+    replaying the fetched metric scalars (identical arithmetic).
+    """
+    metric = loss_name(cfg.loss_types[0] if cfg.loss_types else cfg.training_loss)
+    agg_name = cfg.agg if isinstance(cfg.agg, str) else getattr(cfg.agg, "__name__", "sum")
+    maximize = best_direction(metric) == "max"
+    patience = cfg.patience
+
+    def eval_metrics(p, s, teb, veb):
+        (m_tr, _), (m_va, _) = evaluator(p, s, teb, veb)
+        return m_tr, m_va
+
+    # ---- one jitted block: E epochs + eval + on-device early-stop update.
+    # The host loop makes EXACTLY ONE program dispatch per block: the PRNG
+    # split, the epoch counter, and the early-stop state all advance inside
+    # the program (a per-iteration host-side `jax.random.split` or
+    # `jnp.int32(epoch)` would each be another dispatch per block — the
+    # dispatch count is the wall-clock on a tunneled TPU). Eval batches are
+    # explicit args, not closure captures (captured device arrays embed as
+    # program constants: bigger executables, value-dependent cache keys).
+    def metric_row(m_tr, m_va, p, s):
+        """All snapshot scalars as ONE (M,) float32 vector — the per-buffer
+        fetch cost over the tunnel is ~0.1-0.5 s regardless of size, so the
+        whole metric history must come back as a single array, not one
+        buffer per scalar (800 scalars = minutes; one (R, M) array = ms)."""
+        vals = jax.tree.leaves((m_tr, m_va))
+        if tracked_fn is not None:
+            vals = vals + jax.tree.leaves(tracked_fn(p, s))
+        return jnp.stack(
+            [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
+        )
+
+    def block(params, opt_state, state, es, tensors, teb, veb):
+        def live(operand):
+            params, opt_state, state, es = operand
+            key, shuffle_key = jax.random.split(es["key"])
+            epoch = es["epoch"] + eval_every
+            p, o, s, _ = epoch_fn(params, opt_state, state, tensors, shuffle_key)
+            m_tr, m_va = eval_metrics(p, s, teb, veb)
+            val = _first_loss_agg(m_va, agg_name)
+            best = es["best_val"]
+            better = (val > best) if maximize else (val < best)
+
+            def sel(new, old):
+                return jax.tree.map(
+                    lambda a, b: jnp.where(better, a, b), new, old
+                )
+
+            row = metric_row(m_tr, m_va, p, s)
+            hist = jax.lax.dynamic_update_slice(
+                es["hist"], row[None, :], (epoch // eval_every, 0)
+            )
+            es2 = {
+                "key": key,
+                "epoch": epoch,
+                "best_val": jnp.where(better, val, best),
+                "best_epoch": jnp.where(better, epoch, es["best_epoch"]),
+                "best_params": sel(p, es["best_params"]),
+                "best_state": sel(s, es["best_state"]),
+                "counter": jnp.where(better, 0, es["counter"] + 1),
+                "done": es["done"],
+                "hist": hist,
+            }
+            if patience is not None:
+                es2["done"] = es2["counter"] >= patience
+            return p, o, s, es2
+
+        def frozen(operand):
+            return operand
+
+        return jax.lax.cond(
+            es["done"], frozen, live, (params, opt_state, state, es)
+        )
+
+    block = jax.jit(block, donate_argnums=(0, 1, 3))
+
+    # ---- initial snapshot (still on device) ----
+    m_tr0, m_va0 = eval_metrics(params, state, train_eval_batch, val_eval_batch)
+    metrics_treedef = jax.tree.structure((m_tr0, m_va0))
+    n_metric = metrics_treedef.num_leaves
+    tracked_treedef = (
+        jax.tree.structure(tracked_fn(params, state)) if tracked_fn else None
+    )
+    n_rows = cfg.nepochs // eval_every + 1
+    row0 = metric_row(m_tr0, m_va0, params, state)
+    # deep-copy: es.best_params must not alias params, which the first block
+    # call donates (one jitted copy program, zero readbacks)
+    copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    es = {
+        "key": key,
+        "epoch": jnp.int32(0),
+        "best_val": _first_loss_agg(m_va0, agg_name) + 0.0,
+        "best_epoch": jnp.int32(0),
+        "best_params": copy_tree(params),
+        "best_state": copy_tree(state),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "hist": jnp.zeros((n_rows, row0.shape[0]), jnp.float32).at[0].set(row0),
+    }
+
+    # ---- the zero-readback dispatch loop: ONE call per block ----
+    for _epoch in range(eval_every, cfg.nepochs + 1, eval_every):
+        params, opt_state, state, es = block(
+            params, opt_state, state, es, train_tensors,
+            train_eval_batch, val_eval_batch,
+        )
+
+    # ---- ONE readback of everything (hist is a single packed array) ----
+    from ..utils.host import to_host
+
+    fetched = to_host({k: v for k, v in es.items() if k != "key"})
+
+    # ---- host replay of the identical patience arithmetic ----
+    hist_np = fetched["hist"]
+    history = TrainingHistory()
+    stopper: Optional[EarlyStopping] = None
+    tracked: Dict[str, list] = {}
+    counter = 0
+    stop_index = None  # snapshot index where the eager loop would break
+    best_val = None
+    for i in range(n_rows):
+        epoch = i * eval_every
+        vals = [float(v) for v in hist_np[i]]
+        mm_tr, mm_va = jax.tree.unflatten(metrics_treedef, vals[:n_metric])
+        snap = EpochSnapshot(mm_tr, mm_va)
+        tracked_i = (
+            jax.tree.unflatten(tracked_treedef, vals[n_metric:])
+            if tracked_treedef is not None
+            else {}
+        )
+        if i == 0:
+            stopper = EarlyStopping(snap, {}, {}, cfg)
+            best_val = _agg_loss(snap.l_val, agg_name)
+            history.append(snap)
+            for k, v in tracked_i.items():
+                tracked[k] = [v]
+            continue
+        history.append(snap)
+        for k, v in tracked_i.items():
+            tracked.setdefault(k, []).append(v)
+        val = _agg_loss(snap.l_val, agg_name)
+        better = (val > best_val) if maximize else (val < best_val)
+        if better:
+            best_val = val
+            stopper.best_loss = val
+            stopper.best_epoch = epoch
+            counter = 0
+        else:
+            counter += 1
+        if patience is not None and counter >= patience:
+            stop_index = i
+            break
+
+    if stop_index is not None:
+        # discard frozen-tail snapshots (the eager loop never evaluates them)
+        del history.snapshots[stop_index + 1 :]
+        if tracked:
+            for k in tracked:
+                tracked[k] = tracked[k][: stop_index + 1]
+        stopper.done = True
+        log.warning(
+            "Early stopping at epoch %d, best validation loss wrt %s: %.6g "
+            "at epoch %d",
+            stop_index * eval_every, metric, stopper.best_loss,
+            stopper.best_epoch,
+        )
+
+    # best params/state from the on-device tracker (exact arithmetic match
+    # with the host replay; assert via best_epoch when it is cheap)
+    stopper.best_params = fetched["best_params"]
+    stopper.best_state = fetched["best_state"]
+    stopper.counter = counter
+    return params, opt_state, state, history, stopper, tracked

@@ -342,6 +342,13 @@ def train(
         train_tensors = shard_epoch_tensors(train_tensors, mesh)
         train_eval_batch = shard_batch(train_eval_batch, mesh)
         val_eval_batch = shard_batch(val_eval_batch, mesh)
+    else:
+        # pin the epoch tensors and eval batches on device ONCE: passing
+        # host numpy into the jitted programs re-uploads the whole dataset
+        # on EVERY call (seconds per epoch over a tunneled TPU)
+        train_tensors, train_eval_batch, val_eval_batch = jax.device_put(
+            (train_tensors, train_eval_batch, val_eval_batch)
+        )
 
     # ---- model/optimizer state ----
     warm = _get_ps_st(cfg.train_from)
@@ -550,150 +557,199 @@ def train(
     )
     grad_history: list = []
 
-    # ---- initial snapshot / history / stopper / io ----
-    init_snapshot = snapshot_of(params, state)
-    if grad_probe is not None:
-        grad_history.append(_grad_norms(grad_probe(params, state)))
-    stored_init = (
-        init_snapshot
-        if cfg.keep_history
-        else EpochSnapshot(init_snapshot.l_train, init_snapshot.l_val)
-    )
-    history = TrainingHistory([stored_init])
-    stopper = EarlyStopping(init_snapshot, params, state, cfg)
-    tracked: Dict[str, list] = {}
-    for k, v in tracked_values(params, state).items():
-        tracked[k] = [v]
+    def _make_tracked_fn():
+        """Device-side tracked-parameter extraction (no readback): returns a
+        jitted fn params,state -> {name: 0-d array} or None."""
+        names = tuple(cfg.tracked_params or ())
+        if not names:
+            return None
+        pc = getattr(model, "parameters", None)
+        from ..params import scale_param
+
+        def fn(p, s):
+            out = {}
+            for name in names:
+                if name in p.get("globals", {}):
+                    lo, up = pc.lower_of(name), pc.upper_of(name)
+                    out[name] = scale_param(p["globals"][name], lo, up).ravel()[0]
+                elif name in s.get("fixed", {}):
+                    out[name] = jnp.asarray(s["fixed"][name]).ravel()[0]
+                elif name in p:  # legacy models: raw scalar params
+                    out[name] = jnp.asarray(p[name]).ravel()[0]
+            return out
+
+        return jax.jit(fn)
+
+    from .deferred import can_defer, run_deferred_loop
+
+    paths = writer = stream = live = None
     monitored: Dict[str, list] = {}
-    for k, v in monitored_quantiles(init_snapshot).items():
-        monitored[k] = [v]
-
-    paths = None
-    if cfg.save_training:
-        from ..io.checkpoint import CheckpointWriter, resolve_paths
-
-        paths = resolve_paths(cfg)
-        writer = CheckpointWriter(paths, model, cfg, dcfg)
-        writer.save_initial(params, state)
+    grad_history: list = []
+    if can_defer(cfg, want_outputs, grad_probe):
+        # zero-readback dispatch with on-device early stopping: any
+        # device->host readback permanently degrades this deployment's async
+        # dispatch ~25x (docs/tpu_notes.md), so when nothing needs mid-run
+        # values the whole run goes out without a single fetch
+        params, opt_state, state, history, stopper, tracked = run_deferred_loop(
+            cfg=cfg,
+            model=model,
+            params=params,
+            opt_state=opt_state,
+            state=state,
+            epoch_fn=epoch_fn,
+            evaluator=evaluator,
+            train_tensors=train_tensors,
+            train_eval_batch=train_eval_batch,
+            val_eval_batch=val_eval_batch,
+            key=key,
+            eval_every=eval_every,
+            tracked_fn=_make_tracked_fn(),
+        )
     else:
-        writer = None
-
-    # live observability: JSONL metric stream + live board + movie recorded
-    # during training (parity: dashboard.jl:1-87, EasyHybridMakie.jl:252-478)
-    stream = None
-    live = None
-    if cfg.save_training or cfg.plotting:
-        from ..plotting.live import MetricStream
-
-        stream_path = (
-            paths.metrics_jsonl
-            if paths is not None
-            else f"{cfg.model_name}_metrics.jsonl"
+        # ---- initial snapshot / history / stopper / io ----
+        init_snapshot = snapshot_of(params, state)
+        if grad_probe is not None:
+            grad_history.append(_grad_norms(grad_probe(params, state)))
+        stored_init = (
+            init_snapshot
+            if cfg.keep_history
+            else EpochSnapshot(init_snapshot.l_train, init_snapshot.l_val)
         )
-        stream = MetricStream(stream_path)
-        stream.write(
-            0,
-            init_snapshot,
-            tracked_values(params, state),
-            monitored_quantiles(init_snapshot),
-        )
-    if cfg.plotting:
-        try:
-            from ..plotting.live import LiveDashboard
+        history = TrainingHistory([stored_init])
+        stopper = EarlyStopping(init_snapshot, params, state, cfg)
+        tracked: Dict[str, list] = {}
+        for k, v in tracked_values(params, state).items():
+            tracked[k] = [v]
+        monitored: Dict[str, list] = {}
+        for k, v in monitored_quantiles(init_snapshot).items():
+            monitored[k] = [v]
 
-            live = LiveDashboard(
-                model.targets,
-                {k: np.asarray(v) for k, v in val_data.y.items()},
-                metric=stopper.metric,
-                agg=stopper.agg_name,
+        paths = None
+        if cfg.save_training:
+            from ..io.checkpoint import CheckpointWriter, resolve_paths
+
+            paths = resolve_paths(cfg)
+            writer = CheckpointWriter(paths, model, cfg, dcfg)
+            writer.save_initial(params, state)
+        else:
+            writer = None
+
+        # live observability: JSONL metric stream + live board + movie recorded
+        # during training (parity: dashboard.jl:1-87, EasyHybridMakie.jl:252-478)
+        stream = None
+        live = None
+        if cfg.save_training or cfg.plotting:
+            from ..plotting.live import MetricStream
+
+            stream_path = (
+                paths.metrics_jsonl
+                if paths is not None
+                else f"{cfg.model_name}_metrics.jsonl"
             )
-            live.update(
+            stream = MetricStream(stream_path)
+            stream.write(
                 0,
                 init_snapshot,
                 tracked_values(params, state),
                 monitored_quantiles(init_snapshot),
             )
-        except Exception as e:
-            log.warning("live dashboard unavailable: %s", e)
-            live = None
+        if cfg.plotting:
+            try:
+                from ..plotting.live import LiveDashboard
 
-    t0 = time.perf_counter()
+                live = LiveDashboard(
+                    model.targets,
+                    {k: np.asarray(v) for k, v in val_data.y.items()},
+                    metric=stopper.metric,
+                    agg=stopper.agg_name,
+                )
+                live.update(
+                    0,
+                    init_snapshot,
+                    tracked_values(params, state),
+                    monitored_quantiles(init_snapshot),
+                )
+            except Exception as e:
+                log.warning("live dashboard unavailable: %s", e)
+                live = None
 
-    def process_epoch(epoch: int, snapshot: EpochSnapshot, params, state):
-        """Host-side bookkeeping for an evaluated epoch. ``params``/``state``
-        must be the live values AT that epoch (run this BEFORE they are
-        donated into the next epoch's program)."""
-        stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
-        if grad_probe is not None:
-            grad_history.append(_grad_norms(grad_probe(params, state)))
-        tracked_now = tracked_values(params, state)
-        monitored_now = monitored_quantiles(snapshot)
-        for k, v in tracked_now.items():
-            tracked.setdefault(k, []).append(v)
-        for k, v in monitored_now.items():
-            monitored.setdefault(k, []).append(v)
-        if stream is not None:
-            stream.write(epoch, snapshot, tracked_now, monitored_now)
-        if live is not None:
-            live.update(epoch, snapshot, tracked_now, monitored_now)
-        # the loop only visits multiples of eval_every; fire whenever a
-        # checkpoint_every boundary was crossed since the last visit (so
-        # e.g. eval_every=10, checkpoint_every=25 still checkpoints ~every 25)
-        if writer is not None and (
-            epoch % max(cfg.checkpoint_every, eval_every) < eval_every
-        ):
-            writer.save_epoch(params, state, snapshot, epoch)
-        if cfg.show_progress and (
-            epoch == eval_every
-            or epoch + eval_every > cfg.nepochs
-            or epoch % max(1, cfg.nepochs // 10) == 0
-        ):
-            agg = stopper.agg_name
-            metric = stopper.metric
-            tr = snapshot.l_train.get(metric, {}).get(agg, float("nan"))
-            va = snapshot.l_val.get(metric, {}).get(agg, float("nan"))
-            log.info(
-                "epoch %4d/%d  train %s(%s)=%.6g  val=%.6g  best=%.6g@%d  "
-                "(%.1fs)",
-                epoch,
-                cfg.nepochs,
-                metric,
-                agg,
-                tr,
-                va,
-                stopper.best_loss,
-                stopper.best_epoch,
-                time.perf_counter() - t0,
+        t0 = time.perf_counter()
+
+        def process_epoch(epoch: int, snapshot: EpochSnapshot, params, state):
+            """Host-side bookkeeping for an evaluated epoch. ``params``/``state``
+            must be the live values AT that epoch (run this BEFORE they are
+            donated into the next epoch's program)."""
+            stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
+            if grad_probe is not None:
+                grad_history.append(_grad_norms(grad_probe(params, state)))
+            tracked_now = tracked_values(params, state)
+            monitored_now = monitored_quantiles(snapshot)
+            for k, v in tracked_now.items():
+                tracked.setdefault(k, []).append(v)
+            for k, v in monitored_now.items():
+                monitored.setdefault(k, []).append(v)
+            if stream is not None:
+                stream.write(epoch, snapshot, tracked_now, monitored_now)
+            if live is not None:
+                live.update(epoch, snapshot, tracked_now, monitored_now)
+            # the loop only visits multiples of eval_every; fire whenever a
+            # checkpoint_every boundary was crossed since the last visit (so
+            # e.g. eval_every=10, checkpoint_every=25 still checkpoints ~every 25)
+            if writer is not None and (
+                epoch % max(cfg.checkpoint_every, eval_every) < eval_every
+            ):
+                writer.save_epoch(params, state, snapshot, epoch)
+            if cfg.show_progress and (
+                epoch == eval_every
+                or epoch + eval_every > cfg.nepochs
+                or epoch % max(1, cfg.nepochs // 10) == 0
+            ):
+                agg = stopper.agg_name
+                metric = stopper.metric
+                tr = snapshot.l_train.get(metric, {}).get(agg, float("nan"))
+                va = snapshot.l_val.get(metric, {}).get(agg, float("nan"))
+                log.info(
+                    "epoch %4d/%d  train %s(%s)=%.6g  val=%.6g  best=%.6g@%d  "
+                    "(%.1fs)",
+                    epoch,
+                    cfg.nepochs,
+                    metric,
+                    agg,
+                    tr,
+                    va,
+                    stopper.best_loss,
+                    stopper.best_epoch,
+                    time.perf_counter() - t0,
+                )
+
+        # one-step-lagged pipeline: epoch N's metric fetch overlaps epoch N+1's
+        # dispatch/compute on device. Processing epoch N happens at the TOP of
+        # iteration N+1 — before params are donated into epoch N+1's program, so
+        # best-model copies read live buffers — and the early-stop decision still
+        # gates epoch N+1's dispatch (the same epochs run as in the eager loop).
+        pending = None  # (epoch index, dispatched snapshot)
+        for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
+            if pending is not None:
+                p_epoch, dispatched = pending
+                pending = None
+                process_epoch(p_epoch, snapshot_collect(dispatched), params, state)
+                if stopper.done:
+                    break
+            key, shuffle_key = jax.random.split(key)
+            params, opt_state, state, mean_loss = epoch_fn(
+                params, opt_state, state, train_tensors, shuffle_key
             )
-
-    # one-step-lagged pipeline: epoch N's metric fetch overlaps epoch N+1's
-    # dispatch/compute on device. Processing epoch N happens at the TOP of
-    # iteration N+1 — before params are donated into epoch N+1's program, so
-    # best-model copies read live buffers — and the early-stop decision still
-    # gates epoch N+1's dispatch (the same epochs run as in the eager loop).
-    pending = None  # (epoch index, dispatched snapshot)
-    for epoch in range(eval_every, cfg.nepochs + 1, eval_every):
+            pending = (epoch, snapshot_dispatch(params, state))
         if pending is not None:
             p_epoch, dispatched = pending
-            pending = None
             process_epoch(p_epoch, snapshot_collect(dispatched), params, state)
-            if stopper.done:
-                break
-        key, shuffle_key = jax.random.split(key)
-        params, opt_state, state, mean_loss = epoch_fn(
-            params, opt_state, state, train_tensors, shuffle_key
-        )
-        pending = (epoch, snapshot_dispatch(params, state))
-    if pending is not None:
-        p_epoch, dispatched = pending
-        process_epoch(p_epoch, snapshot_collect(dispatched), params, state)
 
-    if cfg.show_progress and len(history) > 1:
-        from .show import progress_table
+        if cfg.show_progress and len(history) > 1:
+            from .show import progress_table
 
-        log.info(
-            "final metrics:\n%s", progress_table(history[0], history[-1])
-        )
+            log.info(
+                "final metrics:\n%s", progress_table(history[0], history[-1])
+            )
 
     best_params, best_state = stopper.best_or_final(params, state, cfg.return_model)
     best_params = jax.tree.map(jnp.asarray, best_params)

@@ -2,6 +2,7 @@
 (reference parity: test/test_split_data_train.jl:69-168,
 test_autodiff_backend.jl, test_extract_weights.jl)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -414,3 +415,46 @@ def test_patience_counts_snapshots(rbq10_model, rbq10_df):
     # epoch-0 snapshot + exactly `patience` non-improving eval snapshots
     assert len(res.train_history) == 1 + 3
     assert res.best_epoch == 0  # diverged run keeps the initial model
+
+
+def test_deferred_loop_matches_eager(rbq10_model, rbq10_df):
+    """The zero-readback deferred loop (show_progress=False, no plotting/
+    saving) must produce the SAME training trajectory, early-stop point,
+    best model and tracked series as the eager readback loop — only the
+    dispatch discipline differs."""
+    kw = dict(
+        nepochs=25,
+        batchsize=64,
+        optimizer=("adam", 0.05),  # aggressive lr so patience triggers
+        patience=3,
+        tracked_params=["Q10"],
+        random_seed=7,
+    )
+    r_def = eh.train(rbq10_model, rbq10_df, show_progress=False, **kw)
+    r_eag = eh.train(rbq10_model, rbq10_df, show_progress=True, **kw)
+
+    assert len(r_def.train_history) == len(r_eag.train_history)
+    for a, b in zip(r_def.val_history, r_eag.val_history):
+        for lt in a:
+            for k in a[lt]:
+                np.testing.assert_allclose(a[lt][k], b[lt][k], rtol=1e-6)
+    assert r_def.best_epoch == r_eag.best_epoch
+    np.testing.assert_allclose(r_def.best_loss, r_eag.best_loss, rtol=1e-6)
+    np.testing.assert_allclose(
+        r_def.tracked["Q10"], r_eag.tracked["Q10"], rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(r_def.params), jax.tree.leaves(r_eag.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_deferred_loop_no_early_stop(rbq10_model, rbq10_df):
+    """Without patience the deferred loop runs every epoch and the history
+    has nepochs/eval_every + 1 snapshots, same as the eager loop."""
+    r = eh.train(
+        rbq10_model, rbq10_df, nepochs=8, batchsize=64, eval_every=2,
+        show_progress=False, random_seed=3,
+    )
+    assert len(r.train_history) == 5  # init + 4 snapshots
+    assert np.isfinite(r.best_loss)
