@@ -18,9 +18,14 @@ Methodology (pinned): torch baselines run on ONE CPU thread
 (``torch.set_num_threads(1)`` — the reference's Julia loop is
 single-threaded); each side reports the MEDIAN of ``REPEATS`` timed blocks;
 absolute ms/step is emitted for both sides so the ratio can be re-derived.
-The framework path times blocks of chained jitted scan-epoch program calls
-(async dispatch overlapping compute, exactly like ``train()``'s pipelined
-host loop; one sync per block); compile/warmup excluded on both sides.
+The framework path is timed READ-FORCED (every timed call ends with a
+``float(loss)`` fetch — on this deployment ``block_until_ready`` does not
+guarantee execution, docs/tpu_notes.md); the headline is the MARGINAL rate
+between a small and a large epochs-per-program run, i.e. the per-grad-step
+chip cost with per-program tunnel overhead differenced out (the CPU
+baseline also pays no per-call overhead), and the sustained through-tunnel
+rate + per-program overhead are reported alongside. Compile/warmup excluded
+on both sides.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "configs": {...}}.
@@ -62,17 +67,25 @@ def _epoch_bench(
     batch: int,
     epochs_per_call: int,
     loss_types=("mse",),
-    calls_per_block: int = 10,
+    e_small: int = 8,
 ):
-    """Median grad-steps/sec of the jitted scan-epoch program.
+    """Honest read-forced grad-steps/sec of the epoch program.
 
-    A timed block chains ``calls_per_block`` program invocations with NO
-    host sync in between (exactly how ``train()``'s pipelined host loop
-    dispatches between eval points) and blocks once at the end — dispatch
-    latency overlaps compute, as in real training. Each call runs
-    ``epochs_per_call`` re-shuffled epochs on-device.
+    On the target deployment `block_until_ready` does NOT guarantee the
+    work has actually executed (async dispatch is buffered until the first
+    device->host read; docs/tpu_notes.md), so every timed call here ends
+    with `float(loss)` — a forced read. Two program sizes are timed
+    (E=e_small and E=epochs_per_call epochs per program, one program call
+    each) and the MARGINAL rate between them is the chip number — the
+    per-grad-step cost with the per-program tunnel/launch overhead
+    differenced out, which is the apples-to-apples comparison against the
+    CPU baseline (also overhead-free per step). The sustained rate of the
+    big program (steps / wall time incl. one program overhead) is reported
+    alongside as what a remote-tunnel user actually gets per dispatch.
     """
     import jax
+    import jax.numpy as jnp
+    import numpy as np
     import optax
 
     import easyhybrid_tpu as eh
@@ -87,9 +100,6 @@ def _epoch_bench(
     state = fit_input_norm(model, state, data)
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=loss_types)
 
-    # measure what train() actually dispatches: the fused Pallas epoch
-    # kernel when supported AND the runtime exactness gate passes on this
-    # chip, otherwise the XLA scan epoch
     from easyhybrid_tpu.ops.fused_epoch import (
         fused_exactness_check,
         init_fused_opt_state,
@@ -98,68 +108,60 @@ def _epoch_bench(
     )
 
     opt_spec = ("adam", 0.01)
-    fused_candidate = (
+    use_fused = (
         jax.default_backend() == "tpu"
         and supports_fused_epoch(model, opt_spec, logging_loss)
+        and fused_exactness_check(
+            model, params, state, opt_spec, logging_loss, tensors
+        )[0]
     )
-    # IMPORTANT ordering: time the fused path BEFORE the exactness gate.
-    # The gate performs one device→host readback, and on this rig ANY
-    # readback permanently drops the process's async dispatch ~25×
-    # (docs/tpu_notes.md) — gating first would measure the degraded
-    # regime, not the one train() runs in (its gate verdict is disk-cached
-    # after the first run, so steady-state training makes no gate readback).
-    def build_xla():
+
+    copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
+    def build(E):
+        if use_fused:
+            fn = make_fused_epoch(
+                model, state, opt_spec, logging_loss, shuffle=True,
+                epochs_per_call=E,
+            )
+            return fn, init_fused_opt_state(params)
         optimizer = optax.flatten(optax.adam(0.01))
-        return optimizer, optimizer.init(params), make_train_epoch(
-            model, logging_loss, optimizer, shuffle=True,
-            epochs_per_call=epochs_per_call,
+        fn = make_train_epoch(
+            model, logging_loss, optimizer, shuffle=True, epochs_per_call=E,
             skip_empty_guard=skip_guard,
         )
+        return fn, optimizer.init(params)
 
-    if fused_candidate:
-        opt_state = init_fused_opt_state(params)
-        epoch_fn = make_fused_epoch(
-            model, state, opt_spec, logging_loss, shuffle=True,
-            epochs_per_call=epochs_per_call,
-        )
-    else:
-        _, opt_state, epoch_fn = build_xla()
+    nb = int(host_tensors.weight.shape[0])
 
-    steps = calls_per_block * epochs_per_call * tensors.num_batches
+    def timed(E, reps: int = REPEATS + 2):
+        fn, o0 = build(E)
+        p, o = copy_tree((params, o0))
+        p, o, _, loss = fn(p, o, state, tensors, jax.random.PRNGKey(0))
+        _ = float(loss)  # warm + force real completion
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            p, o, _, loss = fn(p, o, state, tensors, jax.random.PRNGKey(1 + r))
+            _ = float(loss)  # forced read: honest end-to-end completion
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
-    def measure(fn, o0):
-        carry = [params, o0, state]
-
-        def block():
-            p, o, s = carry
-            for c in range(calls_per_block):
-                p, o, s, loss = fn(p, o, s, tensors, jax.random.PRNGKey(2 + c))
-            jax.block_until_ready(loss)
-            carry[0], carry[1], carry[2] = p, o, s
-
-        block()  # warmup/compile
-        return _median_rate(block, steps)
-
-    rate = measure(epoch_fn, opt_state)
-
-    if not fused_candidate:
-        return rate, "xla_scan", None
-
-    def gate_and_fallback():
-        """Run AFTER every config is measured: the gate's readback flips the
-        process into the degraded-dispatch regime (docs/tpu_notes.md)."""
-        p2, _ = jax.jit(model.init)(jax.random.PRNGKey(0))
-        ok, _ = fused_exactness_check(
-            model, p2, state, opt_spec, logging_loss, tensors
-        )
-        if ok:
-            return None  # keep the fused measurement
-        nonlocal params
-        params = p2
-        _, o2, xla_fn = build_xla()
-        return measure(xla_fn, o2), "xla_scan"
-
-    return rate, "fused_pallas", gate_and_fallback
+    e_big = max(epochs_per_call, e_small * 4)
+    t_small = timed(e_small)
+    t_big = timed(e_big)
+    d = t_big - t_small
+    marginal = (
+        (e_big - e_small) * nb / d if d > 0 else e_big * nb / t_big
+    )
+    sustained = e_big * nb / t_big
+    per_program_ms = max(0.0, (t_small - e_small * nb / marginal) * 1e3)
+    extras = {
+        "sustained_steps_per_s": round(sustained, 2),
+        "per_program_overhead_ms": round(per_program_ms, 1),
+        "epochs_per_program": e_big,
+    }
+    return marginal, ("fused_pallas" if use_fused else "xla_scan"), extras
 
 
 def bench_rbq10() -> float:
@@ -178,7 +180,7 @@ def bench_rbq10() -> float:
     )
     df = eh.gen_rbq10_data(20_000, seed=42)
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=512, epochs_per_call=20)
+    return _epoch_bench(model, data, batch=512, epochs_per_call=256)
 
 
 def bench_multi_target() -> float:
@@ -214,7 +216,7 @@ def bench_multi_target() -> float:
         vals[rng.random(len(vals)) < 0.1] = np.nan
         df[col] = vals
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=512, epochs_per_call=20)
+    return _epoch_bench(model, data, batch=512, epochs_per_call=256)
 
 
 def bench_large_mlp() -> float:
@@ -234,7 +236,7 @@ def bench_large_mlp() -> float:
     )
     df = eh.gen_rbq10_data(5_000, seed=42)
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=64, epochs_per_call=3)
+    return _epoch_bench(model, data, batch=64, epochs_per_call=64)
 
 
 def bench_multisite() -> float:
@@ -263,7 +265,7 @@ def bench_multisite() -> float:
         forcing={"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)},
         y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
     )
-    return _epoch_bench(model, data, batch=S, epochs_per_call=10)
+    return _epoch_bench(model, data, batch=S, epochs_per_call=16, e_small=2)
 
 
 # --------------------------------------------------------------------------
@@ -372,7 +374,6 @@ def main():
     enable_compilation_cache()
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
     configs = {}
-    deferred_gates = []
 
     def entry(name, fw_fn, base_fn):
         t0 = time.perf_counter()
@@ -381,11 +382,10 @@ def main():
             print(f"# {name}: fw bench {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
         path = None
+        extras = None
         if isinstance(fw, tuple):
             if len(fw) == 3:
-                fw, path, gate = fw
-                if gate is not None:
-                    deferred_gates.append((name, gate))
+                fw, path, extras = fw
             else:
                 fw, path = fw
         base = float("nan")
@@ -406,6 +406,8 @@ def main():
         }
         if path is not None:
             row["epoch_path"] = path
+        if extras:
+            row.update(extras)
         if base == base:
             row["baseline_steps_per_s"] = round(base, 2)
             row["baseline_ms_per_step"] = round(1000.0 / base, 4)
@@ -418,25 +420,6 @@ def main():
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
     entry("multisite", bench_multisite, None)
 
-    # exactness gates LAST: their device→host readback permanently degrades
-    # this rig's async dispatch, so they must not precede any measurement
-    for name, gate in deferred_gates:
-        t0 = time.perf_counter()
-        fb = gate()
-        if verbose:
-            print(f"# {name}: gate {time.perf_counter() - t0:.1f}s "
-                  f"({'ok' if fb is None else 'FAILED -> xla'})",
-                  file=sys.stderr)
-        if fb is not None:  # gate failed: replace with the XLA measurement
-            fw, path = fb
-            row = configs[name]
-            row["steps_per_s"] = round(fw, 2)
-            row["ms_per_step"] = round(1000.0 / fw, 4)
-            row["epoch_path"] = path
-            if "baseline_steps_per_s" in row:
-                row["vs_baseline"] = round(fw / row["baseline_steps_per_s"], 2)
-            if name == "rbq10":
-                headline.update(row)
     configs["multisite"]["site_steps_per_s"] = round(
         configs["multisite"]["steps_per_s"] * 10_000, 0
     )

@@ -114,7 +114,11 @@ def run_deferred_loop(
             [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
         )
 
-    def block(params, opt_state, state, es, tensors, teb, veb):
+    def block_body(params, opt_state, state, es, tensors, teb, veb, stop_iter):
+        """One eval-block: E epochs + eval + early-stop update, freezing
+        once done or past ``stop_iter`` (the scan length is bucketed, so
+        tail iterations beyond the requested nepochs must be no-ops)."""
+
         def live(operand):
             params, opt_state, state, es = operand
             key, shuffle_key = jax.random.split(es["key"])
@@ -152,11 +156,28 @@ def run_deferred_loop(
         def frozen(operand):
             return operand
 
-        return jax.lax.cond(
-            es["done"], frozen, live, (params, opt_state, state, es)
-        )
+        stop = jnp.logical_or(es["done"], es["epoch"] >= stop_iter)
+        return jax.lax.cond(stop, frozen, live, (params, opt_state, state, es))
 
-    block = jax.jit(block, donate_argnums=(0, 1, 3))
+    # the WHOLE training run is ONE jitted program: a lax.scan over eval
+    # blocks. Every extra program in the dispatch chain costs ~0.25-2.5 s
+    # at the final read on the target deployment (per-program drain over
+    # the tunnel), so a 100-epoch run as 100 programs pays minutes at the
+    # fetch while the same run as ONE program pays one program's worth.
+    # ``last_epoch`` rides as a traced scalar so every nepochs value in
+    # the same bucket shares one compiled executable.
+    def train_all(params, opt_state, state, es, tensors, teb, veb, last_epoch):
+        def body(carry, _):
+            p, o, s, es = carry
+            p, o, s, es = block_body(p, o, s, es, tensors, teb, veb, last_epoch)
+            return (p, o, s, es), None
+
+        (params, opt_state, state, es), _ = jax.lax.scan(
+            body, (params, opt_state, state, es), None, length=n_iters
+        )
+        return params, opt_state, state, es
+
+    train_all = jax.jit(train_all, donate_argnums=(0, 1, 3))
 
     # ---- initial snapshot (still on device) ----
     m_tr0, m_va0 = eval_metrics(params, state, train_eval_batch, val_eval_batch)
@@ -165,7 +186,13 @@ def run_deferred_loop(
     tracked_treedef = (
         jax.tree.structure(tracked_fn(params, state)) if tracked_fn else None
     )
+    # hist rows padded up to a power-of-two bucket: the block program's
+    # shape signature then only changes when nepochs crosses a bucket
+    # boundary, so different epoch counts share one compiled executable
+    # (rows past the run stay zero and are never read)
     n_rows = cfg.nepochs // eval_every + 1
+    n_rows_padded = max(16, 1 << (n_rows - 1).bit_length())
+    n_iters = n_rows_padded - 1  # bucketed scan length (tail iters freeze)
     row0 = metric_row(m_tr0, m_va0, params, state)
     # deep-copy: es.best_params must not alias params, which the first block
     # call donates (one jitted copy program, zero readbacks)
@@ -179,20 +206,32 @@ def run_deferred_loop(
         "best_state": copy_tree(state),
         "counter": jnp.int32(0),
         "done": jnp.bool_(False),
-        "hist": jnp.zeros((n_rows, row0.shape[0]), jnp.float32).at[0].set(row0),
+        "hist": jnp.zeros(
+            (n_rows_padded, row0.shape[0]), jnp.float32
+        ).at[0].set(row0),
     }
 
-    # ---- the zero-readback dispatch loop: ONE call per block ----
-    for _epoch in range(eval_every, cfg.nepochs + 1, eval_every):
-        params, opt_state, state, es = block(
-            params, opt_state, state, es, train_tensors,
-            train_eval_batch, val_eval_batch,
-        )
+    # ---- the whole run: ONE dispatch, then ONE readback ----
+    import os
+    import time
 
-    # ---- ONE readback of everything (hist is a single packed array) ----
+    timing = os.environ.get("EASYHYBRID_TIMING") == "1"
+    last_epoch = (cfg.nepochs // eval_every) * eval_every
+    t0 = time.perf_counter() if timing else 0.0
+    params, opt_state, state, es = train_all(
+        params, opt_state, state, es, train_tensors,
+        train_eval_batch, val_eval_batch, jnp.int32(last_epoch),
+    )
+    t1 = time.perf_counter() if timing else 0.0
+
     from ..utils.host import to_host
 
     fetched = to_host({k: v for k, v in es.items() if k != "key"})
+    if timing:
+        log.warning(
+            "deferred timing: 1 scan program (%d iters), dispatch %.2f s, "
+            "run+fetch %.2f s", n_iters, t1 - t0, time.perf_counter() - t1,
+        )
 
     # ---- host replay of the identical patience arithmetic ----
     hist_np = fetched["hist"]
