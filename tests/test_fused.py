@@ -494,3 +494,36 @@ def test_fused_stack_cap_fallback_matches_single_launch(monkeypatch):
     np.testing.assert_allclose(float(loss_s), float(loss_c), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gate_verdict_disk_cache(tmp_path, monkeypatch):
+    """The exactness-gate verdict is persisted per configuration so repeat
+    runs skip the gate's device readback entirely."""
+    import json
+    import os
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    from easyhybrid_tpu.ops.fused_epoch import (
+        _gate_cache_path,
+        fused_exactness_check,
+    )
+
+    model, params, state, tensors = _setup(n=256, batch=128)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    ok1, g1 = fused_exactness_check(model, params, state, ("adam", 0.01), ll, tensors)
+    assert ok1
+    path = _gate_cache_path()
+    assert os.path.exists(path)
+    entries = json.load(open(path))
+    assert len(entries) == 1
+    # cached verdict is returned verbatim (poison the stored value to prove
+    # the second call reads the cache instead of recomputing)
+    key = next(iter(entries))
+    entries[key] = [False, 123.0]
+    json.dump(entries, open(path, "w"))
+    ok2, g2 = fused_exactness_check(model, params, state, ("adam", 0.01), ll, tensors)
+    assert ok2 is False and g2 == 123.0
+    # and EASYHYBRID_GATE_CACHE=0 bypasses it
+    monkeypatch.setenv("EASYHYBRID_GATE_CACHE", "0")
+    ok3, _ = fused_exactness_check(model, params, state, ("adam", 0.01), ll, tensors)
+    assert ok3

@@ -458,3 +458,17 @@ def test_deferred_loop_no_early_stop(rbq10_model, rbq10_df):
     )
     assert len(r.train_history) == 5  # init + 4 snapshots
     assert np.isfinite(r.best_loss)
+
+
+def test_deferred_loop_matches_eager_eval_every(rbq10_model, rbq10_df):
+    """Deferred vs eager parity also holds with eval_every > 1 (multi-epoch
+    programs + coarser snapshots)."""
+    kw = dict(nepochs=8, batchsize=64, optimizer=("adam", 0.01),
+              eval_every=2, random_seed=11)
+    r_def = eh.train(rbq10_model, rbq10_df, show_progress=False, **kw)
+    r_eag = eh.train(rbq10_model, rbq10_df, show_progress=True, **kw)
+    assert len(r_def.train_history) == len(r_eag.train_history) == 5
+    for a, b in zip(r_def.val_history, r_eag.val_history):
+        np.testing.assert_allclose(a["mse"]["sum"], b["mse"]["sum"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(r_def.params), jax.tree.leaves(r_eag.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
