@@ -136,13 +136,16 @@ def _epoch_bench(
 
     def timed(E, reps: int = REPEATS + 2):
         fn, o0 = build(E)
-        p, o = copy_tree((params, o0))
-        p, o, _, loss = fn(p, o, state, tensors, jax.random.PRNGKey(0))
+        # rebind ALL carried arrays from the return: the XLA epoch donates
+        # (params, opt_state, state), so reusing a donated buffer across
+        # calls raises "Array has been deleted" on TPU/GPU
+        p, o, s = copy_tree((params, o0, state))
+        p, o, s, loss = fn(p, o, s, tensors, jax.random.PRNGKey(0))
         _ = float(loss)  # warm + force real completion
         ts = []
         for r in range(reps):
             t0 = time.perf_counter()
-            p, o, _, loss = fn(p, o, state, tensors, jax.random.PRNGKey(1 + r))
+            p, o, s, loss = fn(p, o, s, tensors, jax.random.PRNGKey(1 + r))
             _ = float(loss)  # forced read: honest end-to-end completion
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))

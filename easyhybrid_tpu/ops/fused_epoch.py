@@ -397,7 +397,7 @@ def make_fused_epoch(
         forcing_b,    # {name: (1, B)}
         y_b,          # {target: (1, B)}
         mask_b,       # {target: (1, B)}
-        t_old,        # rank-0 float32 step counter
+        t_old,        # rank-0 float32 VALID-STEP DELTA within this launch
     ):
         """One SGD step: fused forward + symbolic backward + update math.
         Returns ``(grads_tree, t_new, valid, batch_loss)``."""
@@ -705,7 +705,16 @@ def make_fused_epoch(
             pb = [jnp.where(first, p_in[k][...], p_out[k][...]) for k in range(npar)]
             mb = [jnp.where(first, m_in[k][...], am_out[k][...]) for k in range(npar)]
             vb = [jnp.where(first, v_in[k][...], av_out[k][...]) for k in range(npar)]
-            t_old = jnp.where(first, t_in[0, 0], t_out[0, 0])
+            # step counting: the carried tile holds only this launch's
+            # valid-step DELTA (starts at 0; bounded by epochs×num_batches,
+            # far below 2^24 so float32 increments stay exact). The absolute
+            # count for bias correction is t_base + delta; the int32
+            # opt_state counter is advanced XLA-side as t0 + round(delta),
+            # exact at any cumulative step count. (Past 2^24 total steps the
+            # float t_base loses ulps, but there b^t has underflowed to 0 so
+            # bias correction is exactly 1 regardless.)
+            t_base = t_in[0, 0]
+            t_old = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
 
             p = jax.tree.unflatten(
                 treedef,
@@ -752,7 +761,7 @@ def make_fused_epoch(
                 if l2_spec is not None and is_weight[k]:
                     g_pad = g_pad + l2_coeff * pb[k]
                 p_new, m_new, v_new = update_leaf(
-                    pb[k], mb[k], vb[k], g_pad, valid, t_new
+                    pb[k], mb[k], vb[k], g_pad, valid, t_base + t_new
                 )
                 p_out[k][...] = p_new
                 am_out[k][...] = m_new
@@ -841,9 +850,13 @@ def make_fused_epoch(
         p_bufs = [_to_kernel_buffer(l) for l in leaves]
         m_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["m"])[0]]
         v_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["v"])[0]]
-        t_buf = jnp.pad(
-            opt_state["t"].reshape(1, 1).astype(jnp.float32), ((0, 7), (0, 127))
-        )
+        # step counter: int32 master copy stays XLA-side; the kernel gets a
+        # float32 BASE splat in and returns this launch's valid-step DELTA
+        # (see kernel_body) — exact int accumulation at any step count
+        t0 = opt_state["t"].reshape(())
+
+        def t_base_buf(cum):
+            return jnp.zeros(_PAD, jnp.float32) + (t0 + cum).astype(jnp.float32)
         st_leaves, st_treedef = jax.tree.flatten(state_in)
         st_orig_shapes = [jnp.shape(l) for l in st_leaves]
         st_bufs = [_to_kernel_buffer(l) for l in st_leaves]
@@ -906,11 +919,13 @@ def make_fused_epoch(
                 data = (tensors.x, tensors.forcing, tensors.y, tensors.mask,
                         tensors.weight)
                 stacked = False
-            p_bufs, m_bufs, v_bufs, t_buf, last_loss = run_kernel_epoch(
-                list(p_bufs), list(m_bufs), list(v_bufs), t_buf,
+            p_bufs, m_bufs, v_bufs, t_delta, last_loss = run_kernel_epoch(
+                list(p_bufs), list(m_bufs), list(v_bufs),
+                t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                 data, is_weight, epochs=epochs, stacked=stacked,
             )
+            t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
             if do_sample_shuffle:
                 xs = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
@@ -918,21 +933,24 @@ def make_fused_epoch(
                 xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
 
             def body(carry, perm):
-                pb, mb, vb, tb = carry
+                pb, mb, vb, cum = carry
                 data = (
                     sample_shuffled(perm)
                     if do_sample_shuffle
                     else batch_shuffled(perm)
                 )
-                pb, mb, vb, tb, mean_loss = run_kernel_epoch(
-                    list(pb), list(mb), list(vb), tb,
+                pb, mb, vb, t_delta, mean_loss = run_kernel_epoch(
+                    list(pb), list(mb), list(vb), t_base_buf(cum),
                     st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                     data, is_weight,
                 )
-                return (tuple(pb), tuple(mb), tuple(vb), tb), mean_loss
+                cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
+                return (tuple(pb), tuple(mb), tuple(vb), cum), mean_loss
 
-            (p_bufs, m_bufs, v_bufs, t_buf), losses = jax.lax.scan(
-                body, (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), t_buf), xs
+            (p_bufs, m_bufs, v_bufs, t_cum), losses = jax.lax.scan(
+                body,
+                (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), jnp.int32(0)),
+                xs,
             )
             last_loss = losses[-1]
 
@@ -949,7 +967,7 @@ def make_fused_epoch(
                 treedef,
                 [_from_kernel_buffer(a, s) for a, s in zip(v_bufs, orig_shapes)],
             ),
-            "t": jnp.round(t_buf[0:1, 0]).astype(jnp.int32),
+            "t": (t0 + t_cum).reshape(1),
         }
         return new_params, new_opt_state, state_in, last_loss
 
@@ -1078,8 +1096,36 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors) -> str:
         str(getattr(logging.extra_loss, "_l2_spec", None)),
         str(leaf_shapes), str(data_shapes),
         jax.__version__, jax.default_backend(),
+        _runtime_identity(),
     ]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:32]
+
+
+@functools.lru_cache(maxsize=1)
+def _runtime_identity() -> str:
+    """Compiler-stack identity for the gate cache key. The gate exists to
+    detect Mosaic/libtpu codegen bugs, so the cached verdict must be keyed on
+    the libtpu build, not just the jax version — a libtpu upgrade under the
+    same jax would otherwise silently reuse a stale PASS."""
+    parts = []
+    try:
+        import jaxlib
+
+        parts.append(f"jaxlib={jaxlib.version.__version__}")
+    except Exception:
+        pass
+    try:
+        # e.g. "PJRT C API\ntfrt_tpu ... libtpu version ..." on TPU
+        parts.append(jax.devices()[0].client.platform_version)
+    except Exception:
+        pass
+    try:
+        import libtpu
+
+        parts.append(f"libtpu={getattr(libtpu, '__version__', '?')}")
+    except Exception:
+        pass
+    return ";".join(parts)
 
 
 def _gate_cache_path() -> str:

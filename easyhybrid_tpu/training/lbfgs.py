@@ -57,11 +57,35 @@ def train_second_order(
 ) -> TrainResults:
     """Train with a linesearch-style solver. ``solve_kwargs`` (the leftover
     ``train`` kwargs) are forwarded to the solver constructor — the
-    ``solve(...)`` kwarg-forwarding analog (train_optimization.jl:33-119)."""
-    from .optimizers import resolve_second_order
+    ``solve(...)`` kwarg-forwarding analog (train_optimization.jl:33-119).
 
-    if cfg.promote_f64:
-        jax.config.update("jax_enable_x64", True)
+    ``promote_f64`` is scoped to THIS solve (parity: the reference's
+    promote_f64 is per-solve, train_optimization.jl): the global x64 flag is
+    restored on exit, so subsequent ``train()`` calls stay in float32."""
+    if not cfg.promote_f64:
+        return _train_second_order(
+            model, data, cfg, dcfg, maxiters=maxiters, **solve_kwargs
+        )
+    prev = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _train_second_order(
+            model, data, cfg, dcfg, maxiters=maxiters, **solve_kwargs
+        )
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+
+def _train_second_order(
+    model,
+    data,
+    cfg: TrainConfig,
+    dcfg: DataConfig,
+    *,
+    maxiters: Optional[int] = None,
+    **solve_kwargs,
+) -> TrainResults:
+    from .optimizers import resolve_second_order
 
     key = jax.random.PRNGKey(cfg.random_seed)
     key, init_key = jax.random.split(key)

@@ -185,6 +185,22 @@ def test_lbfgs_full_batch(rbq10_model, rbq10_df):
     assert np.isfinite(res.best_loss)
 
 
+def test_promote_f64_scoped_to_solve(rbq10_model, rbq10_df):
+    """promote_f64 is per-solve (reference train_optimization.jl): the global
+    x64 flag must be restored so a subsequent train() stays in float32."""
+    import jax
+
+    assert jax.config.read("jax_enable_x64") is False
+    res = eh.train(
+        rbq10_model, rbq10_df, optimizer="lbfgs", full_batch=True,
+        promote_f64=True, nepochs=2, show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+    assert jax.config.read("jax_enable_x64") is False
+    res2 = _quick(rbq10_model, rbq10_df, nepochs=1)
+    assert jax.tree.leaves(res2.params)[0].dtype == np.float32
+
+
 def test_lbfgs_minibatch(rbq10_model, rbq10_df):
     res = eh.train(
         rbq10_model,
