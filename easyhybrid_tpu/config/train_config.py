@@ -161,6 +161,10 @@ class TrainResults:
                                    # return_gradients (global + per branch)
     metrics_stream: Any = None     # path of the JSONL metric stream when
                                    # save_training or plotting
+    epoch_path: Any = None         # training engine that ran the epochs:
+                                   # "fused_pallas" | "fused_pallas_multisite"
+                                   # | "xla_scan" | "second_order"
+    loop_mode: Any = None          # "deferred" (zero-readback) | "eager"
     final_grads: Any = None        # final full-train-batch grads pytree
                                    # when return_gradients
 

@@ -265,6 +265,108 @@ def _rowsum(a, ones_b1):
 
 
 # --------------------------------------------------------------------------
+# shared in-kernel building blocks (used by this kernel and the multisite
+# variant in ops/fused_multisite.py)
+# --------------------------------------------------------------------------
+
+def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1):
+    """Feature-major MLP forward saving backward residuals.
+    Returns ``(nn_out (out, B), residuals)``."""
+    h = x_fb
+    xhat = None
+    if mlp.input_batchnorm:
+        norm_state = st_nn["norm"]
+        mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
+        xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
+        h = xhat
+        if mlp.norm.affine:
+            h = xhat * pnn["norm"]["scale"] + pnn["norm"]["bias"]
+    residual_h, residual_dact = [], []
+    for layer, lp in zip(mlp.layers, pnn["layers"]):
+        residual_h.append(h)
+        z = jax.lax.dot_general(
+            lp["w"], h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (out, in) @ (in, B) → (out, B)
+        z = z + lp["b"]  # (out, 1) broadcasts over lanes
+        act = get_activation(layer.activation)
+        # forward-mode: value AND elementwise derivative in one pass
+        h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
+        residual_dact.append(dact)
+    return h, (residual_h, residual_dact, xhat)
+
+
+def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
+    """Symbolic transposed backward from the nn_out cotangent ``D``
+    (out, B). Returns the branch grads dict mirroring ``pnn``."""
+    residual_h, residual_dact, xhat = residuals
+    has_norm_affine = bool(mlp.input_batchnorm and mlp.norm.affine)
+    layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
+    for li in range(len(mlp.layers) - 1, -1, -1):
+        D = D * residual_dact[li]  # dL/dz_li (out, B)
+        gw = jax.lax.dot_general(
+            D, residual_h[li], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (out, B) ×_B (in, B) → (out, in)
+        gb = _rowsum(D, ones_b1)  # (out, 1)
+        layer_grads[li] = {"w": gw, "b": gb}
+        if li > 0 or has_norm_affine:
+            w = pnn["layers"][li]["w"]  # (out, in)
+            D = jax.lax.dot_general(
+                w, D, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # contract out → (in, B)
+    grads = {"layers": layer_grads}
+    if has_norm_affine:
+        grads["norm"] = {
+            "bias": _rowsum(D, ones_b1),
+            "scale": _rowsum(D * xhat, ones_b1),
+        }
+    return grads
+
+
+def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
+    """Per-leaf optimizer update matching the optax formulas exactly.
+    Returns ``update_leaf(pv, mv, vv, g, valid, t_new) -> (p', m', v')``;
+    ``valid`` ∈ {0,1} gates the whole update arithmetically (discarded
+    batches leave params/moments/counter bit-identical, like the XLA
+    path's tree-select guard)."""
+    lr = hyper["learning_rate"]
+
+    def update_leaf(pv, mv, vv, g, valid, t_new):
+        if opt_name == "sgd":
+            return pv - (valid * lr) * g, mv, vv
+        if opt_name == "rmsprop":
+            decay, eps = hyper["decay"], hyper["eps"]
+            v_new = decay * vv + (1.0 - decay) * g * g
+            v_sel = vv + valid * (v_new - vv)
+            upd = g / jnp.sqrt(v_sel + eps)  # optax eps_in_sqrt=True
+            return pv - (valid * lr) * upd, mv, v_sel
+        b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+        # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
+        # t clamped to >=1: a fully-masked batch at step 0 leaves t_new==0,
+        # where 1-b^0 == 0 would make m_hat 0/0=NaN — and the arithmetic
+        # valid-gate propagates it (0*NaN=NaN). With valid==0 the update is
+        # discarded anyway, so the clamped exponent never changes real math
+        # (any valid step has t_new >= 1).
+        t_safe = jnp.maximum(t_new, 1.0)
+        b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+        b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+        m_new = b1 * mv + (1.0 - b1) * g
+        v_new = b2 * vv + (1.0 - b2) * g * g
+        m_sel = mv + valid * (m_new - mv)
+        v_sel = vv + valid * (v_new - vv)
+        m_hat = m_sel / (1.0 - b1_t)
+        v_hat = v_sel / (1.0 - b2_t)
+        upd = m_hat / (jnp.sqrt(v_hat) + eps)
+        if opt_name == "adamw":
+            upd = upd + hyper["weight_decay"] * pv
+        return pv - (valid * lr) * upd, m_sel, v_sel
+
+    return update_leaf
+
+
+# --------------------------------------------------------------------------
 # the kernel
 # --------------------------------------------------------------------------
 
@@ -334,60 +436,6 @@ def make_fused_epoch(
         name: (model.parameters.lower_of(name), model.parameters.upper_of(name))
         for name in (*neural_names, *global_names)
     }
-
-    def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1):
-        """Feature-major MLP forward saving backward residuals.
-        Returns ``(nn_out (out, B), residuals)``."""
-        h = x_fb
-        xhat = None
-        if mlp.input_batchnorm:
-            norm_state = st_nn["norm"]
-            mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
-            xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
-            h = xhat
-            if mlp.norm.affine:
-                h = xhat * pnn["norm"]["scale"] + pnn["norm"]["bias"]
-        residual_h, residual_dact = [], []
-        for layer, lp in zip(mlp.layers, pnn["layers"]):
-            residual_h.append(h)
-            z = jax.lax.dot_general(
-                lp["w"], h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (out, in) @ (in, B) → (out, B)
-            z = z + lp["b"]  # (out, 1) broadcasts over lanes
-            act = get_activation(layer.activation)
-            # forward-mode: value AND elementwise derivative in one pass
-            h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
-            residual_dact.append(dact)
-        return h, (residual_h, residual_dact, xhat)
-
-    def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
-        """Symbolic transposed backward from the nn_out cotangent ``D``
-        (out, B). Returns the branch grads dict mirroring ``pnn``."""
-        residual_h, residual_dact, xhat = residuals
-        has_norm_affine = bool(mlp.input_batchnorm and mlp.norm.affine)
-        layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
-        for li in range(len(mlp.layers) - 1, -1, -1):
-            D = D * residual_dact[li]  # dL/dz_li (out, B)
-            gw = jax.lax.dot_general(
-                D, residual_h[li], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (out, B) ×_B (in, B) → (out, in)
-            gb = _rowsum(D, ones_b1)  # (out, 1)
-            layer_grads[li] = {"w": gw, "b": gb}
-            if li > 0 or has_norm_affine:
-                w = pnn["layers"][li]["w"]  # (out, in)
-                D = jax.lax.dot_general(
-                    w, D, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # contract out → (in, B)
-        grads = {"layers": layer_grads}
-        if has_norm_affine:
-            grads["norm"] = {
-                "bias": _rowsum(D, ones_b1),
-                "scale": _rowsum(D * xhat, ones_b1),
-            }
-        return grads
 
     def kernel_body(
         i,
@@ -574,39 +622,7 @@ def make_fused_epoch(
         return grads, t_new, valid, batch_loss * valid
 
     # ---- optimizer update (per kernel-layout leaf) -----------------------
-    def update_leaf(pv, mv, vv, g, valid, t_new):
-        """Returns (p', m', v') matching the optax formulas exactly.
-        ``valid`` ∈ {0,1} gates the whole update arithmetically (discarded
-        batches leave params/moments/counter bit-identical, like the XLA
-        path's tree-select guard)."""
-        if opt_name == "sgd":
-            return pv - (valid * lr) * g, mv, vv
-        if opt_name == "rmsprop":
-            decay, eps = hyper["decay"], hyper["eps"]
-            v_new = decay * vv + (1.0 - decay) * g * g
-            v_sel = vv + valid * (v_new - vv)
-            upd = g / jnp.sqrt(v_sel + eps)  # optax eps_in_sqrt=True
-            return pv - (valid * lr) * upd, mv, v_sel
-        b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
-        # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
-        # t clamped to >=1: a fully-masked batch at step 0 leaves t_new==0,
-        # where 1-b^0 == 0 would make m_hat 0/0=NaN — and the arithmetic
-        # valid-gate propagates it (0*NaN=NaN). With valid==0 the update is
-        # discarded anyway, so the clamped exponent never changes real math
-        # (any valid step has t_new >= 1).
-        t_safe = jnp.maximum(t_new, 1.0)
-        b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
-        b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
-        m_new = b1 * mv + (1.0 - b1) * g
-        v_new = b2 * vv + (1.0 - b2) * g * g
-        m_sel = mv + valid * (m_new - mv)
-        v_sel = vv + valid * (v_new - vv)
-        m_hat = m_sel / (1.0 - b1_t)
-        v_hat = v_sel / (1.0 - b2_t)
-        upd = m_hat / (jnp.sqrt(v_hat) + eps)
-        if opt_name == "adamw":
-            upd = upd + hyper["weight_decay"] * pv
-        return pv - (valid * lr) * upd, m_sel, v_sel
+    update_leaf = make_update_leaf(opt_name, hyper)
 
     # ---- one pallas_call = one epoch --------------------------------------
     _PAD = (8, 128)
@@ -978,6 +994,18 @@ def make_fused_epoch(
 # runtime exactness gate
 # --------------------------------------------------------------------------
 
+def _fused_builder(model):
+    """Kernel builder for a model: the generic single-series kernel, or the
+    multisite variant for MultiSiteHybridModel."""
+    from ..parallel.multisite import MultiSiteHybridModel
+
+    if isinstance(model, MultiSiteHybridModel):
+        from .fused_multisite import make_fused_multisite_epoch
+
+        return make_fused_multisite_epoch
+    return make_fused_epoch
+
+
 def fused_exactness_check(
     model,
     params,
@@ -988,34 +1016,55 @@ def fused_exactness_check(
     *,
     n_batches: int = 2,
     tol: float = 3e-2,
+    epochs_per_call: int = 1,
+    shuffle: Any = False,
 ) -> Tuple[bool, float]:
-    """Compare the kernel's fused forward+backward against the XLA scan
-    epoch on a small slice of the actual data, gradient-for-gradient.
+    """Compare the kernel against the XLA scan epoch on a small slice of the
+    actual data before trusting it.
 
     Round 1's Mosaic failure mode was a SILENT miscompile (garbage gradient
     values, no error; observed ratios 10×–1e33), so the kernel is only
-    auto-enabled when this check passes on the model/data at hand. Both
-    paths run ``n_batches`` plain-SGD steps at a small lr; the implied
-    per-leaf gradients ``(p0 - p) / lr`` are compared relative to the
-    global gradient scale. This is scale-free and tolerates the ~2e-3
-    relative noise of independent bf16 MXU roundings between the two
-    paths (a same-optimizer parameter comparison would not: with Adam,
-    near-zero gradients legitimately flip update signs under benign
-    precision noise). Optimizer arithmetic itself is validated bit-near
-    against optax in interpret mode (tests/test_fused.py). Returns
-    ``(ok, max_relative_gradient_difference)``; any exception on the fused
-    side counts as failure.
+    auto-enabled when this check passes on the model/data at hand. Two
+    phases, both on the real chip:
+
+    **Phase A — gradient content.** Both paths run plain-SGD steps at a
+    small lr; the implied per-leaf gradients ``(p0 - p) / lr`` are compared
+    with PER-LEAF normalization: ``max_leaf |Δg_leaf| / max(|g_leaf|,
+    3%·g_max, 1e-6)``. Per-leaf (not global) normalization matters because
+    the round-1 failure class was garbage confined to small-gradient (1,1)
+    leaves, which a global scale hides when MLP weight gradients dominate.
+    The 3 %·g_max floor absorbs the ~2e-3 cross-leaf bf16 MXU rounding
+    noise shared through the fused forward.
+
+    **Phase B — production variant.** The kernel configuration that will
+    actually run (real optimizer update math, shuffle mode, multi-epoch
+    grid — capped at 4 epochs) executes against the matching optax path.
+    Stateful-optimizer trajectories legitimately diverge element-wise where
+    gradients sit below the MXU noise floor (sign flips), so the criterion
+    is structural: the loss trajectories must agree to 5 % and no
+    leaf with > 4 elements may have most (> 50 %) of its elements diverged
+    by more than half an update step — garbage (wrong buffers, mis-scheduled
+    carries) diverges whole leaves, benign noise flips isolated elements.
+
+    Returns ``(ok, max_relative_gradient_difference)``; any exception on the
+    fused side counts as failure. The verdict is disk-cached per
+    (model/data/optimizer/loss/launch-config/compiler-stack) key.
     """
     import optax
 
     from ..data.loaders import EpochTensors
     from ..training.epoch import make_train_epoch
+    from ..training.optimizers import resolve_optimizer
 
-    cache_key = _gate_cache_key(model, params, optimizer_spec, logging, tensors)
+    cache_key = _gate_cache_key(
+        model, params, optimizer_spec, logging, tensors,
+        epochs_per_call=epochs_per_call, shuffle=shuffle,
+    )
     cached = _gate_cache_read(cache_key)
     if cached is not None:
         return bool(cached[0]), float(cached[1])
 
+    builder = _fused_builder(model)
     lr = 1e-3
     nb = min(n_batches, int(tensors.weight.shape[0]))
     sub = EpochTensors(
@@ -1028,7 +1077,8 @@ def fused_exactness_check(
     )
     key = jax.random.PRNGKey(0)
     try:
-        fused = make_fused_epoch(model, state, ("sgd", lr), logging, shuffle=False)
+        # ---- phase A: SGD implied-gradient comparison --------------------
+        fused = builder(model, state, ("sgd", lr), logging, shuffle=False)
         p_f, _, _, loss_f = fused(
             jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
             state, sub, key,
@@ -1041,28 +1091,89 @@ def fused_exactness_check(
             jax.tree.map(jnp.copy, params), optimizer.init(params),
             jax.tree.map(jnp.copy, state), sub, key,
         )
+
+        # ---- phase B: the production kernel variant ----------------------
+        parsed = parse_opt_spec(optimizer_spec)
+        prod_name, prod_hyper = parsed if parsed else ("sgd", {"learning_rate": lr})
+        prod_lr = prod_hyper.get("learning_rate", lr)
+        e_gate = max(1, min(int(epochs_per_call), 4))
+        run_prod = parsed is not None and (
+            prod_name != "sgd" or e_gate > 1 or shuffle is not False
+        )
+        if run_prod:
+            fused_p = builder(
+                model, state, optimizer_spec, logging,
+                shuffle=shuffle, epochs_per_call=e_gate,
+            )
+            pp_f, _, _, pl_f = fused_p(
+                jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+                state, sub, key,
+            )
+            opt_p = optax.flatten(resolve_optimizer(optimizer_spec, params))
+            xla_p = make_train_epoch(
+                model, logging, opt_p, shuffle=shuffle,
+                epochs_per_call=e_gate,
+            )
+            pp_x, _, _, pl_x = xla_p(
+                jax.tree.map(jnp.copy, params), opt_p.init(params),
+                jax.tree.map(jnp.copy, state), sub, key,
+            )
+        else:
+            pp_f = pp_x = None
+            pl_f = pl_x = jnp.float32(0.0)
+
         # all comparisons in ONE jitted program + ONE device_get: every
         # device→host readback permanently degrades this rig's async
         # dispatch (~25×, see docs/tpu_notes.md), so the gate makes exactly
         # one — and its verdict is disk-cached so repeat runs make none.
-        def _compare(pf, px, p0, lf, lx):
-            gscale = jnp.float32(1e-6)
-            for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(px)):
-                gscale = jnp.maximum(gscale, jnp.max(jnp.abs(a - b)) / lr)
+        def _compare(pf, px, p0, lf, lx, ppf, ppx, plf, plx):
+            # per-leaf implied-gradient scales
+            g_leaf = [
+                jnp.max(jnp.abs(a - b)) / lr
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(px))
+            ]
+            gmax = jnp.float32(1e-6)
+            for g in g_leaf:
+                gmax = jnp.maximum(gmax, g)
             rel = jnp.float32(0.0)
-            for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(px)):
-                rel = jnp.maximum(rel, jnp.max(jnp.abs(a - b)) / lr)
-            rel = rel / gscale
+            for (a, b, g) in zip(
+                jax.tree.leaves(pf), jax.tree.leaves(px), g_leaf
+            ):
+                d = jnp.max(jnp.abs(a - b)) / lr
+                denom = jnp.maximum(jnp.maximum(g, 0.03 * gmax), 1e-6)
+                rel = jnp.maximum(rel, d / denom)
             loss_rel = jnp.abs(lf - lx) / (jnp.abs(lx) + 1e-6)
-            return rel, loss_rel
+            # production-variant structural comparison
+            if ppf is not None:
+                frac_bad = jnp.float32(0.0)
+                for a, b in zip(jax.tree.leaves(ppf), jax.tree.leaves(ppx)):
+                    if a.size <= 4:
+                        continue  # tiny leaves: benign sign flips dominate
+                    diverged = (
+                        jnp.abs(a - b) > 0.5 * prod_lr
+                    ).astype(jnp.float32)
+                    frac_bad = jnp.maximum(frac_bad, jnp.mean(diverged))
+                ploss_rel = jnp.abs(plf - plx) / (jnp.abs(plx) + 1e-6)
+            else:
+                frac_bad = jnp.float32(0.0)
+                ploss_rel = jnp.float32(0.0)
+            return rel, loss_rel, frac_bad, ploss_rel
 
-        rel, loss_rel = jax.device_get(
-            jax.jit(_compare)(p_f, p_x, params, loss_f, loss_x)
+        rel, loss_rel, frac_bad, ploss_rel = jax.device_get(
+            jax.jit(_compare)(
+                p_f, p_x, params, loss_f, loss_x, pp_f, pp_x, pl_f, pl_x
+            )
         )
         rel, loss_rel = float(rel), float(loss_rel)
-        ok = bool(np.isfinite(rel) and rel < tol and loss_rel < 1e-2)
-        _gate_cache_write(cache_key, ok, max(rel, loss_rel))
-        return ok, max(rel, loss_rel)
+        frac_bad, ploss_rel = float(frac_bad), float(ploss_rel)
+        ok = bool(
+            np.isfinite(rel) and rel < tol and loss_rel < 1e-2
+            and np.isfinite(frac_bad) and frac_bad <= 0.5
+            and np.isfinite(ploss_rel) and ploss_rel < 5e-2
+        )
+        worst = max(rel, loss_rel, ploss_rel)
+        _gate_cache_write(cache_key, ok, worst)
+        return ok, worst
     except Exception:  # shape/feature outside the kernel envelope
         return False, float("inf")
 
@@ -1072,7 +1183,8 @@ def fused_exactness_check(
 # regime; caching its verdict per (model structure, shapes, optimizer, loss,
 # jax/backend version) means only the FIRST run of a configuration pays it.
 
-def _gate_cache_key(model, params, optimizer_spec, logging, tensors) -> str:
+def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
+                    epochs_per_call: int = 1, shuffle: Any = False) -> str:
     import hashlib
     import inspect
 
@@ -1095,6 +1207,8 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors) -> str:
         str(logging.training_loss), str(logging.agg_name),
         str(getattr(logging.extra_loss, "_l2_spec", None)),
         str(leaf_shapes), str(data_shapes),
+        # launch configuration: phase B gates the variant that will run
+        str(max(1, min(int(epochs_per_call), 4))), str(shuffle),
         jax.__version__, jax.default_backend(),
         _runtime_identity(),
     ]

@@ -1,0 +1,621 @@
+"""Pallas TPU kernel: multi-site hybrid training epochs in ONE launch.
+
+The FLUXNET-scale config (BASELINE.json config 5) trains a
+:class:`~easyhybrid_tpu.parallel.multisite.MultiSiteHybridModel`: one shared
+MLP over all (site, time) samples plus per-site global physical parameters
+(e.g. one Q10 per site). The generic fused kernel (ops/fused_epoch.py)
+cannot express per-site parameters, so the flagship config previously ran
+the XLA scan epoch. This kernel closes that gap: ALL epochs of full-site
+batch training run in ONE Pallas launch.
+
+Design (built exclusively from primitives validated on this rig's Mosaic
+build — tools/probe_multisite_primitives{,2}.py, 2026-08-17 on-chip runs):
+
+* **Flattened samples, two layouts.** Each grid step processes a CHUNK of
+  128 sites × N timesteps. The shared MLP sees feature-major ``(F, M)``
+  blocks with ``M = N_pad·128`` and sample column ``t·128 + s`` (time-major
+  within the chunk); all physics/loss math runs in the 2-D ``(N_pad, 128)``
+  = (time, site) layout. The two meet through the on-chip reshape
+  ``(1, M) ↔ (N_pad, 128)`` — PASS in the probe (exact).
+* **Per-site parameters are VMEM-resident, packed site-major** as
+  ``(R_pad, 128)`` tiles (site ``s`` ↔ row ``s//128``, lane ``s%128``);
+  10k sites × (p, m, v) is ~120 kB. Chunk ``c``'s row is selected EXACTLY
+  with a masked sublane ``jnp.sum`` (1 nonzero + zeros — no MXU rounding;
+  dynamic sublane slicing ``ref[pl.ds(c,1)]`` CRASHES this build, and a
+  ones-matmul select carries ~1e-3 bf16 rounding: probe rows 5/7) and
+  written back with a full-buffer ``jnp.where(row == c, new, carried)``
+  (probe ``row_mask_update`` PASS).
+* **Per-site gradients need no cross-chunk accumulation**: with one full
+  site batch per epoch, site ``s``'s gradient lives entirely in its chunk,
+  so its Adam update applies immediately (bit-identical to updating at
+  epoch end). Shared NN/scalar leaves accumulate gradients across chunks in
+  carried accumulator tiles and update once at the LAST chunk.
+* **Loss normalization is precomputed.** The masked-mean divisor
+  ``n_t = Σ mask_t`` spans the whole site batch, which no single chunk
+  sees; masks are static across epochs (no shuffle at one batch/epoch), so
+  ``1/n_t`` and the validity flag are computed once XLA-side and streamed
+  in as a padded tile.
+
+Envelope (``supports_fused_multisite``): ``share_nn=True``,
+``SingleNNHybridModel`` base with an MLP (input_batchnorm in
+{False, "static"}), scalar per-site globals, training loss in {mse, mae},
+agg in {sum, mean}, optimizer in {adam, adamw, sgd, rmsprop}, no
+``extra_loss``, and ONE site batch per epoch (``batchsize >= n_sites`` —
+the standard full-batch multisite setup; minibatched sites fall back to the
+XLA epoch because optax decays moments of out-of-batch parameters every
+step, which chunk-local updates cannot reproduce).
+
+Reference parity: the multisite training semantics themselves are a
+TPU-native addition (SURVEY.md §5; the reference is single-series), but the
+per-step math matches the XLA path exactly — enforced by the same runtime
+exactness gate as the generic kernel (``fused_exactness_check``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..losses.specs import LoggingLoss
+from ..models.hybrid import SingleNNHybridModel, _call_mechanistic
+from ..models.nn import MLP
+from ..params import scale_param
+from .fused_epoch import (
+    _buffer_shape,
+    _ceil_to,
+    _dot11,
+    _from_kernel_buffer,
+    _kernel_shape,
+    _pad_to,
+    _to_kernel_buffer,
+    backward_mlp,
+    forward_mlp,
+    make_update_leaf,
+    parse_opt_spec,
+)
+
+__all__ = ["supports_fused_multisite", "make_fused_multisite_epoch"]
+
+_SITE_LANES = 128  # sites per chunk = one packed row
+_MS_LOSSES = ("mse", "mae")  # rmse needs the full-batch sqrt -> not chunkable
+
+
+def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
+                             tensors=None) -> bool:
+    """Static support check for the multisite fused-epoch fast path.
+    ``tensors`` (when available) additionally checks the one-batch-per-epoch
+    requirement."""
+    from ..parallel.multisite import MultiSiteHybridModel
+
+    if not isinstance(model, MultiSiteHybridModel):
+        return False
+    if not model.share_nn:
+        return False
+    base = model.base
+    if not isinstance(base, SingleNNHybridModel):
+        return False
+    if base.nn is not None:
+        if not isinstance(base.nn, MLP):
+            return False
+        if base.nn.input_batchnorm is True:  # trainable running-stats BN
+            return False
+        if base.nn.compute_dtype is not None:
+            return False
+        if not base.neural_param_names:
+            return False
+    if logging.extra_loss is not None:
+        return False
+    if logging.training_loss not in _MS_LOSSES:
+        return False
+    if logging.agg_name not in ("sum", "mean"):
+        return False
+    if parse_opt_spec(optimizer_spec) is None:
+        return False
+    if tensors is not None and int(tensors.weight.shape[0]) != 1:
+        return False
+    return True
+
+
+def _pack_site_leaf(leaf, n_sites: int, r: int, r_pad: int):
+    """(S, 1) per-site leaf → (R_pad, 128) site-major packed tile."""
+    v = jnp.asarray(leaf, jnp.float32).reshape(-1)
+    v = jnp.pad(v, (0, r * _SITE_LANES - n_sites))
+    arr = v.reshape(r, _SITE_LANES)
+    return jnp.pad(arr, ((0, r_pad - r), (0, 0)))
+
+
+def _unpack_site_leaf(arr, n_sites: int, orig_shape):
+    """(R_pad, 128) packed tile → original (S, 1) per-site leaf."""
+    return arr.reshape(-1)[:n_sites].reshape(orig_shape)
+
+
+def make_fused_multisite_epoch(
+    model,
+    state,
+    optimizer_spec,
+    logging: LoggingLoss,
+    *,
+    shuffle: Any = True,
+    epochs_per_call: int = 1,
+    interpret: Optional[bool] = None,
+):
+    """Build ``fn(params, opt_state, state, tensors, key) -> (params,
+    opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` on a
+    full-site-batch :class:`MultiSiteHybridModel`, with ``opt_state`` from
+    :func:`~easyhybrid_tpu.ops.fused_epoch.init_fused_opt_state`.
+
+    With one site batch per epoch there is nothing to shuffle (the XLA
+    path's sample shuffle only permutes BETWEEN batches), so any ``shuffle``
+    mode is accepted and the ``key`` is unused.
+    """
+    base = model.base
+    parsed = parse_opt_spec(optimizer_spec)
+    if parsed is None:
+        raise ValueError(
+            f"fused multisite epoch does not support optimizer {optimizer_spec!r}"
+        )
+    opt_name, hyper = parsed
+    update_leaf = make_update_leaf(opt_name, hyper)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    loss_name = logging.training_loss
+    if loss_name not in _MS_LOSSES:
+        raise ValueError(
+            f"fused multisite epoch does not support training loss {loss_name!r}"
+        )
+    agg_name = logging.agg_name
+    if logging.extra_loss is not None:
+        raise ValueError("fused multisite epoch does not support extra_loss")
+
+    forcing_names = tuple(base.forcing)
+    target_names = tuple(base.targets)
+    neural_names = tuple(base.neural_param_names) if base.nn is not None else ()
+    global_names = tuple(base.global_param_names)
+    bounds = {
+        name: (base.parameters.lower_of(name), base.parameters.upper_of(name))
+        for name in (*neural_names, *global_names)
+    }
+    n_targets = len(target_names)
+    agg_scale = 1.0 / n_targets if agg_name == "mean" else 1.0
+    _PAD = (8, 128)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, state_in, tensors, key):
+        del key  # one site batch per epoch: nothing to shuffle
+        epochs = max(1, int(epochs_per_call))
+
+        # ---- split params: shared leaves vs per-site globals -------------
+        site_names = tuple(params["globals"].keys())
+        shared_params = {k: v for k, v in params.items() if k != "globals"}
+        m_tree, v_tree = opt_state["m"], opt_state["v"]
+        shared_m = {k: v for k, v in m_tree.items() if k != "globals"}
+        shared_v = {k: v for k, v in v_tree.items() if k != "globals"}
+
+        sh_leaves, sh_treedef = jax.tree.flatten(shared_params)
+        sh_shapes = [l.shape for l in sh_leaves]
+        sh_bufs = [_to_kernel_buffer(l) for l in sh_leaves]
+        shm_bufs = [_to_kernel_buffer(l) for l in jax.tree.leaves(shared_m)]
+        shv_bufs = [_to_kernel_buffer(l) for l in jax.tree.leaves(shared_v)]
+        buf_shapes = [_buffer_shape(s) for s in sh_shapes]
+        npar = len(sh_bufs)
+
+        n_sites_total = int(np.prod(params["globals"][site_names[0]].shape))
+        site_shapes = {g: params["globals"][g].shape for g in site_names}
+        r = -(-n_sites_total // _SITE_LANES)  # chunks (= used packed rows)
+        r_pad = _ceil_to(r, 8)
+        sp_bufs = [
+            _pack_site_leaf(params["globals"][g], n_sites_total, r, r_pad)
+            for g in site_names
+        ]
+        spm_bufs = [
+            _pack_site_leaf(m_tree["globals"][g], n_sites_total, r, r_pad)
+            for g in site_names
+        ]
+        spv_bufs = [
+            _pack_site_leaf(v_tree["globals"][g], n_sites_total, r, r_pad)
+            for g in site_names
+        ]
+        nsite = len(sp_bufs)
+
+        # ---- data relayout: site batch → chunked time-major blocks -------
+        # tensors: x (1, S, N, F), forcing/y/mask (1, S, N), weight (1, S)
+        x_all = tensors.x[0]
+        s_dim, n_dim = x_all.shape[0], x_all.shape[1]
+        s_pad = r * _SITE_LANES
+        n_pad = _ceil_to(n_dim, 8)
+        m_cols = n_pad * _SITE_LANES
+
+        def chunk_time_site(a2):
+            """(S, N) → (r, N_pad, 128) blocks in (time, site) layout."""
+            a2 = jnp.pad(a2, ((0, s_pad - s_dim), (0, n_pad - n_dim)))
+            return jnp.transpose(
+                a2.reshape(r, _SITE_LANES, n_pad), (0, 2, 1)
+            )
+
+        # x: (S, N, F) → (r, F, M) feature-major, column index t·128 + s
+        xp = jnp.pad(x_all, ((0, s_pad - s_dim), (0, n_pad - n_dim), (0, 0)))
+        n_feat = xp.shape[-1]
+        x_chunks = jnp.transpose(
+            xp.reshape(r, _SITE_LANES, n_pad, n_feat), (0, 3, 2, 1)
+        ).reshape(r, n_feat, m_cols)
+
+        forcing_chunks = [
+            chunk_time_site(tensors.forcing[f][0]) for f in forcing_names
+        ]
+        y_chunks = [chunk_time_site(tensors.y[t][0]) for t in target_names]
+        mask_chunks = [chunk_time_site(tensors.mask[t][0]) for t in target_names]
+
+        # ---- loss normalization + validity tile (batch-static) ----------
+        # row 0 lane j: agg_scale / max(Σ mask_j, 1); [1, 0]: validity flag
+        counts = jnp.stack(
+            [jnp.sum(tensors.mask[t][0]) for t in target_names]
+        )
+        inv_n = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
+        valid_flag = (jnp.sum(counts) > 0.0).astype(jnp.float32)
+        scale_tile = jnp.zeros(_PAD, jnp.float32)
+        scale_tile = jax.lax.dynamic_update_slice(
+            scale_tile, inv_n.astype(jnp.float32)[None, :], (0, 0)
+        )
+        scale_tile = scale_tile.at[1, 0].set(valid_flag)
+
+        # ---- state buffers (same scheme as the generic kernel) -----------
+        st_leaves, st_treedef = jax.tree.flatten(state_in)
+        st_orig_shapes = [jnp.shape(l) for l in st_leaves]
+        st_bufs = [_to_kernel_buffer(l) for l in st_leaves]
+        nst = len(st_bufs)
+
+        # step counter: int32 master XLA-side; kernel carries the launch's
+        # valid-step delta (fused_epoch.py scheme)
+        t0 = opt_state["t"].reshape(())
+        t_base_tile = jnp.zeros(_PAD, jnp.float32) + t0.astype(jnp.float32)
+
+        def read_forward(buf, orig_shape):
+            a, b = _kernel_shape(orig_shape)
+            v = buf[0:a, 0:b]
+            return v.T if len(orig_shape) == 1 else v
+
+        def to_ts(v):
+            """Any mechanistic operand → (N_pad, 128) tile, avoiding the
+            both-axes broadcast Mosaic cannot lower (bug catalog rule 3)."""
+            v = jnp.asarray(v, jnp.float32)
+            if v.ndim == 0:
+                return jnp.zeros((n_pad, _SITE_LANES), jnp.float32) + v
+            if v.shape == (1, 1):
+                return jnp.zeros((n_pad, _SITE_LANES), jnp.float32) + v[0, 0]
+            return jnp.broadcast_to(v, (n_pad, _SITE_LANES))
+
+        nf, nt = len(forcing_chunks), n_targets
+
+        def kernel(*refs):
+            idx = 0
+            x_ref = refs[idx]; idx += 1
+            f_refs = refs[idx : idx + nf]; idx += nf
+            y_refs = refs[idx : idx + nt]; idx += nt
+            m_refs = refs[idx : idx + nt]; idx += nt
+            scale_ref = refs[idx]; idx += 1
+            st_refs = refs[idx : idx + nst]; idx += nst
+            psh_in = refs[idx : idx + npar]; idx += npar
+            msh_in = refs[idx : idx + npar]; idx += npar
+            vsh_in = refs[idx : idx + npar]; idx += npar
+            pst_in = refs[idx : idx + nsite]; idx += nsite
+            mst_in = refs[idx : idx + nsite]; idx += nsite
+            vst_in = refs[idx : idx + nsite]; idx += nsite
+            t_in = refs[idx]; idx += 1
+            psh_out = refs[idx : idx + npar]; idx += npar
+            msh_out = refs[idx : idx + npar]; idx += npar
+            vsh_out = refs[idx : idx + npar]; idx += npar
+            pst_out = refs[idx : idx + nsite]; idx += nsite
+            mst_out = refs[idx : idx + nsite]; idx += nsite
+            vst_out = refs[idx : idx + nsite]; idx += nsite
+            acc_out = refs[idx : idx + npar]; idx += npar
+            t_out = refs[idx]; idx += 1
+            loss_out = refs[idx]
+
+            ones_m1 = jnp.ones((m_cols, 1), jnp.float32)
+            e = pl.program_id(0)
+            c = pl.program_id(1)
+            first = (e + c) == 0        # very first grid step
+            chunk_start = c == 0        # first chunk of an epoch
+            is_last = c == (r - 1)      # last chunk → shared update
+
+            # carried buffers (rule 1: no aliasing — seed from inputs once)
+            pb = [jnp.where(first, psh_in[k][...], psh_out[k][...])
+                  for k in range(npar)]
+            mb = [jnp.where(first, msh_in[k][...], msh_out[k][...])
+                  for k in range(npar)]
+            vb = [jnp.where(first, vsh_in[k][...], vsh_out[k][...])
+                  for k in range(npar)]
+            pkt = [jnp.where(first, pst_in[k][...], pst_out[k][...])
+                   for k in range(nsite)]
+            mkt = [jnp.where(first, mst_in[k][...], mst_out[k][...])
+                   for k in range(nsite)]
+            vkt = [jnp.where(first, vst_in[k][...], vst_out[k][...])
+                   for k in range(nsite)]
+
+            valid = scale_ref[1, 0]
+            t_prev = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
+            t_cur = t_prev + valid          # one optimizer step per epoch
+            t_abs = t_in[0, 0] + t_cur      # absolute count for bias corr.
+
+            p_shared = jax.tree.unflatten(
+                sh_treedef,
+                [read_forward(b_, s) for b_, s in zip(pb, sh_shapes)],
+            )
+            state2d = jax.tree.unflatten(
+                st_treedef,
+                [read_forward(rf[...], s)
+                 for rf, s in zip(st_refs, st_orig_shapes)],
+            )
+
+            rows_pk = jax.lax.broadcasted_iota(
+                jnp.int32, (r_pad, _SITE_LANES), 0
+            )
+            chunk_rowmask = rows_pk == c
+
+            def select_row(packed):
+                """EXACT row-c select: masked sublane sum (probe-validated;
+                one nonzero + zeros per lane)."""
+                return jnp.sum(
+                    jnp.where(chunk_rowmask, packed, 0.0),
+                    axis=0, keepdims=True,
+                )  # (1, 128)
+
+            # ---- forward ------------------------------------------------
+            mech_params: Dict[str, Any] = {}
+            dscale: Dict[str, Any] = {}
+            nn_res = None
+            x_fb = x_ref[0]  # (F, M)
+
+            if neural_names:
+                nn_out, nn_res = forward_mlp(
+                    base.nn, p_shared["nn"], state2d.get("nn", {}),
+                    x_fb, ones_m1,
+                )
+                for j, name in enumerate(neural_names):
+                    raw_ts = nn_out[j : j + 1, :].reshape(n_pad, _SITE_LANES)
+                    if base.scale_nn_outputs:
+                        lo, up = bounds[name]
+                        col, dcol = jax.jvp(
+                            lambda rw, _lo=lo, _up=up: scale_param(rw, _lo, _up),
+                            (raw_ts,), (jnp.ones_like(raw_ts),),
+                        )
+                        mech_params[name] = col
+                        dscale[name] = dcol
+                    else:
+                        mech_params[name] = raw_ts
+                        dscale[name] = None
+
+            site_rows: Dict[str, Any] = {}
+            for k, g in enumerate(site_names):
+                lo, up = bounds[g]
+                raw_row = select_row(pkt[k])  # (1, 128) raw per-site values
+                val_row, dval_row = jax.jvp(
+                    lambda rw, _lo=lo, _up=up: scale_param(rw, _lo, _up),
+                    (raw_row,), (jnp.ones_like(raw_row),),
+                )
+                site_rows[g] = raw_row
+                mech_params[g] = jnp.broadcast_to(
+                    val_row, (n_pad, _SITE_LANES)
+                )
+                dscale[g] = dval_row  # (1, 128) per-site scale derivative
+            for f in base.fixed_param_names:
+                fx = state2d["fixed"][f]
+                mech_params[f] = fx[0, 0]  # rank-0: broadcasts with tiles
+
+            forcing_ts = {
+                f: f_refs[j][0] for j, f in enumerate(forcing_names)
+            }
+            y_ts = [y_refs[j][0] for j in range(nt)]
+            mask_ts = [m_refs[j][0] for j in range(nt)]
+
+            def mech_preds(pd):
+                outs = _call_mechanistic(
+                    base.mechanistic_model, {**forcing_ts, **pd}
+                )
+                return tuple(to_ts(outs[t]) for t in target_names)
+
+            diff_names = (*neural_names, *site_names)
+            tangents: Dict[str, Tuple[Any, ...]] = {}
+            preds = None
+            for name in diff_names:
+                def fdiff(v, _name=name):
+                    pd = dict(mech_params)
+                    pd[_name] = v
+                    return mech_preds(pd)
+
+                preds, tangents[name] = jax.jvp(
+                    fdiff, (mech_params[name],),
+                    (jnp.ones_like(mech_params[name]),),
+                )
+            if preds is None:
+                preds = mech_preds(mech_params)
+
+            # ---- loss + cotangents (chunk-local; divisor precomputed) ----
+            cots: List[Any] = []
+            loss_elem = None
+            for j in range(nt):
+                m = mask_ts[j]
+                diff = (preds[j] - y_ts[j]) * m
+                inv_nj = scale_ref[0, j]  # agg_scale / n_j (batch-wide)
+                if loss_name == "mse":
+                    term = inv_nj * diff * diff
+                    cot = (2.0 * inv_nj) * diff
+                else:  # mae
+                    term = inv_nj * jnp.abs(diff)
+                    cot = inv_nj * jnp.sign(diff)
+                loss_elem = term if loss_elem is None else loss_elem + term
+                cots.append(cot)
+            lsum_row = jnp.sum(loss_elem, axis=0, keepdims=True)  # (1,128)
+            chunk_loss = _dot11(lsum_row, jnp.ones_like(lsum_row))[0, 0]
+            # select (never arithmetic) against the uninitialized first read
+            prev_loss = loss_out[0, 0]
+            acc_loss = jnp.where(
+                chunk_start, chunk_loss, chunk_loss + prev_loss
+            ) * valid
+            loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
+
+            # ---- backward ------------------------------------------------
+            def param_grad_ts(name):
+                row = None
+                for j in range(nt):
+                    contrib = cots[j] * tangents[name][j]
+                    row = contrib if row is None else row + contrib
+                return row  # (N_pad, 128)
+
+            # per-site params: chunk-local grad → immediate masked update
+            for k, g in enumerate(site_names):
+                gts = param_grad_ts(g)
+                grow = jnp.sum(gts, axis=0, keepdims=True) * dscale[g]  # (1,128)
+                p_row = select_row(pkt[k])
+                m_row = select_row(mkt[k])
+                v_row = select_row(vkt[k])
+                p_new, m_new, v_new = update_leaf(
+                    p_row, m_row, v_row, grow, valid, t_abs
+                )
+
+                def place(row_new, carried):
+                    return jnp.where(
+                        chunk_rowmask,
+                        jnp.broadcast_to(row_new, (r_pad, _SITE_LANES)),
+                        carried,
+                    )
+
+                pst_out[k][...] = place(p_new, pkt[k])
+                mst_out[k][...] = place(m_new, mkt[k])
+                vst_out[k][...] = place(v_new, vkt[k])
+
+            # shared leaves: accumulate chunk grads, update at last chunk.
+            # grads mirror the shared-params tree ({"nn": ...} or empty), so
+            # tree.leaves yields the sh_leaves order.
+            if neural_names:
+                gcols = []
+                for name in neural_names:
+                    gts = param_grad_ts(name)
+                    if dscale[name] is not None:
+                        gts = gts * dscale[name]
+                    gcols.append(gts.reshape(1, m_cols))
+                D = (
+                    jnp.concatenate(gcols, axis=0)
+                    if len(gcols) > 1 else gcols[0]
+                )
+                g_leaves = jax.tree.leaves(
+                    {"nn": backward_mlp(
+                        base.nn, p_shared["nn"], D, nn_res, ones_m1
+                    )}
+                )
+            else:
+                g_leaves = []
+            for k in range(npar):
+                g = g_leaves[k]
+                if len(sh_shapes[k]) == 1:
+                    g = g.T  # column grad → row store layout
+                g_pad = _pad_to(g, buf_shapes[k])
+                # select (never arithmetic) against the uninitialized read
+                acc = jnp.where(
+                    chunk_start, g_pad, g_pad + acc_out[k][...]
+                )
+                acc_out[k][...] = acc
+                p_new, m_new, v_new = update_leaf(
+                    pb[k], mb[k], vb[k], acc, valid, t_abs
+                )
+                psh_out[k][...] = jnp.where(is_last, p_new, pb[k])
+                msh_out[k][...] = jnp.where(is_last, m_new, mb[k])
+                vsh_out[k][...] = jnp.where(is_last, v_new, vb[k])
+
+            # t: hold t_prev through the epoch, commit t_cur at last chunk
+            t_out[...] = jnp.zeros(_PAD, jnp.float32) + jnp.where(
+                is_last, t_cur, t_prev
+            )
+
+        def full_spec(shape):
+            return pl.BlockSpec(
+                shape, lambda e, c, _n=len(shape): (0,) * _n,
+                memory_space=pltpu.VMEM,
+            )
+
+        def chunk_spec(arr):
+            blk = (1,) + arr.shape[1:]
+            ndim = arr.ndim
+            return pl.BlockSpec(
+                blk, lambda e, c, _n=ndim: (c,) + (0,) * (_n - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = (
+            [chunk_spec(x_chunks)]
+            + [chunk_spec(a) for a in forcing_chunks]
+            + [chunk_spec(a) for a in y_chunks]
+            + [chunk_spec(a) for a in mask_chunks]
+            + [full_spec(_PAD)]
+            + [full_spec(tuple(s.shape)) for s in st_bufs]
+            + [full_spec(s) for s in buf_shapes] * 3
+            + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
+            + [full_spec(_PAD)]
+        )
+        out_specs = (
+            [full_spec(s) for s in buf_shapes] * 3
+            + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
+            + [full_spec(s) for s in buf_shapes]
+            + [full_spec(_PAD), full_spec(_PAD)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
+            + [jax.ShapeDtypeStruct((r_pad, _SITE_LANES), jnp.float32)]
+            * (3 * nsite)
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes]
+            + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
+        )
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(epochs, r),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            x_chunks, *forcing_chunks, *y_chunks, *mask_chunks, scale_tile,
+            *st_bufs, *sh_bufs, *shm_bufs, *shv_bufs,
+            *sp_bufs, *spm_bufs, *spv_bufs, t_base_tile,
+        )
+
+        i = 0
+        new_sh = outs[i : i + npar]; i += npar
+        new_shm = outs[i : i + npar]; i += npar
+        new_shv = outs[i : i + npar]; i += npar
+        new_sp = outs[i : i + nsite]; i += nsite
+        new_spm = outs[i : i + nsite]; i += nsite
+        new_spv = outs[i : i + nsite]; i += nsite
+        i += npar  # grad accumulators: scratch, discarded
+        t_delta = outs[i]; i += 1
+        loss_tile = outs[i]
+
+        def rebuild(sh_list, sp_list):
+            tree = jax.tree.unflatten(
+                sh_treedef,
+                [_from_kernel_buffer(a, s)
+                 for a, s in zip(sh_list, sh_shapes)],
+            )
+            tree = dict(tree)
+            tree["globals"] = {
+                g: _unpack_site_leaf(sp_list[k], n_sites_total, site_shapes[g])
+                for k, g in enumerate(site_names)
+            }
+            return tree
+
+        new_params = rebuild(new_sh, new_sp)
+        new_opt_state = {
+            "m": rebuild(new_shm, new_spm),
+            "v": rebuild(new_shv, new_spv),
+            "t": (t0 + jnp.round(t_delta[0, 0]).astype(jnp.int32)).reshape(1),
+        }
+        return new_params, new_opt_state, state_in, loss_tile[0, 0]
+
+    return epoch_fn

@@ -54,6 +54,26 @@ class MultiSiteHybridModel:
         return self.base.parameters
 
     @property
+    def mechanistic_model(self):
+        return self.base.mechanistic_model
+
+    @property
+    def neural_param_names(self):
+        return self.base.neural_param_names
+
+    @property
+    def global_param_names(self):
+        return self.base.global_param_names
+
+    @property
+    def fixed_param_names(self):
+        return self.base.fixed_param_names
+
+    @property
+    def scale_nn_outputs(self):
+        return getattr(self.base, "scale_nn_outputs", None)
+
+    @property
     def nn(self):
         return getattr(self.base, "nn", None)
 

@@ -38,6 +38,13 @@ class MetricStream:
         self.path = path
         self._f = open(path, "w")
 
+    def write_meta(self, **fields: Any) -> None:
+        """One leading meta record (e.g. the chosen ``epoch_path`` engine)
+        so stream consumers and regression tests can assert which engine
+        produced the run."""
+        self._f.write(json.dumps({"meta": fields}) + "\n")
+        self._f.flush()
+
     def write(
         self,
         epoch: int,
@@ -61,10 +68,17 @@ class MetricStream:
         self._f.close()
 
 
-def read_metric_stream(path: str) -> List[Dict[str, Any]]:
-    """Parse a :class:`MetricStream` file back into records."""
+def read_metric_stream(
+    path: str, include_meta: bool = False
+) -> List[Dict[str, Any]]:
+    """Parse a :class:`MetricStream` file back into records. Meta records
+    (``write_meta`` lines, e.g. the ``epoch_path`` engine) are filtered out
+    unless ``include_meta`` is set."""
     with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        records = [json.loads(line) for line in f if line.strip()]
+    if include_meta:
+        return records
+    return [r for r in records if "meta" not in r]
 
 
 class LiveDashboard:

@@ -289,6 +289,8 @@ def _train_second_order(
             if grad_probe is not None
             else None
         ),
+        epoch_path="second_order",
+        loop_mode="eager",
     )
 
 

@@ -388,19 +388,28 @@ def train(
 
     if use_pallas in ("auto", None, True):
         from ..ops.fused_epoch import fused_exactness_check, supports_fused_epoch
+        from ..ops.fused_multisite import supports_fused_multisite
 
         forced = use_pallas is True
+        is_multisite_fused = supports_fused_multisite(
+            model, cfg.optimizer, logging_loss, train_tensors
+        )
         candidate = (
             (forced or jax.default_backend() == "tpu")
             and not cfg.multi_device
             and cfg.jit
             and cfg.opt_state is None  # fused kernel has its own opt state
             and cfg.shuffle_each_epoch in (True, False, "batches")
-            and supports_fused_epoch(model, cfg.optimizer, logging_loss)
+            and (
+                supports_fused_epoch(model, cfg.optimizer, logging_loss)
+                or is_multisite_fused
+            )
         )
         if candidate:
             ok, gdiff = fused_exactness_check(
-                model, params, state, cfg.optimizer, logging_loss, train_tensors
+                model, params, state, cfg.optimizer, logging_loss,
+                train_tensors, epochs_per_call=eval_every,
+                shuffle=cfg.shuffle_each_epoch,
             )
             if ok:
                 use_pallas = True
@@ -426,10 +435,10 @@ def train(
             use_pallas = False
 
     def build_fused_epoch():
-        from ..ops.fused_epoch import init_fused_opt_state, make_fused_epoch
+        from ..ops.fused_epoch import _fused_builder, init_fused_opt_state
 
         opt_state = init_fused_opt_state(params)
-        fused_fn = make_fused_epoch(
+        fused_fn = _fused_builder(model)(
             model,
             state,
             cfg.optimizer,
@@ -482,8 +491,12 @@ def train(
 
     if use_pallas:
         epoch_fn, opt_state = build_fused_epoch()
+        epoch_path = (
+            "fused_pallas_multisite" if is_multisite_fused else "fused_pallas"
+        )
     else:
         epoch_fn, opt_state = build_xla_epoch()
+        epoch_path = "xla_scan"
     want_outputs = bool(cfg.keep_history or cfg.plotting or cfg.monitor_names)
     # ONE compiled eval program for both splits, with outputs; outputs stay
     # on device unless a snapshot actually wants them, and the final
@@ -585,7 +598,10 @@ def train(
     paths = writer = stream = live = None
     monitored: Dict[str, list] = {}
     grad_history: list = []
-    if can_defer(cfg, want_outputs, grad_probe):
+    deferred = can_defer(cfg, want_outputs, grad_probe)
+    log.info("epoch engine: %s (%s loop)", epoch_path,
+             "deferred" if deferred else "eager")
+    if deferred:
         # zero-readback dispatch with on-device early stopping: any
         # device->host readback permanently degrades this deployment's async
         # dispatch ~25x (docs/tpu_notes.md), so when nothing needs mid-run
@@ -647,6 +663,7 @@ def train(
                 else f"{cfg.model_name}_metrics.jsonl"
             )
             stream = MetricStream(stream_path)
+            stream.write_meta(epoch_path=epoch_path, loop_mode="eager")
             stream.write(
                 0,
                 init_snapshot,
@@ -790,6 +807,8 @@ def train(
             if grad_probe is not None
             else None
         ),
+        epoch_path=epoch_path,
+        loop_mode="deferred" if deferred else "eager",
     )
 
     if writer is not None:

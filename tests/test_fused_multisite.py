@@ -1,0 +1,237 @@
+"""Multisite fused kernel: interpret-mode parity vs the XLA scan epoch.
+
+The kernel's differentiation/update math must match the XLA path exactly
+(the runtime exactness gate enforces this on-chip; these tests enforce it
+in interpret mode where there is no MXU rounding asymmetry).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import easyhybrid_tpu as eh
+from easyhybrid_tpu.data.loaders import build_epoch_tensors
+from easyhybrid_tpu.data.prepare import HybridData
+from easyhybrid_tpu.losses.specs import LoggingLoss
+from easyhybrid_tpu.ops.fused_epoch import init_fused_opt_state
+from easyhybrid_tpu.ops.fused_multisite import (
+    make_fused_multisite_epoch,
+    supports_fused_multisite,
+)
+from easyhybrid_tpu.training.epoch import make_train_epoch
+
+
+def _rbq10(*, ta, rb, Q10, tref=15.0):
+    return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+
+def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8)):
+    base = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=_rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=list(hidden), activation="swish",
+        scale_nn_outputs=True,
+    )
+    model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
+    rng = np.random.default_rng(seed)
+    y = (2 + rng.random((S, N))).astype(np.float32)
+    if nan_frac:
+        y[rng.random((S, N)) < nan_frac] = np.nan
+    data = HybridData(
+        x=rng.random((S, N, 2)).astype(np.float32),
+        forcing={"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)},
+        y={"reco": y},
+    )
+    params, state = model.init(jax.random.PRNGKey(3))
+    tensors = jax.tree.map(jnp.asarray, build_epoch_tensors(data, S))
+    return model, params, state, tensors
+
+
+@pytest.mark.parametrize(
+    "opt,loss,agg",
+    [
+        (("adam", 0.01), "mse", "sum"),
+        (("sgd", 0.05), "mae", "mean"),
+        (("adamw", 0.01, 0.9, 0.999, 1e-8), "mse", "mean"),
+        (("rmsprop", 0.005), "mse", "sum"),
+    ],
+)
+def test_multisite_fused_matches_xla_epoch(opt, loss, agg):
+    model, params, state, tensors = _make()
+    logging = LoggingLoss(training_loss=loss, loss_types=(loss,), agg=agg)
+    assert supports_fused_multisite(model, opt, logging, tensors)
+
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, opt, logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+
+    name = opt[0]
+    optimizer = optax.flatten(
+        {"adam": optax.adam, "sgd": optax.sgd, "adamw": optax.adamw,
+         "rmsprop": optax.rmsprop}[name](*opt[1:])
+        if name != "adamw"
+        else optax.adamw(opt[1], b1=opt[2], b2=opt[3], eps=opt[4])
+    )
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=epochs
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+    assert int(o_f["t"][0]) == epochs
+
+
+def test_multisite_fused_site_count_not_multiple_of_128():
+    """Sites that do not fill the last packed row (and N not a multiple of
+    8) still match the XLA epoch — padding contributes nothing."""
+    model, params, state, tensors = _make(S=150, N=7)
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, epochs_per_call=2,
+        interpret=True,
+    )
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=2
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_f["globals"]["Q10"]), np.asarray(p_x["globals"]["Q10"]),
+        atol=5e-5, rtol=5e-4,
+    )
+    for a, b in zip(jax.tree.leaves(p_f["nn"]), jax.tree.leaves(p_x["nn"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_multisite_supports_envelope():
+    model, params, state, tensors = _make(S=64, N=4)
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
+    # minibatched sites -> chunk-local updates cannot match optax: reject
+    from easyhybrid_tpu.data.prepare import HybridData
+
+    small = jax.tree.map(jnp.asarray, build_epoch_tensors(
+        HybridData(
+            x=np.zeros((64, 4, 2), np.float32),
+            forcing={"ta": np.zeros((64, 4), np.float32)},
+            y={"reco": np.ones((64, 4), np.float32)},
+        ), 32,
+    ))
+    assert not supports_fused_multisite(model, ("adam", 0.01), logging, small)
+    # rmse needs the full-batch sqrt: outside the envelope
+    rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert not supports_fused_multisite(model, ("adam", 0.01), rmse, tensors)
+    # share_nn=False has per-site NN weights: outside the envelope
+    import dataclasses
+
+    no_share = dataclasses.replace(model, share_nn=False)
+    assert not supports_fused_multisite(
+        no_share, ("adam", 0.01), logging, tensors
+    )
+    # plain single-series models are the generic kernel's job
+    assert not supports_fused_multisite(
+        model.base, ("adam", 0.01), logging, tensors
+    )
+    # unsupported optimizer spec
+    assert not supports_fused_multisite(model, "lbfgs", logging, tensors)
+
+
+def test_multisite_fused_multi_epoch_counter_and_loss_decreases():
+    model, params, state, tensors = _make(S=128, N=8, nan_frac=0.0)
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.02), logging, epochs_per_call=10,
+        interpret=True,
+    )
+    opt_state = init_fused_opt_state(params)
+    p, o, _, l1 = fused(
+        jax.tree.map(jnp.copy, params), opt_state, state, tensors,
+        jax.random.PRNGKey(0),
+    )
+    p, o, _, l2 = fused(p, o, state, tensors, jax.random.PRNGKey(1))
+    assert int(o["t"][0]) == 20
+    assert float(l2) < float(l1)
+
+
+def test_multisite_train_uses_fused_path(tmp_path):
+    """Full train() on a MultiSiteHybridModel selects the multisite kernel
+    (forced candidate on CPU; interpret mode) and surfaces epoch_path."""
+    base = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=_rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8, 8], activation="swish", scale_nn_outputs=True,
+    )
+    from easyhybrid_tpu.parallel.multisite import prepare_multisite_data
+
+    df = eh.gen_rbq10_data(400, seed=4)
+    df["site"] = np.repeat(np.arange(8), 50)
+    ms = eh.MultiSiteHybridModel(base, n_sites=8, share_nn=True)
+    data = prepare_multisite_data(base, df, "site")
+    res = eh.train(
+        ms, data, nepochs=3, show_progress=False, split_data_at=0.75,
+        use_pallas=True,
+    )
+    assert np.isfinite(res.best_loss)
+    assert res.epoch_path == "fused_pallas_multisite"
+    assert res.loop_mode in ("eager", "deferred")
+    assert res.params["globals"]["Q10"].shape == (8, 1)
+
+
+def test_epoch_path_surfaced_in_results_and_stream(tmp_path):
+    """Default CPU run reports the XLA engine in TrainResults and the JSONL
+    stream meta record."""
+    base = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=_rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], activation="swish", scale_nn_outputs=True,
+    )
+    df = eh.gen_rbq10_data(300, seed=1)
+    res = eh.train(
+        base, df, nepochs=2, batchsize=64, show_progress=False,
+        save_training=True, output_folder=str(tmp_path), model_name="pathrun",
+    )
+    assert res.epoch_path == "xla_scan"
+    assert res.loop_mode == "eager"
+    from easyhybrid_tpu.plotting.live import read_metric_stream
+
+    records = read_metric_stream(res.paths.metrics_jsonl, include_meta=True)
+    metas = [r["meta"] for r in records if "meta" in r]
+    assert metas and metas[0]["epoch_path"] == "xla_scan"
+    # default reader still returns only epoch records
+    plain = read_metric_stream(res.paths.metrics_jsonl)
+    assert all("meta" not in r for r in plain)
