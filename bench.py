@@ -13,6 +13,8 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      batch 64, 5k rows (torch-CPU baseline)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
+* ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
+                     (reference Q10_lstm.jl analog; torch-CPU baseline)
 
 Methodology (pinned): torch baselines run on ONE CPU thread
 (``torch.set_num_threads(1)`` — the reference's Julia loop is
@@ -26,6 +28,18 @@ chip cost with per-program tunnel overhead differenced out (the CPU
 baseline also pays no per-call overhead), and the sustained through-tunnel
 rate + per-program overhead are reported alongside. Compile/warmup excluded
 on both sides.
+
+Chip anchoring (round-3): each config also reports an analytic
+``gflops_per_step`` (dense-layer MACs × 2 for the forward, ×3 for
+fwd+dgrad+wgrad — elementwise physics excluded), the achieved
+``tflops`` at the marginal rate, and ``mfu_pct`` against the v5e bf16 MXU
+peak (197 TFLOP/s; the kernels compute in float32 so this is a
+conservative upper bound — f32 MXU throughput is lower). The CPU baselines
+are PINNED (``_PINNED_BASELINES``, measured 2026-08-17, BENCH_r02): the
+ratio uses the pinned value; the live re-measurement is reported as
+``baseline_drift`` and only warns when it moves ±30%. The marginal rate
+carries an error bar: ``steps_per_s_spread`` is [min, max] over per-rep
+pairings of the small/large block timings.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "configs": {...}}.
@@ -61,6 +75,27 @@ def _median_rate(run_block, steps_per_block: int, repeats: int = REPEATS):
 # framework side
 # --------------------------------------------------------------------------
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak; kernels run f32 → conservative
+
+_PINNED_BASELINES = {
+    # torch-CPU 1-thread steps/s, measured 2026-08-17 (BENCH_r02.json);
+    # re-measured each run only as a drift check
+    "rbq10": 570.39,
+    "multi_target": 439.48,
+    "large_mlp": 126.80,
+    "lstm": None,  # first measured round 3 — pin after BENCH_r03
+}
+
+
+def _mlp_flops_per_step(hidden, n_features: int, batch: int,
+                        n_out: int = 1) -> float:
+    """Analytic training FLOPs of one grad step of an MLP hybrid: dense
+    MACs × 2 (fwd) × 3 (fwd + input-grad + weight-grad)."""
+    dims = [n_features, *hidden, n_out]
+    macs = sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    return 6.0 * macs * batch
+
+
 def _epoch_bench(
     model,
     data,
@@ -68,6 +103,7 @@ def _epoch_bench(
     epochs_per_call: int,
     loss_types=("mse",),
     e_small: int = 8,
+    flops_per_step: float = None,
 ):
     """Honest read-forced grad-steps/sec of the epoch program.
 
@@ -101,18 +137,21 @@ def _epoch_bench(
     logging_loss = eh.LoggingLoss(training_loss="mse", loss_types=loss_types)
 
     from easyhybrid_tpu.ops.fused_epoch import (
+        _fused_builder,
         fused_exactness_check,
         init_fused_opt_state,
-        make_fused_epoch,
         supports_fused_epoch,
     )
+    from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
 
     opt_spec = ("adam", 0.01)
+    is_ms = supports_fused_multisite(model, opt_spec, logging_loss, tensors)
     use_fused = (
         jax.default_backend() == "tpu"
-        and supports_fused_epoch(model, opt_spec, logging_loss)
+        and (supports_fused_epoch(model, opt_spec, logging_loss) or is_ms)
         and fused_exactness_check(
-            model, params, state, opt_spec, logging_loss, tensors
+            model, params, state, opt_spec, logging_loss, tensors,
+            epochs_per_call=epochs_per_call, shuffle=True,
         )[0]
     )
 
@@ -120,7 +159,7 @@ def _epoch_bench(
 
     def build(E):
         if use_fused:
-            fn = make_fused_epoch(
+            fn = _fused_builder(model)(
                 model, state, opt_spec, logging_loss, shuffle=True,
                 epochs_per_call=E,
             )
@@ -148,23 +187,43 @@ def _epoch_bench(
             p, o, s, loss = fn(p, o, s, tensors, jax.random.PRNGKey(1 + r))
             _ = float(loss)  # forced read: honest end-to-end completion
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return ts
 
     e_big = max(epochs_per_call, e_small * 4)
-    t_small = timed(e_small)
-    t_big = timed(e_big)
-    d = t_big - t_small
-    marginal = (
-        (e_big - e_small) * nb / d if d > 0 else e_big * nb / t_big
-    )
+    ts_small = timed(e_small)
+    ts_big = timed(e_big)
+    t_small = float(np.median(ts_small))
+    t_big = float(np.median(ts_big))
+
+    def _marginal(tb, ts):
+        dd = tb - ts
+        return (e_big - e_small) * nb / dd if dd > 0 else e_big * nb / tb
+
+    marginal = _marginal(t_big, t_small)
+    # error bar: all per-rep pairings of the two block sizes
+    pairings = [
+        _marginal(tb, ts) for tb in ts_big for ts in ts_small
+    ]
     sustained = e_big * nb / t_big
     per_program_ms = max(0.0, (t_small - e_small * nb / marginal) * 1e3)
     extras = {
+        "steps_per_s_spread": [
+            round(min(pairings), 2), round(max(pairings), 2)
+        ],
         "sustained_steps_per_s": round(sustained, 2),
         "per_program_overhead_ms": round(per_program_ms, 1),
         "epochs_per_program": e_big,
     }
-    return marginal, ("fused_pallas" if use_fused else "xla_scan"), extras
+    if flops_per_step:
+        achieved = flops_per_step * marginal
+        extras["gflops_per_step"] = round(flops_per_step / 1e9, 4)
+        extras["tflops"] = round(achieved / 1e12, 3)
+        extras["mfu_pct"] = round(100.0 * achieved / V5E_PEAK_FLOPS, 3)
+    path = (
+        ("fused_pallas_multisite" if is_ms else "fused_pallas")
+        if use_fused else "xla_scan"
+    )
+    return marginal, path, extras
 
 
 def bench_rbq10() -> float:
@@ -183,7 +242,10 @@ def bench_rbq10() -> float:
     )
     df = eh.gen_rbq10_data(20_000, seed=42)
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=512, epochs_per_call=256)
+    return _epoch_bench(
+        model, data, batch=512, epochs_per_call=256,
+        flops_per_step=_mlp_flops_per_step([16, 16], 2, 512),
+    )
 
 
 def bench_multi_target() -> float:
@@ -219,7 +281,10 @@ def bench_multi_target() -> float:
         vals[rng.random(len(vals)) < 0.1] = np.nan
         df[col] = vals
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=512, epochs_per_call=256)
+    return _epoch_bench(
+        model, data, batch=512, epochs_per_call=256,
+        flops_per_step=_mlp_flops_per_step([16, 16], 2, 512, n_out=2),
+    )
 
 
 def bench_large_mlp() -> float:
@@ -239,7 +304,12 @@ def bench_large_mlp() -> float:
     )
     df = eh.gen_rbq10_data(5_000, seed=42)
     data = eh.prepare_data(model, df)
-    return _epoch_bench(model, data, batch=64, epochs_per_call=64)
+    return _epoch_bench(
+        model, data, batch=64, epochs_per_call=64,
+        flops_per_step=_mlp_flops_per_step(
+            [1024, 512, 256, 128, 64], 2, 64
+        ),
+    )
 
 
 def bench_multisite() -> float:
@@ -268,7 +338,39 @@ def bench_multisite() -> float:
         forcing={"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)},
         y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
     )
-    return _epoch_bench(model, data, batch=S, epochs_per_call=16, e_small=2)
+    return _epoch_bench(
+        model, data, batch=S, epochs_per_call=256, e_small=8,
+        flops_per_step=_mlp_flops_per_step([16, 16], 2, S * N),
+    )
+
+
+def bench_lstm() -> float:
+    """Sequence config (reference Q10_lstm.jl analog): 4k rows, 10-step
+    input windows, LSTM(16); XLA scan-recurrence path."""
+    import easyhybrid_tpu as eh
+    from easyhybrid_tpu.data.sequences import split_into_sequences
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers={"lstm": 16}, activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(4_000, seed=42)
+    data = split_into_sequences(
+        eh.prepare_data(model, df), input_window=10, output_window=1,
+    )
+    T, H, F, B = 10, 16, 2, 512
+    lstm_flops = 6.0 * T * 4 * (F + H) * H * B  # 4 gates, fwd+bwd
+    return _epoch_bench(
+        model, data, batch=B, epochs_per_call=256,
+        flops_per_step=lstm_flops,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -369,6 +471,38 @@ def baseline_large_mlp(steps=30) -> float:
     )
 
 
+def baseline_lstm(n_rows=4_000, window=10, batch=512, steps=60) -> float:
+    """torch-CPU 1-thread LSTM(16) stand-in for the sequence config."""
+    torch = _torch_setup()
+    g = torch.Generator().manual_seed(0)
+    n_win = n_rows - window + 1
+    x = torch.randn(n_win, window, 2, generator=g)
+    ta = torch.randn(n_win, generator=g) * 8 + 10
+    y = torch.randn(n_win, generator=g) + 3
+
+    lstm = torch.nn.LSTM(2, 16, batch_first=True)
+    head = torch.nn.Linear(16, 1)
+    raw_q10 = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam(
+        list(lstm.parameters()) + list(head.parameters()) + [raw_q10],
+        lr=0.01,
+    )
+    num_batches = n_win // batch
+
+    def step(i):
+        sl = slice(i * batch, (i + 1) * batch)
+        out, _ = lstm(x[sl])
+        rb = 13.0 * torch.sigmoid(head(out[:, -1]).squeeze(-1))
+        q10 = 1.0 + 3.0 * torch.sigmoid(raw_q10)
+        pred = rb * q10 ** (0.1 * (ta[sl] - 15.0))
+        loss = torch.mean((pred - y[sl]) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _torch_bench(step, num_batches, steps)
+
+
 def main():
     # persistent compilation cache (same one train() uses): repeated bench
     # runs skip the Mosaic/XLA compiles, which dominate a cold run
@@ -391,11 +525,11 @@ def main():
                 fw, path, extras = fw
             else:
                 fw, path = fw
-        base = float("nan")
+        measured = float("nan")
         if base_fn is not None:
             try:
                 t0 = time.perf_counter()
-                base = base_fn()
+                measured = base_fn()
                 if verbose:
                     print(
                         f"# {name}: baseline {time.perf_counter() - t0:.1f}s",
@@ -411,10 +545,23 @@ def main():
             row["epoch_path"] = path
         if extras:
             row.update(extras)
-        if base == base:
+        pinned = _PINNED_BASELINES.get(name)
+        base = pinned if pinned is not None else measured
+        if base == base:  # not NaN
             row["baseline_steps_per_s"] = round(base, 2)
             row["baseline_ms_per_step"] = round(1000.0 / base, 4)
+            row["baseline_pinned"] = pinned is not None
             row["vs_baseline"] = round(fw / base, 2)
+            if pinned is not None and measured == measured:
+                drift = measured / pinned
+                row["baseline_drift"] = round(drift, 3)
+                if abs(drift - 1.0) > 0.3:
+                    print(
+                        f"# WARNING {name}: CPU baseline drifted "
+                        f"{drift:.2f}x from the pinned value "
+                        f"({measured:.1f} vs {pinned:.1f} steps/s)",
+                        file=sys.stderr,
+                    )
         configs[name] = row
         return row
 
@@ -422,6 +569,7 @@ def main():
     entry("multi_target", bench_multi_target, baseline_multi_target)
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
     entry("multisite", bench_multisite, None)
+    entry("lstm", bench_lstm, baseline_lstm)
 
     configs["multisite"]["site_steps_per_s"] = round(
         configs["multisite"]["steps_per_s"] * 10_000, 0

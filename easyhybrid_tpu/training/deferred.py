@@ -7,21 +7,31 @@ for early stopping / progress — each run therefore executes in the degraded
 regime.
 
 This module provides the TPU-native alternative used by ``train()`` whenever
-nothing actually needs mid-run values (``show_progress=False``,
-``plotting=False``, ``save_training=False``, no prediction-carrying history,
-no gradient probe): **early stopping runs on device inside the jitted
-program**, the host dispatches every training block back-to-back without a
-single fetch, and ONE ``device_get`` at the end retrieves the whole metric
-history, the best parameters, and the tracked-parameter trajectories. The
-host then replays the identical patience arithmetic on the fetched scalars to
-truncate the history where the eager loop would have stopped — semantics are
-bit-identical to the readback loop (same epochs trained: blocks after the
-stop point run a frozen no-op branch and are discarded).
+nothing actually needs mid-run values on the HOST: **early stopping runs on
+device inside the jitted program**, the host dispatches every training block
+back-to-back without a single fetch, and ONE ``device_get`` at the end
+retrieves the whole metric history, the best parameters, the
+tracked-parameter trajectories, the monitored-parameter quantiles, and the
+gradient-norm history. The host then replays the identical patience
+arithmetic on the fetched scalars to truncate the history where the eager
+loop would have stopped — semantics are bit-identical to the readback loop
+(same epochs trained: blocks after the stop point run a frozen no-op branch
+and are discarded).
+
+Observability does NOT cost the fast path (round-3): monitored per-sample
+parameter quantiles (q25/q50/q75 over the valid val rows) and gradient
+norms (global + per-branch) are computed ON DEVICE at each eval point and
+packed into the same per-snapshot metric row; ``save_training`` replays the
+fetched rows into the JSONL stream and checkpoint files post-hoc. (The one
+divergence: per-``checkpoint_every`` mid-run parameter checkpoints cannot
+be reconstructed — the deferred run is a single program, so a mid-run crash
+loses the run either way; initial/best/final checkpoints are written.)
 
 Reference parity: the early-stop arithmetic mirrors ``EarlyStopping``
 (src/training/early_stopping.jl:16-42) — direction-aware comparison on the
 aggregated scalar of the FIRST ``loss_types`` entry, patience counted in
-snapshots, best params/state snapshot retained.
+snapshots, best params/state snapshot retained. The monitored quantiles
+mirror the reference dashboard's trajectories (plotrecipes.jl:51-134).
 """
 
 from __future__ import annotations
@@ -44,13 +54,19 @@ log = logging.getLogger("easyhybrid_tpu")
 
 def can_defer(cfg, want_outputs: bool, grad_probe) -> bool:
     """True when no consumer needs mid-run host values, so the whole run can
-    dispatch without a single device→host readback."""
+    dispatch without a single device→host readback.
+
+    ``monitor_names``, ``save_training``, and ``return_gradients`` no longer
+    force the readback loop: their scalars ride the on-device history row
+    and files are written post-hoc. ``show_progress``/``plotting`` stream to
+    the user mid-run and ``keep_history`` retains full prediction arrays per
+    snapshot — those still need the eager loop.
+    """
+    del grad_probe  # grad norms are packed on device now
     return (
         not cfg.show_progress
         and not cfg.plotting
-        and not cfg.save_training
-        and not want_outputs
-        and grad_probe is None
+        and not cfg.keep_history
         and cfg.jit
     )
 
@@ -77,22 +93,60 @@ def run_deferred_loop(
     key,
     eval_every: int,
     tracked_fn=None,
+    grad_probe=None,
+    n_val_samples: Optional[int] = None,
 ):
     """Dispatch the full training run with zero mid-run readbacks.
 
-    Returns ``(params, opt_state, state, history, stopper, tracked)`` with
-    the same meanings as the eager loop's state at exit: ``stopper`` is an
-    :class:`EarlyStopping` whose best/patience fields were reconstructed by
-    replaying the fetched metric scalars (identical arithmetic).
+    Returns ``(params, opt_state, state, history, stopper, tracked,
+    monitored, grad_history)`` with the same meanings as the eager loop's
+    state at exit: ``stopper`` is an :class:`EarlyStopping` whose
+    best/patience fields were reconstructed by replaying the fetched metric
+    scalars (identical arithmetic); ``monitored`` maps each monitored name
+    to a list of ``{"q25","q50","q75"}`` dicts (one per snapshot);
+    ``grad_history`` is a list of per-snapshot gradient-norm dicts.
     """
     metric = loss_name(cfg.loss_types[0] if cfg.loss_types else cfg.training_loss)
     agg_name = cfg.agg if isinstance(cfg.agg, str) else getattr(cfg.agg, "__name__", "sum")
     maximize = best_direction(metric) == "max"
     patience = cfg.patience
+    monitor_names = tuple(cfg.monitor_names or ())
 
-    def eval_metrics(p, s, teb, veb):
-        (m_tr, _), (m_va, _) = evaluator(p, s, teb, veb)
-        return m_tr, m_va
+    def _monitored_scalars(out_va):
+        """q25/q50/q75 of monitored per-sample parameters, on device —
+        computed over the VALID validation rows only (the eval batch is
+        padded; the eager path truncates on host, here we slice the static
+        sample count and nan-ignore)."""
+        out: Dict[str, Any] = {}
+        params_out = (out_va or {}).get("parameters", {})
+        for name in monitor_names:
+            if name not in params_out:
+                continue
+            arr = jnp.asarray(params_out[name])
+            if n_val_samples is not None and arr.shape:
+                arr = arr[:n_val_samples]
+            q = jnp.nanpercentile(
+                arr.ravel().astype(jnp.float32), jnp.asarray([25.0, 50.0, 75.0])
+            )
+            out[name] = {"q25": q[0], "q50": q[1], "q75": q[2]}
+        return out
+
+    def _grad_scalars(p, s):
+        """Global + per-branch gradient L2 norms, on device."""
+        if grad_probe is None:
+            return {}
+        import optax
+
+        g = grad_probe(p, s)
+        norms = {"global": optax.global_norm(g)}
+        if isinstance(g, dict):
+            for k, v in g.items():
+                norms[k] = optax.global_norm(v)
+        return norms
+
+    def eval_full(p, s, teb, veb):
+        (m_tr, _), (m_va, out_va) = evaluator(p, s, teb, veb)
+        return m_tr, m_va, out_va
 
     # ---- one jitted block: E epochs + eval + on-device early-stop update.
     # The host loop makes EXACTLY ONE program dispatch per block: the PRNG
@@ -102,14 +156,23 @@ def run_deferred_loop(
     # dispatch count is the wall-clock on a tunneled TPU). Eval batches are
     # explicit args, not closure captures (captured device arrays embed as
     # program constants: bigger executables, value-dependent cache keys).
-    def metric_row(m_tr, m_va, p, s):
+    def snapshot_tree(m_tr, m_va, out_va, p, s):
+        """Everything a snapshot records, as one scalar pytree."""
+        tree = {"metrics": (m_tr, m_va)}
+        if tracked_fn is not None:
+            tree["tracked"] = tracked_fn(p, s)
+        if monitor_names:
+            tree["monitored"] = _monitored_scalars(out_va)
+        if grad_probe is not None:
+            tree["grads"] = _grad_scalars(p, s)
+        return tree
+
+    def metric_row(tree):
         """All snapshot scalars as ONE (M,) float32 vector — the per-buffer
         fetch cost over the tunnel is ~0.1-0.5 s regardless of size, so the
         whole metric history must come back as a single array, not one
         buffer per scalar (800 scalars = minutes; one (R, M) array = ms)."""
-        vals = jax.tree.leaves((m_tr, m_va))
-        if tracked_fn is not None:
-            vals = vals + jax.tree.leaves(tracked_fn(p, s))
+        vals = jax.tree.leaves(tree)
         return jnp.stack(
             [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
         )
@@ -124,7 +187,7 @@ def run_deferred_loop(
             key, shuffle_key = jax.random.split(es["key"])
             epoch = es["epoch"] + eval_every
             p, o, s, _ = epoch_fn(params, opt_state, state, tensors, shuffle_key)
-            m_tr, m_va = eval_metrics(p, s, teb, veb)
+            m_tr, m_va, out_va = eval_full(p, s, teb, veb)
             val = _first_loss_agg(m_va, agg_name)
             best = es["best_val"]
             better = (val > best) if maximize else (val < best)
@@ -134,7 +197,7 @@ def run_deferred_loop(
                     lambda a, b: jnp.where(better, a, b), new, old
                 )
 
-            row = metric_row(m_tr, m_va, p, s)
+            row = metric_row(snapshot_tree(m_tr, m_va, out_va, p, s))
             hist = jax.lax.dynamic_update_slice(
                 es["hist"], row[None, :], (epoch // eval_every, 0)
             )
@@ -180,12 +243,13 @@ def run_deferred_loop(
     train_all = jax.jit(train_all, donate_argnums=(0, 1, 3))
 
     # ---- initial snapshot (still on device) ----
-    m_tr0, m_va0 = eval_metrics(params, state, train_eval_batch, val_eval_batch)
-    metrics_treedef = jax.tree.structure((m_tr0, m_va0))
-    n_metric = metrics_treedef.num_leaves
-    tracked_treedef = (
-        jax.tree.structure(tracked_fn(params, state)) if tracked_fn else None
+    m_tr0, m_va0, out_va0 = eval_full(
+        params, state, train_eval_batch, val_eval_batch
     )
+    tree0 = snapshot_tree(m_tr0, m_va0, out_va0, params, state)
+    row_treedef = jax.tree.structure(tree0)
+    metrics_treedef = jax.tree.structure(tree0["metrics"])
+    n_metric = metrics_treedef.num_leaves
     # hist rows padded up to a power-of-two bucket: the block program's
     # shape signature then only changes when nepochs crosses a bucket
     # boundary, so different epoch counts share one compiled executable
@@ -193,7 +257,7 @@ def run_deferred_loop(
     n_rows = cfg.nepochs // eval_every + 1
     n_rows_padded = max(16, 1 << (n_rows - 1).bit_length())
     n_iters = n_rows_padded - 1  # bucketed scan length (tail iters freeze)
-    row0 = metric_row(m_tr0, m_va0, params, state)
+    row0 = metric_row(tree0)
     # deep-copy: es.best_params must not alias params, which the first block
     # call donates (one jitted copy program, zero readbacks)
     copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
@@ -238,29 +302,31 @@ def run_deferred_loop(
     history = TrainingHistory()
     stopper: Optional[EarlyStopping] = None
     tracked: Dict[str, list] = {}
+    monitored: Dict[str, list] = {}
+    grad_history: list = []
     counter = 0
     stop_index = None  # snapshot index where the eager loop would break
     best_val = None
     for i in range(n_rows):
         epoch = i * eval_every
         vals = [float(v) for v in hist_np[i]]
-        mm_tr, mm_va = jax.tree.unflatten(metrics_treedef, vals[:n_metric])
+        tree_i = jax.tree.unflatten(row_treedef, vals)
+        mm_tr, mm_va = tree_i["metrics"]
         snap = EpochSnapshot(mm_tr, mm_va)
-        tracked_i = (
-            jax.tree.unflatten(tracked_treedef, vals[n_metric:])
-            if tracked_treedef is not None
-            else {}
-        )
-        if i == 0:
-            stopper = EarlyStopping(snap, {}, {}, cfg)
-            best_val = _agg_loss(snap.l_val, agg_name)
-            history.append(snap)
-            for k, v in tracked_i.items():
-                tracked[k] = [v]
-            continue
+        tracked_i = tree_i.get("tracked", {})
+        monitored_i = tree_i.get("monitored", {})
+        grads_i = tree_i.get("grads", None)
         history.append(snap)
         for k, v in tracked_i.items():
             tracked.setdefault(k, []).append(v)
+        for k, v in monitored_i.items():
+            monitored.setdefault(k, []).append(dict(v))
+        if grads_i is not None:
+            grad_history.append(dict(grads_i))
+        if i == 0:
+            stopper = EarlyStopping(snap, {}, {}, cfg)
+            best_val = _agg_loss(snap.l_val, agg_name)
+            continue
         val = _agg_loss(snap.l_val, agg_name)
         better = (val > best_val) if maximize else (val < best_val)
         if better:
@@ -277,9 +343,10 @@ def run_deferred_loop(
     if stop_index is not None:
         # discard frozen-tail snapshots (the eager loop never evaluates them)
         del history.snapshots[stop_index + 1 :]
-        if tracked:
-            for k in tracked:
-                tracked[k] = tracked[k][: stop_index + 1]
+        for d in (tracked, monitored):
+            for k in d:
+                d[k] = d[k][: stop_index + 1]
+        del grad_history[stop_index + 1 :]
         stopper.done = True
         log.warning(
             "Early stopping at epoch %d, best validation loss wrt %s: %.6g "
@@ -293,4 +360,7 @@ def run_deferred_loop(
     stopper.best_params = fetched["best_params"]
     stopper.best_state = fetched["best_state"]
     stopper.counter = counter
-    return params, opt_state, state, history, stopper, tracked
+    return (
+        params, opt_state, state, history, stopper, tracked, monitored,
+        grad_history,
+    )

@@ -605,8 +605,16 @@ def train(
         # zero-readback dispatch with on-device early stopping: any
         # device->host readback permanently degrades this deployment's async
         # dispatch ~25x (docs/tpu_notes.md), so when nothing needs mid-run
-        # values the whole run goes out without a single fetch
-        params, opt_state, state, history, stopper, tracked = run_deferred_loop(
+        # values the whole run goes out without a single fetch. Monitored
+        # quantiles + grad norms ride the on-device history row;
+        # save_training files are written post-hoc from the fetch.
+        init_host = (
+            jax.device_get((params, state)) if cfg.save_training else None
+        )
+        (
+            params, opt_state, state, history, stopper, tracked, monitored,
+            grad_history,
+        ) = run_deferred_loop(
             cfg=cfg,
             model=model,
             params=params,
@@ -620,7 +628,34 @@ def train(
             key=key,
             eval_every=eval_every,
             tracked_fn=_make_tracked_fn(),
+            grad_probe=grad_probe,
+            n_val_samples=val_data.n_samples,
         )
+        if cfg.save_training:
+            from ..io.checkpoint import CheckpointWriter, resolve_paths
+            from ..plotting.live import MetricStream
+
+            paths = resolve_paths(cfg)
+            writer = CheckpointWriter(paths, model, cfg, dcfg)
+            writer.save_initial(*init_host)
+            stream = MetricStream(paths.metrics_jsonl)
+            stream.write_meta(epoch_path=epoch_path, loop_mode="deferred")
+            for i, snap in enumerate(history.snapshots):
+                stream.write(
+                    i * eval_every,
+                    snap,
+                    {k: v[i] for k, v in tracked.items() if i < len(v)},
+                    {k: v[i] for k, v in monitored.items() if i < len(v)},
+                )
+            # best-epoch checkpoint; per-checkpoint_every MID-RUN files are
+            # not reconstructable from a single-program run (a mid-run crash
+            # loses the one program either way — see deferred.py docstring)
+            best_i = stopper.best_epoch // eval_every
+            if 0 <= best_i < len(history.snapshots):
+                writer.save_epoch(
+                    stopper.best_params, stopper.best_state,
+                    history.snapshots[best_i], stopper.best_epoch,
+                )
     else:
         # ---- initial snapshot / history / stopper / io ----
         init_snapshot = snapshot_of(params, state)

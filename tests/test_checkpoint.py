@@ -19,6 +19,9 @@ def test_pytree_roundtrip(tmp_path):
 
 
 def test_training_checkpoints(tmp_path, rbq10_model, rbq10_df):
+    # show_progress forces the EAGER loop: per-epoch checkpoint cadence is
+    # an eager-loop feature (the deferred loop writes initial+best post-hoc
+    # — covered by test_train.py::test_deferred_save_training_posthoc)
     res = eh.train(
         rbq10_model,
         rbq10_df,
@@ -28,8 +31,9 @@ def test_training_checkpoints(tmp_path, rbq10_model, rbq10_df):
         output_folder=str(tmp_path),
         model_name="ckpt_test",
         tracked_params=["Q10"],
-        show_progress=False,
+        show_progress=True,
     )
+    assert res.loop_mode == "eager"
     run_dir = os.path.join(str(tmp_path), "ckpt_test")
     assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
     # epoch 0, 1, 2
@@ -112,7 +116,7 @@ def test_orbax_checkpoint_format(tmp_path, rbq10_model, rbq10_df):
         output_folder=str(tmp_path),
         model_name="orbax_test",
         tracked_params=["Q10"],
-        show_progress=False,
+        show_progress=True,  # eager loop: per-epoch checkpoint cadence
     )
     run_dir = os.path.join(str(tmp_path), "orbax_test")
     ckpts = sorted(os.listdir(os.path.join(run_dir, "checkpoints")))

@@ -226,7 +226,8 @@ def test_epoch_path_surfaced_in_results_and_stream(tmp_path):
         save_training=True, output_folder=str(tmp_path), model_name="pathrun",
     )
     assert res.epoch_path == "xla_scan"
-    assert res.loop_mode == "eager"
+    # save_training alone no longer forces the readback loop (round 3)
+    assert res.loop_mode == "deferred"
     from easyhybrid_tpu.plotting.live import read_metric_stream
 
     records = read_metric_stream(res.paths.metrics_jsonl, include_meta=True)

@@ -488,3 +488,60 @@ def test_deferred_loop_matches_eager_eval_every(rbq10_model, rbq10_df):
         np.testing.assert_allclose(a["mse"]["sum"], b["mse"]["sum"], rtol=1e-6)
     for a, b in zip(jax.tree.leaves(r_def.params), jax.tree.leaves(r_eag.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_deferred_observability_monitor_and_grads(rbq10_model, rbq10_df):
+    """monitor_names and return_gradients no longer force the readback loop:
+    quantiles and grad norms ride the on-device history row and match the
+    eager loop's host-computed values."""
+    kw = dict(
+        nepochs=6, batchsize=64, optimizer=("adam", 0.01),
+        monitor_names=["rb"], return_gradients=True, random_seed=5,
+    )
+    r_def = eh.train(rbq10_model, rbq10_df, show_progress=False, **kw)
+    r_eag = eh.train(rbq10_model, rbq10_df, show_progress=True, **kw)
+    assert r_def.loop_mode == "deferred"
+    assert r_eag.loop_mode == "eager"
+    # monitored quantile trajectories match
+    assert set(r_def.monitored) == set(r_eag.monitored) == {"rb"}
+    assert len(r_def.monitored["rb"]) == len(r_eag.monitored["rb"])
+    for a, b in zip(r_def.monitored["rb"], r_eag.monitored["rb"]):
+        for q in ("q25", "q50", "q75"):
+            np.testing.assert_allclose(a[q], b[q], rtol=1e-4)
+    # grad-norm history matches (same probe, device vs host norm)
+    assert len(r_def.grad_history) == len(r_eag.grad_history)
+    for a, b in zip(r_def.grad_history, r_eag.grad_history):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4)
+
+
+def test_deferred_save_training_posthoc(tmp_path, rbq10_model, rbq10_df):
+    """save_training in deferred mode writes the stream + checkpoints
+    post-hoc from the single fetch; the stream matches the history."""
+    res = eh.train(
+        rbq10_model, rbq10_df, nepochs=4, batchsize=64, show_progress=False,
+        save_training=True, tracked_params=["Q10"],
+        output_folder=str(tmp_path), model_name="defrun", random_seed=2,
+    )
+    assert res.loop_mode == "deferred"
+    import os
+
+    from easyhybrid_tpu.plotting.live import read_metric_stream
+
+    records = read_metric_stream(res.paths.metrics_jsonl, include_meta=True)
+    metas = [r["meta"] for r in records if "meta" in r]
+    assert metas and metas[0]["loop_mode"] == "deferred"
+    rows = [r for r in records if "meta" not in r]
+    assert [r["epoch"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all("Q10" in r["tracked"] for r in rows)
+    np.testing.assert_allclose(
+        [r["val"]["mse"]["sum"] for r in rows],
+        [h["mse"]["sum"] for h in res.val_history], rtol=1e-6,
+    )
+    # initial + best checkpoints + final best model exist
+    assert os.path.exists(res.paths.best_model) or os.path.exists(
+        os.path.splitext(res.paths.best_model)[0] + ".orbax"
+    )
+    ckpts = os.listdir(res.paths.checkpoint_dir)
+    assert len(ckpts) >= 1
