@@ -263,3 +263,39 @@ def test_multi_device_default_shuffle_is_per_shard(rbq10_model, caplog):
         )
     assert np.isfinite(res.best_loss)
     assert any("per_shard" in r.message for r in caplog.records)
+
+
+def test_multi_device_matches_single_device_numerics(rbq10_model):
+    """multi_device training (8-CPU mesh, psum-reduced grads) matches the
+    single-device trajectory at eval_every>1 (shuffle off: the per_shard
+    shuffle legitimately reorders differently)."""
+    df = eh.gen_rbq10_data(256, seed=9)
+    kw = dict(
+        nepochs=4, eval_every=2, batchsize=64, shuffle_each_epoch=False,
+        show_progress=False, random_seed=5,
+    )
+    r1 = eh.train(rbq10_model, df, **kw)
+    r8 = eh.train(rbq10_model, df, multi_device=True, **kw)
+    assert len(r1.val_history) == len(r8.val_history) == 3
+    for a, b in zip(r1.val_history, r8.val_history):
+        np.testing.assert_allclose(
+            a["mse"]["sum"], b["mse"]["sum"], rtol=2e-4
+        )
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r8.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3
+        )
+
+
+def test_multi_device_full_train_deferred(rbq10_model):
+    """The dryrun's e2e path: full train() over the mesh runs the deferred
+    loop with on-device early stopping and finishes finite."""
+    df = eh.gen_rbq10_data(192, seed=3)
+    res = eh.train(
+        rbq10_model, df, nepochs=4, eval_every=2, batchsize=64,
+        multi_device=True, patience=2, tracked_params=["Q10"],
+        show_progress=False,
+    )
+    assert np.isfinite(res.best_loss)
+    assert res.loop_mode == "deferred"
+    assert "Q10" in (res.tracked or {})
