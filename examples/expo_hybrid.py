@@ -57,7 +57,7 @@ def main():
     results = eh.train(
         model,
         df,
-        nepochs=100,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "100")),
         batchsize=256,
         optimizer=("adamw", 0.01),
         training_loss="nseLoss",

@@ -28,7 +28,7 @@ def main():
     results = eh.train(
         model,
         df,
-        nepochs=100,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "100")),
         batchsize=64,
         optimizer=("adam", 0.01),
         patience=20,

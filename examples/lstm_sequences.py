@@ -41,7 +41,7 @@ def build(hidden):
 def main():
     df = eh.gen_rbq10_data(4000, seed=7)
     common = dict(
-        nepochs=30,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "30")),
         batchsize=128,
         optimizer=("adam", 0.01),
         training_loss="nseLoss",

@@ -45,7 +45,7 @@ def main():
     results = eh.train(
         model,
         df,
-        nepochs=100,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "100")),
         batchsize=512,
         optimizer=("rmsprop", 0.001),   # reference quick-start optimizer
         patience=30,

@@ -60,7 +60,7 @@ def main():
     results = eh.train(
         model,
         df,
-        nepochs=60,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "60")),
         batchsize=256,
         optimizer=("adam", 0.01),
         training_loss=eh.PerTarget(["mse", "mse", "mae"]),

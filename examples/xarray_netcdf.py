@@ -64,7 +64,7 @@ def main():
     results = eh.train(
         model,
         data,
-        nepochs=100,
+        nepochs=int(os.environ.get("EASYHYBRID_EXAMPLE_EPOCHS", "100")),
         batchsize=512,
         optimizer=("rmsprop", 0.001),
         patience=30,
