@@ -83,7 +83,7 @@ _PINNED_BASELINES = {
     "rbq10": 570.39,
     "multi_target": 439.48,
     "large_mlp": 126.80,
-    "lstm": None,  # first measured round 3 — pin after BENCH_r03
+    "lstm": 127.12,  # pinned from the 2026-08-17 round-3 measurement
 }
 
 
