@@ -145,6 +145,41 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
 _FUSED_LOSSES = ("mse", "mae", "rmse")
 
 
+def parse_branch_specs(spec) -> Optional[Dict[str, Tuple[str, Dict[str, float]]]]:
+    """Parse a per-branch dict spec (``{"globals": ("sgd", 0.1), ...}``)
+    into ``{label: (name, hyper)}`` if every branch is fusable, else None.
+    Mirrors ``resolve_optimizer``'s multi_transform labeling, including the
+    Adam(1e-3) fallback for unlisted branches (train.jl:84 parity)."""
+    if not isinstance(spec, Mapping):
+        return None
+    out: Dict[str, Tuple[str, Dict[str, float]]] = {}
+    for k, sub in spec.items():
+        parsed = parse_opt_spec(sub)
+        if parsed is None:
+            return None
+        out[str(k)] = parsed
+    out.setdefault(
+        "__default__",
+        ("adam", dict(learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-8)),
+    )
+    return out
+
+
+def branch_leaf_label(path, branch_specs) -> str:
+    """Label for a flattened-params path — the same assignment
+    ``resolve_optimizer``'s label tree produces (specific global / branch
+    name > ``globals``/``nns`` group > default)."""
+    k0 = getattr(path[0], "key", None)
+    if k0 in ("globals", "nns") and len(path) > 1:
+        sub = getattr(path[1], "key", None)
+        if sub in branch_specs:
+            return sub
+        if k0 in branch_specs:
+            return k0
+        return "__default__"
+    return k0 if k0 in branch_specs else "__default__"
+
+
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
     """Static support check for the fused-epoch fast path."""
     from ..models.hybrid import MultiNNHybridModel
@@ -174,7 +209,10 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
-    return parse_opt_spec(optimizer_spec) is not None
+    return (
+        parse_opt_spec(optimizer_spec) is not None
+        or parse_branch_specs(optimizer_spec) is not None
+    )
 
 
 def init_fused_opt_state(params) -> Dict[str, Any]:
@@ -394,11 +432,15 @@ def make_fused_epoch(
         raise ValueError(
             f"fused epoch supports shuffle=True/False/'batches', got {shuffle!r}"
         )
-    parsed = parse_opt_spec(optimizer_spec)
-    if parsed is None:
-        raise ValueError(f"fused epoch does not support optimizer {optimizer_spec!r}")
-    opt_name, hyper = parsed
-    lr = hyper["learning_rate"]
+    branch_specs = parse_branch_specs(optimizer_spec)
+    if branch_specs is None:
+        parsed = parse_opt_spec(optimizer_spec)
+        if parsed is None:
+            raise ValueError(
+                f"fused epoch does not support optimizer {optimizer_spec!r}"
+            )
+    else:
+        parsed = None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -621,8 +663,23 @@ def make_fused_epoch(
         t_new = t_old + valid
         return grads, t_new, valid, batch_loss * valid
 
-    # ---- optimizer update (per kernel-layout leaf) -----------------------
-    update_leaf = make_update_leaf(opt_name, hyper)
+    # ---- optimizer update (per kernel-layout leaf; per-branch dict specs
+    # get one update fn per leaf, mirroring multi_transform's labels) ------
+    if branch_specs is None:
+        _single_update = make_update_leaf(*parsed)
+
+        def updates_for(path_leaves):
+            return [_single_update] * len(path_leaves)
+    else:
+        _branch_updates = {
+            lbl: make_update_leaf(*sp) for lbl, sp in branch_specs.items()
+        }
+
+        def updates_for(path_leaves):
+            return [
+                _branch_updates[branch_leaf_label(p, branch_specs)]
+                for p, _ in path_leaves
+            ]
 
     # ---- one pallas_call = one epoch --------------------------------------
     _PAD = (8, 128)
@@ -630,7 +687,7 @@ def make_fused_epoch(
     def run_kernel_epoch(
         p_bufs, m_bufs, v_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
-        treedef, orig_shapes, data, is_weight,
+        treedef, orig_shapes, data, is_weight, update_fns,
         epochs=1, stacked=False,
     ):
         """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
@@ -776,7 +833,7 @@ def make_fused_epoch(
                 g_pad = _pad_to(g, buf_shapes[k])
                 if l2_spec is not None and is_weight[k]:
                     g_pad = g_pad + l2_coeff * pb[k]
-                p_new, m_new, v_new = update_leaf(
+                p_new, m_new, v_new = update_fns[k](
                     pb[k], mb[k], vb[k], g_pad, valid, t_base + t_new
                 )
                 p_out[k][...] = p_new
@@ -862,6 +919,7 @@ def make_fused_epoch(
             bool(path) and getattr(path[-1], "key", None) == l2_key
             for path, _ in path_leaves
         ]
+        update_fns = updates_for(path_leaves)
         orig_shapes = [l.shape for l in leaves]
         p_bufs = [_to_kernel_buffer(l) for l in leaves]
         m_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["m"])[0]]
@@ -939,7 +997,7 @@ def make_fused_epoch(
                 list(p_bufs), list(m_bufs), list(v_bufs),
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
-                data, is_weight, epochs=epochs, stacked=stacked,
+                data, is_weight, update_fns, epochs=epochs, stacked=stacked,
             )
             t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
@@ -958,7 +1016,7 @@ def make_fused_epoch(
                 pb, mb, vb, t_delta, mean_loss = run_kernel_epoch(
                     list(pb), list(mb), list(vb), t_base_buf(cum),
                     st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
-                    data, is_weight,
+                    data, is_weight, update_fns,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
                 return (tuple(pb), tuple(mb), tuple(vb), cum), mean_loss
@@ -1094,10 +1152,19 @@ def fused_exactness_check(
 
         # ---- phase B: the production kernel variant ----------------------
         parsed = parse_opt_spec(optimizer_spec)
-        prod_name, prod_hyper = parsed if parsed else ("sgd", {"learning_rate": lr})
-        prod_lr = prod_hyper.get("learning_rate", lr)
+        branch = parse_branch_specs(optimizer_spec)
+        if parsed is not None:
+            prod_name, prod_hyper = parsed
+            prod_lr = prod_hyper.get("learning_rate", lr)
+        elif branch is not None:
+            prod_name = "per_branch"
+            prod_lr = max(
+                h.get("learning_rate", lr) for _, h in branch.values()
+            )
+        else:
+            prod_name, prod_lr = "sgd", lr
         e_gate = max(1, min(int(epochs_per_call), 4))
-        run_prod = parsed is not None and (
+        run_prod = (parsed is not None or branch is not None) and (
             prod_name != "sgd" or e_gate > 1 or shuffle is not False
         )
         if run_prod:
@@ -1109,7 +1176,11 @@ def fused_exactness_check(
                 jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
                 state, sub, key,
             )
-            opt_p = optax.flatten(resolve_optimizer(optimizer_spec, params))
+            opt_p = resolve_optimizer(optimizer_spec, params)
+            if branch is None:
+                # flatten only non-Mapping specs (a flattened params vector
+                # has no branch structure for multi_transform labels)
+                opt_p = optax.flatten(opt_p)
             xla_p = make_train_epoch(
                 model, logging, opt_p, shuffle=shuffle,
                 epochs_per_call=e_gate,

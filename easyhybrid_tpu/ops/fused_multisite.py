@@ -54,6 +54,7 @@ exactness gate as the generic kernel (``fused_exactness_check``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -209,7 +210,17 @@ def make_fused_multisite_epoch(
         n_sites_total = int(np.prod(params["globals"][site_names[0]].shape))
         site_shapes = {g: params["globals"][g].shape for g in site_names}
         r = -(-n_sites_total // _SITE_LANES)  # chunks (= used packed rows)
-        r_pad = _ceil_to(r, 8)
+        # sub-chunk unrolling: process `unroll` 128-site chunks per grid
+        # step — the per-grid-step sequencing overhead (~3 µs on this rig,
+        # measured round 3) dominates the tiny-MLP FLOPs, and sub-chunks
+        # within a full-site batch are independent (shared grads just
+        # accumulate), so unrolling amortizes it
+        unroll = max(
+            1, min(int(os.environ.get("EASYHYBRID_MS_UNROLL", "4")), r)
+        )
+        n_groups = -(-r // unroll)
+        r_eff = n_groups * unroll
+        r_pad = _ceil_to(r_eff, 8)
         sp_bufs = [
             _pack_site_leaf(params["globals"][g], n_sites_total, r, r_pad)
             for g in site_names
@@ -251,6 +262,19 @@ def make_fused_multisite_epoch(
         ]
         y_chunks = [chunk_time_site(tensors.y[t][0]) for t in target_names]
         mask_chunks = [chunk_time_site(tensors.mask[t][0]) for t in target_names]
+
+        # group chunks for the unrolled grid: (n_groups, unroll, ...);
+        # tail-padding chunks carry zero masks so they contribute nothing
+        def group(a):
+            a = jnp.pad(
+                a, ((0, r_eff - r),) + ((0, 0),) * (a.ndim - 1)
+            )
+            return a.reshape((n_groups, unroll) + a.shape[1:])
+
+        x_chunks = group(x_chunks)
+        forcing_chunks = [group(a) for a in forcing_chunks]
+        y_chunks = [group(a) for a in y_chunks]
+        mask_chunks = [group(a) for a in mask_chunks]
 
         # ---- loss normalization + validity tile (batch-static) ----------
         # row 0 lane j: agg_scale / max(Σ mask_j, 1); [1, 0]: validity flag
@@ -320,10 +344,10 @@ def make_fused_multisite_epoch(
 
             ones_m1 = jnp.ones((m_cols, 1), jnp.float32)
             e = pl.program_id(0)
-            c = pl.program_id(1)
+            c = pl.program_id(1)        # GROUP index (unroll sub-chunks)
             first = (e + c) == 0        # very first grid step
-            chunk_start = c == 0        # first chunk of an epoch
-            is_last = c == (r - 1)      # last chunk → shared update
+            chunk_start = c == 0        # first group of an epoch
+            is_last = c == (n_groups - 1)  # last group → shared update
 
             # carried buffers (rule 1: no aliasing — seed from inputs once)
             pb = [jnp.where(first, psh_in[k][...], psh_out[k][...])
@@ -332,6 +356,8 @@ def make_fused_multisite_epoch(
                   for k in range(npar)]
             vb = [jnp.where(first, vsh_in[k][...], vsh_out[k][...])
                   for k in range(npar)]
+            # per-site packed buffers become LOCAL values mutated through
+            # the unrolled sub-chunk loop; written back once at the end
             pkt = [jnp.where(first, pst_in[k][...], pst_out[k][...])
                    for k in range(nsite)]
             mkt = [jnp.where(first, mst_in[k][...], mst_out[k][...])
@@ -357,167 +383,197 @@ def make_fused_multisite_epoch(
             rows_pk = jax.lax.broadcasted_iota(
                 jnp.int32, (r_pad, _SITE_LANES), 0
             )
-            chunk_rowmask = rows_pk == c
 
-            def select_row(packed):
-                """EXACT row-c select: masked sublane sum (probe-validated;
-                one nonzero + zeros per lane)."""
-                return jnp.sum(
-                    jnp.where(chunk_rowmask, packed, 0.0),
-                    axis=0, keepdims=True,
-                )  # (1, 128)
+            acc_local = [None] * npar   # shared-grad accumulation over subs
+            loss_local = None
 
-            # ---- forward ------------------------------------------------
-            mech_params: Dict[str, Any] = {}
-            dscale: Dict[str, Any] = {}
-            nn_res = None
-            x_fb = x_ref[0]  # (F, M)
+            for u in range(unroll):
+                cc = c * unroll + u     # absolute chunk / packed-row index
+                rowmask = rows_pk == cc
 
-            if neural_names:
-                nn_out, nn_res = forward_mlp(
-                    base.nn, p_shared["nn"], state2d.get("nn", {}),
-                    x_fb, ones_m1,
-                )
-                for j, name in enumerate(neural_names):
-                    raw_ts = nn_out[j : j + 1, :].reshape(n_pad, _SITE_LANES)
-                    if base.scale_nn_outputs:
-                        lo, up = bounds[name]
-                        col, dcol = jax.jvp(
-                            lambda rw, _lo=lo, _up=up: scale_param(rw, _lo, _up),
-                            (raw_ts,), (jnp.ones_like(raw_ts),),
+                def select_row(packed, _rm=rowmask):
+                    """EXACT row select: masked sublane sum (probe-validated;
+                    one nonzero + zeros per lane)."""
+                    return jnp.sum(
+                        jnp.where(_rm, packed, 0.0), axis=0, keepdims=True
+                    )  # (1, 128)
+
+                # ---- forward --------------------------------------------
+                mech_params: Dict[str, Any] = {}
+                dscale: Dict[str, Any] = {}
+                nn_res = None
+                x_fb = x_ref[0, u]  # (F, M)
+
+                if neural_names:
+                    nn_out, nn_res = forward_mlp(
+                        base.nn, p_shared["nn"], state2d.get("nn", {}),
+                        x_fb, ones_m1,
+                    )
+                    for j, name in enumerate(neural_names):
+                        raw_ts = nn_out[j : j + 1, :].reshape(
+                            n_pad, _SITE_LANES
                         )
-                        mech_params[name] = col
-                        dscale[name] = dcol
-                    else:
-                        mech_params[name] = raw_ts
-                        dscale[name] = None
+                        if base.scale_nn_outputs:
+                            lo, up = bounds[name]
+                            col, dcol = jax.jvp(
+                                lambda rw, _lo=lo, _up=up: scale_param(
+                                    rw, _lo, _up
+                                ),
+                                (raw_ts,), (jnp.ones_like(raw_ts),),
+                            )
+                            mech_params[name] = col
+                            dscale[name] = dcol
+                        else:
+                            mech_params[name] = raw_ts
+                            dscale[name] = None
 
-            site_rows: Dict[str, Any] = {}
-            for k, g in enumerate(site_names):
-                lo, up = bounds[g]
-                raw_row = select_row(pkt[k])  # (1, 128) raw per-site values
-                val_row, dval_row = jax.jvp(
-                    lambda rw, _lo=lo, _up=up: scale_param(rw, _lo, _up),
-                    (raw_row,), (jnp.ones_like(raw_row),),
+                for k, g in enumerate(site_names):
+                    lo, up = bounds[g]
+                    raw_row = select_row(pkt[k])  # (1,128) raw per-site
+                    val_row, dval_row = jax.jvp(
+                        lambda rw, _lo=lo, _up=up: scale_param(rw, _lo, _up),
+                        (raw_row,), (jnp.ones_like(raw_row),),
+                    )
+                    mech_params[g] = jnp.broadcast_to(
+                        val_row, (n_pad, _SITE_LANES)
+                    )
+                    dscale[g] = dval_row  # (1,128) per-site scale deriv
+                for f in base.fixed_param_names:
+                    fx = state2d["fixed"][f]
+                    mech_params[f] = fx[0, 0]  # rank-0 broadcasts w/ tiles
+
+                forcing_ts = {
+                    f: f_refs[j][0, u] for j, f in enumerate(forcing_names)
+                }
+                y_ts = [y_refs[j][0, u] for j in range(nt)]
+                mask_ts = [m_refs[j][0, u] for j in range(nt)]
+
+                def mech_preds(pd, _forcing=forcing_ts):
+                    outs = _call_mechanistic(
+                        base.mechanistic_model, {**_forcing, **pd}
+                    )
+                    return tuple(to_ts(outs[t]) for t in target_names)
+
+                diff_names = (*neural_names, *site_names)
+                tangents: Dict[str, Tuple[Any, ...]] = {}
+                preds = None
+                for name in diff_names:
+                    def fdiff(v, _name=name, _mp=mech_params,
+                              _f=mech_preds):
+                        pd = dict(_mp)
+                        pd[_name] = v
+                        return _f(pd)
+
+                    preds, tangents[name] = jax.jvp(
+                        fdiff, (mech_params[name],),
+                        (jnp.ones_like(mech_params[name]),),
+                    )
+                if preds is None:
+                    preds = mech_preds(mech_params)
+
+                # ---- loss + cotangents (divisor precomputed) ------------
+                cots: List[Any] = []
+                loss_elem = None
+                for j in range(nt):
+                    m = mask_ts[j]
+                    diff = (preds[j] - y_ts[j]) * m
+                    inv_nj = scale_ref[0, j]  # agg_scale / n_j (batch-wide)
+                    if loss_name == "mse":
+                        term = inv_nj * diff * diff
+                        cot = (2.0 * inv_nj) * diff
+                    else:  # mae
+                        term = inv_nj * jnp.abs(diff)
+                        cot = inv_nj * jnp.sign(diff)
+                    loss_elem = (
+                        term if loss_elem is None else loss_elem + term
+                    )
+                    cots.append(cot)
+                lsum_row = jnp.sum(loss_elem, axis=0, keepdims=True)
+                chunk_loss = _dot11(lsum_row, jnp.ones_like(lsum_row))[0, 0]
+                loss_local = (
+                    chunk_loss if loss_local is None
+                    else loss_local + chunk_loss
                 )
-                site_rows[g] = raw_row
-                mech_params[g] = jnp.broadcast_to(
-                    val_row, (n_pad, _SITE_LANES)
-                )
-                dscale[g] = dval_row  # (1, 128) per-site scale derivative
-            for f in base.fixed_param_names:
-                fx = state2d["fixed"][f]
-                mech_params[f] = fx[0, 0]  # rank-0: broadcasts with tiles
 
-            forcing_ts = {
-                f: f_refs[j][0] for j, f in enumerate(forcing_names)
-            }
-            y_ts = [y_refs[j][0] for j in range(nt)]
-            mask_ts = [m_refs[j][0] for j in range(nt)]
+                # ---- backward -------------------------------------------
+                def param_grad_ts(name, _cots=cots, _tang=tangents):
+                    row = None
+                    for j in range(nt):
+                        contrib = _cots[j] * _tang[name][j]
+                        row = contrib if row is None else row + contrib
+                    return row  # (N_pad, 128)
 
-            def mech_preds(pd):
-                outs = _call_mechanistic(
-                    base.mechanistic_model, {**forcing_ts, **pd}
-                )
-                return tuple(to_ts(outs[t]) for t in target_names)
+                # per-site params: chunk-local grad → immediate update of
+                # the LOCAL packed value (bit-identical to a batch-end
+                # update: each site appears in exactly one sub-chunk)
+                for k, g in enumerate(site_names):
+                    gts = param_grad_ts(g)
+                    grow = (
+                        jnp.sum(gts, axis=0, keepdims=True) * dscale[g]
+                    )  # (1, 128)
+                    p_new, m_new, v_new = update_leaf(
+                        select_row(pkt[k]), select_row(mkt[k]),
+                        select_row(vkt[k]), grow, valid, t_abs,
+                    )
 
-            diff_names = (*neural_names, *site_names)
-            tangents: Dict[str, Tuple[Any, ...]] = {}
-            preds = None
-            for name in diff_names:
-                def fdiff(v, _name=name):
-                    pd = dict(mech_params)
-                    pd[_name] = v
-                    return mech_preds(pd)
+                    def place(row_new, carried, _rm=rowmask):
+                        return jnp.where(
+                            _rm,
+                            jnp.broadcast_to(
+                                row_new, (r_pad, _SITE_LANES)
+                            ),
+                            carried,
+                        )
 
-                preds, tangents[name] = jax.jvp(
-                    fdiff, (mech_params[name],),
-                    (jnp.ones_like(mech_params[name]),),
-                )
-            if preds is None:
-                preds = mech_preds(mech_params)
+                    pkt[k] = place(p_new, pkt[k])
+                    mkt[k] = place(m_new, mkt[k])
+                    vkt[k] = place(v_new, vkt[k])
 
-            # ---- loss + cotangents (chunk-local; divisor precomputed) ----
-            cots: List[Any] = []
-            loss_elem = None
-            for j in range(nt):
-                m = mask_ts[j]
-                diff = (preds[j] - y_ts[j]) * m
-                inv_nj = scale_ref[0, j]  # agg_scale / n_j (batch-wide)
-                if loss_name == "mse":
-                    term = inv_nj * diff * diff
-                    cot = (2.0 * inv_nj) * diff
-                else:  # mae
-                    term = inv_nj * jnp.abs(diff)
-                    cot = inv_nj * jnp.sign(diff)
-                loss_elem = term if loss_elem is None else loss_elem + term
-                cots.append(cot)
-            lsum_row = jnp.sum(loss_elem, axis=0, keepdims=True)  # (1,128)
-            chunk_loss = _dot11(lsum_row, jnp.ones_like(lsum_row))[0, 0]
+                # shared-grad contribution of this sub-chunk
+                if neural_names:
+                    gcols = []
+                    for name in neural_names:
+                        gts = param_grad_ts(name)
+                        if dscale[name] is not None:
+                            gts = gts * dscale[name]
+                        gcols.append(gts.reshape(1, m_cols))
+                    D = (
+                        jnp.concatenate(gcols, axis=0)
+                        if len(gcols) > 1 else gcols[0]
+                    )
+                    g_leaves = jax.tree.leaves(
+                        {"nn": backward_mlp(
+                            base.nn, p_shared["nn"], D, nn_res, ones_m1
+                        )}
+                    )
+                    for k in range(npar):
+                        g = g_leaves[k]
+                        if len(sh_shapes[k]) == 1:
+                            g = g.T  # column grad → row store layout
+                        g_pad = _pad_to(g, buf_shapes[k])
+                        acc_local[k] = (
+                            g_pad if acc_local[k] is None
+                            else acc_local[k] + g_pad
+                        )
+
+            # ---- write-back after the unrolled loop ----------------------
+            for k in range(nsite):
+                pst_out[k][...] = pkt[k]
+                mst_out[k][...] = mkt[k]
+                vst_out[k][...] = vkt[k]
+
             # select (never arithmetic) against the uninitialized first read
             prev_loss = loss_out[0, 0]
             acc_loss = jnp.where(
-                chunk_start, chunk_loss, chunk_loss + prev_loss
+                chunk_start, loss_local, loss_local + prev_loss
             ) * valid
             loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
 
-            # ---- backward ------------------------------------------------
-            def param_grad_ts(name):
-                row = None
-                for j in range(nt):
-                    contrib = cots[j] * tangents[name][j]
-                    row = contrib if row is None else row + contrib
-                return row  # (N_pad, 128)
-
-            # per-site params: chunk-local grad → immediate masked update
-            for k, g in enumerate(site_names):
-                gts = param_grad_ts(g)
-                grow = jnp.sum(gts, axis=0, keepdims=True) * dscale[g]  # (1,128)
-                p_row = select_row(pkt[k])
-                m_row = select_row(mkt[k])
-                v_row = select_row(vkt[k])
-                p_new, m_new, v_new = update_leaf(
-                    p_row, m_row, v_row, grow, valid, t_abs
-                )
-
-                def place(row_new, carried):
-                    return jnp.where(
-                        chunk_rowmask,
-                        jnp.broadcast_to(row_new, (r_pad, _SITE_LANES)),
-                        carried,
-                    )
-
-                pst_out[k][...] = place(p_new, pkt[k])
-                mst_out[k][...] = place(m_new, mkt[k])
-                vst_out[k][...] = place(v_new, vkt[k])
-
-            # shared leaves: accumulate chunk grads, update at last chunk.
-            # grads mirror the shared-params tree ({"nn": ...} or empty), so
-            # tree.leaves yields the sh_leaves order.
-            if neural_names:
-                gcols = []
-                for name in neural_names:
-                    gts = param_grad_ts(name)
-                    if dscale[name] is not None:
-                        gts = gts * dscale[name]
-                    gcols.append(gts.reshape(1, m_cols))
-                D = (
-                    jnp.concatenate(gcols, axis=0)
-                    if len(gcols) > 1 else gcols[0]
-                )
-                g_leaves = jax.tree.leaves(
-                    {"nn": backward_mlp(
-                        base.nn, p_shared["nn"], D, nn_res, ones_m1
-                    )}
-                )
-            else:
-                g_leaves = []
+            # shared leaves: merge this group's accumulated grads into the
+            # carried accumulator (select — never arithmetic — against the
+            # uninitialized first read), update at the last group
             for k in range(npar):
-                g = g_leaves[k]
-                if len(sh_shapes[k]) == 1:
-                    g = g.T  # column grad → row store layout
-                g_pad = _pad_to(g, buf_shapes[k])
-                # select (never arithmetic) against the uninitialized read
+                g_pad = acc_local[k]
                 acc = jnp.where(
                     chunk_start, g_pad, g_pad + acc_out[k][...]
                 )
@@ -575,7 +631,7 @@ def make_fused_multisite_epoch(
 
         outs = pl.pallas_call(
             kernel,
-            grid=(epochs, r),
+            grid=(epochs, n_groups),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,

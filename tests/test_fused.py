@@ -48,7 +48,7 @@ def test_supports_fused_epoch():
     ll = eh.LoggingLoss(training_loss="mse")
     assert supports_fused_epoch(model, ("adam", 0.01), ll)
     assert supports_fused_epoch(model, "sgd", ll)
-    assert not supports_fused_epoch(model, {"nn": "adam"}, ll)  # per-branch
+    assert supports_fused_epoch(model, {"nn": "adam"}, ll)  # per-branch (round 3)
     # the declarative weight-L2 extra loss IS fused (symbolic gradient);
     # arbitrary extra_loss callables are not
     assert supports_fused_epoch(
@@ -527,3 +527,74 @@ def test_gate_verdict_disk_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("EASYHYBRID_GATE_CACHE", "0")
     ok3, _ = fused_exactness_check(model, params, state, ("adam", 0.01), ll, tensors)
     assert ok3
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"globals": ("sgd", 0.1)},                      # nn -> default adam
+        {"nn": ("adam", 0.02), "Q10": ("sgd", 0.05)},   # specific global
+        {"nn": ("rmsprop", 0.005), "globals": ("adamw", 0.01)},
+    ],
+)
+def test_fused_per_branch_optimizers_match_multi_transform(spec):
+    """Per-branch dict specs run fused with one update rule per leaf and
+    match optax.multi_transform exactly (train.jl:74-93 parity path)."""
+    from easyhybrid_tpu.ops.fused_epoch import (
+        parse_branch_specs,
+        supports_fused_epoch,
+    )
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    model, params, state, tensors = _setup()
+    logging = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert parse_branch_specs(spec) is not None
+    assert supports_fused_epoch(model, spec, logging)
+
+    fused = make_fused_epoch(
+        model, state, spec, logging, shuffle=False, epochs_per_call=3,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+
+    optimizer = resolve_optimizer(spec, params)  # multi_transform: no flatten
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=3
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+
+
+def test_fused_per_branch_rejects_unfusable_branch():
+    from easyhybrid_tpu.ops.fused_epoch import parse_branch_specs
+
+    assert parse_branch_specs({"globals": "lbfgs"}) is None
+    assert parse_branch_specs({"nn": ("sgd", 0.1, 0.9)}) is None  # momentum
+    assert parse_branch_specs("adam") is None  # not a dict
+
+
+def test_train_per_branch_optimizer_runs_fused():
+    """e2e: a dict optimizer spec selects the fused kernel (forced candidate
+    on CPU) and trains to a finite loss."""
+    model, *_ = _setup()
+    df = eh.gen_rbq10_data(400, seed=3)
+    res = eh.train(
+        model, df, nepochs=3, batchsize=128, show_progress=False,
+        optimizer={"globals": ("sgd", 0.1), "nn": ("adam", 0.02)},
+        use_pallas=True,
+    )
+    assert np.isfinite(res.best_loss)
+    assert res.epoch_path == "fused_pallas"

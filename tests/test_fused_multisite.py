@@ -236,3 +236,38 @@ def test_epoch_path_surfaced_in_results_and_stream(tmp_path):
     # default reader still returns only epoch records
     plain = read_metric_stream(res.paths.metrics_jsonl)
     assert all("meta" not in r for r in plain)
+
+
+def test_multisite_fused_unroll_tail_padding(monkeypatch):
+    """Sub-chunk unrolling with r % unroll != 0 exercises the zero-mask
+    tail-padding group and still matches the XLA epoch (S=300 -> r=3
+    chunks, unroll=2 -> 2 groups with one padded sub-chunk)."""
+    monkeypatch.setenv("EASYHYBRID_MS_UNROLL", "2")
+    model, params, state, tensors = _make(S=300, N=9)
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, epochs_per_call=2,
+        interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=2
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_f["globals"]["Q10"]), np.asarray(p_x["globals"]["Q10"]),
+        atol=5e-5, rtol=5e-4,
+    )
+    for a, b in zip(jax.tree.leaves(p_f["nn"]), jax.tree.leaves(p_x["nn"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+    assert int(o_f["t"][0]) == 2
