@@ -56,9 +56,12 @@ shape three more hard rules in this kernel:
 
 Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
 epoch otherwise): SingleNN or MultiNN MLP hybrids (or a pure-parameter model
-with no NN), ``input_batchnorm`` in {False, "static"}, training loss in
-{mse, mae, rmse}, agg in {sum, mean}, optimizer in {adam, adamw, sgd,
-rmsprop} with static hyperparameters, no ``extra_loss``. Multi-target losses
+with no NN), ``input_batchnorm`` in {False, "static", True} (trainable
+running-stats BN normalizes with batch stats and carries the EMA state
+in-kernel), training loss in {mse, mae, rmse}, agg in {sum, mean},
+optimizer in {adam, adamw, sgd, rmsprop} with static hyperparameters —
+including per-branch dict specs (multi_transform labels) — no
+``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
 kernel behind a runtime exactness check against the XLA path
 (``fused_exactness_check``) because round 1's failure mode was SILENT.
@@ -197,8 +200,6 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
     for nn in nns:
         if not isinstance(nn, MLP):
             return False
-        if nn.input_batchnorm is True:
-            return False  # trainable running-stats BN mutates state per step
         if nn.compute_dtype is not None:
             return False  # kernel computes in float32
     if logging.extra_loss is not None and not hasattr(
@@ -307,14 +308,35 @@ def _rowsum(a, ones_b1):
 # variant in ops/fused_multisite.py)
 # --------------------------------------------------------------------------
 
-def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1):
+def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1, bn_train: bool = False):
     """Feature-major MLP forward saving backward residuals.
-    Returns ``(nn_out (out, B), residuals)``."""
+    Returns ``(nn_out (out, B), residuals, new_norm_state)``.
+
+    ``bn_train=True`` runs the input BatchNorm in TRAINING mode: the batch
+    is normalized with its OWN mean/var (computed over the lanes — the
+    padding rows are included, exactly like the XLA path's whole-batch
+    reduction) and the EMA-updated running stats come back as
+    ``new_norm_state`` for the carried state buffers. The parameter
+    gradients need no extra backward math: scale/bias grads use the same
+    ``Σ D·x̂`` / ``Σ D`` forms, and gradients w.r.t. the data x are never
+    needed (the norm is the first layer)."""
     h = x_fb
     xhat = None
+    new_norm = None
     if mlp.input_batchnorm:
         norm_state = st_nn["norm"]
-        mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
+        if bn_train:
+            bsz = h.shape[1]
+            mean = _rowsum(h, ones_b1) * (1.0 / bsz)           # (F, 1)
+            dev = h - mean
+            var = _rowsum(dev * dev, ones_b1) * (1.0 / bsz)    # (F, 1)
+            mom = mlp.norm.momentum
+            new_norm = {
+                "mean": (1.0 - mom) * norm_state["mean"] + mom * mean,
+                "var": (1.0 - mom) * norm_state["var"] + mom * var,
+            }
+        else:
+            mean, var = norm_state["mean"], norm_state["var"]  # (F, 1)
         xhat = (h - mean) * jax.lax.rsqrt(var + mlp.norm.eps)
         h = xhat
         if mlp.norm.affine:
@@ -331,7 +353,7 @@ def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1):
         # forward-mode: value AND elementwise derivative in one pass
         h, dact = jax.jvp(act, (z,), (jnp.ones_like(z),))
         residual_dact.append(dact)
-    return h, (residual_h, residual_dact, xhat)
+    return h, (residual_h, residual_dact, xhat), new_norm
 
 
 def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
@@ -478,6 +500,12 @@ def make_fused_epoch(
         name: (model.parameters.lower_of(name), model.parameters.upper_of(name))
         for name in (*neural_names, *global_names)
     }
+    # trainable (running-stats) input BatchNorm per branch: the norm stats
+    # become CARRIED state, EMA-updated in-kernel every valid batch
+    bn_train_of = {
+        bname: bmlp.input_batchnorm is True for bname, bmlp in nn_branches
+    }
+    any_bn_train = any(bn_train_of.values())
 
     def kernel_body(
         i,
@@ -490,9 +518,11 @@ def make_fused_epoch(
         t_old,        # rank-0 float32 VALID-STEP DELTA within this launch
     ):
         """One SGD step: fused forward + symbolic backward + update math.
-        Returns ``(grads_tree, t_new, valid, batch_loss)``."""
+        Returns ``(grads_tree, t_new, valid, batch_loss, new_state2d)``;
+        ``new_state2d`` is None unless a branch runs trainable BatchNorm."""
         bsz = next(iter(y_b.values())).shape[1]
         ones_b1 = jnp.ones((bsz, 1), jnp.float32)
+        new_norms: Dict[str, Any] = {}
 
         # ---- forward (saving residuals) ---------------------------------
         mech_params: Dict[str, Any] = {}
@@ -515,18 +545,23 @@ def make_fused_epoch(
 
         if is_multi:
             for (bname, bmlp), pname in zip(nn_branches, neural_names):
-                out_b, res = forward_mlp(
+                out_b, res, nrm = forward_mlp(
                     bmlp, p["nns"][bname],
                     state2d.get("nns", {}).get(bname, {}),
-                    x_fb[bname], ones_b1,
+                    x_fb[bname], ones_b1, bn_train=bn_train_of[bname],
                 )
                 nn_residuals[bname] = res
+                if nrm is not None:
+                    new_norms[bname] = nrm
                 scale_neural(pname, out_b[0:1, :])  # single-output branch
         elif nn_branches:
-            nn_out, res = forward_mlp(
-                model.nn, p["nn"], state2d.get("nn", {}), x_fb, ones_b1
+            nn_out, res, nrm = forward_mlp(
+                model.nn, p["nn"], state2d.get("nn", {}), x_fb, ones_b1,
+                bn_train=bn_train_of["nn"],
             )
             nn_residuals["nn"] = res
+            if nrm is not None:
+                new_norms["nn"] = nrm
             for idx, name in enumerate(neural_names):
                 scale_neural(name, nn_out[idx : idx + 1, :])
 
@@ -661,7 +696,23 @@ def make_fused_epoch(
             valid = jnp.float32(1.0)
 
         t_new = t_old + valid
-        return grads, t_new, valid, batch_loss * valid
+        if new_norms:
+            ns = dict(state2d)
+            if is_multi:
+                nns_st = dict(ns.get("nns", {}))
+                for bname, nrm in new_norms.items():
+                    bst = dict(nns_st.get(bname, {}))
+                    bst["norm"] = nrm
+                    nns_st[bname] = bst
+                ns["nns"] = nns_st
+            else:
+                bst = dict(ns.get("nn", {}))
+                bst["norm"] = new_norms["nn"]
+                ns["nn"] = bst
+            new_state2d = ns
+        else:
+            new_state2d = None
+        return grads, t_new, valid, batch_loss * valid, new_state2d
 
     # ---- optimizer update (per kernel-layout leaf; per-branch dict specs
     # get one update fn per leaf, mirroring multi_transform's labels) ------
@@ -745,7 +796,8 @@ def make_fused_epoch(
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
-            loss_out = refs[idx]
+            loss_out = refs[idx]; idx += 1
+            st_out = refs[idx : idx + nst] if any_bn_train else ()
 
             e = pl.program_id(0)
             i = pl.program_id(1)
@@ -768,9 +820,18 @@ def make_fused_epoch(
             forcing_b = {f: block0(f_refs[j]) for j, f in enumerate(forcing_names)}
             y_b = {t: block0(y_refs[j]) for j, t in enumerate(target_names)}
             mask_b = {t: block0(m_refs[j]) for j, t in enumerate(target_names)}
+            # trainable BN: norm stats are CARRIED state (same seeded-output
+            # pattern as params); static state reads the inputs directly
+            if any_bn_train:
+                st_cur = [
+                    jnp.where(first, st_refs[k][...], st_out[k][...])
+                    for k in range(nst)
+                ]
+            else:
+                st_cur = [r[...] for r in st_refs]
             state2d = jax.tree.unflatten(
                 st_treedef,
-                [read_forward(r[...], s) for r, s in zip(st_refs, st_orig_shapes)],
+                [read_forward(v, s) for v, s in zip(st_cur, st_orig_shapes)],
             )
             # carried state: output blocks stay VMEM-resident across the
             # sequential grid; at i==0 seed them from the read-only inputs
@@ -794,9 +855,20 @@ def make_fused_epoch(
                 [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
             )
 
-            grads_tree, t_new, valid, batch_loss = kernel_body(
+            grads_tree, t_new, valid, batch_loss, new_state2d = kernel_body(
                 i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_old
             )
+            if any_bn_train:
+                new_st_leaves = jax.tree.flatten(new_state2d)[0]
+                for k in range(nst):
+                    v = new_st_leaves[k]
+                    if len(st_orig_shapes[k]) == 1:
+                        v = v.T  # column → row store layout
+                    elif len(st_orig_shapes[k]) != 2:
+                        v = v.reshape(1, 1)
+                    v = _pad_to(v, tuple(st_cur[k].shape))
+                    # arithmetic valid-gate (consistent with the updates)
+                    st_out[k][...] = st_cur[k] + valid * (v - st_cur[k])
             l2_coeff = 0.0
             if l2_spec is not None:
                 # declarative weight-L2 extra loss: symbolic value+grad.
@@ -879,13 +951,22 @@ def make_fused_epoch(
             + [full_spec(s) for s in buf_shapes] * 3
             + [full_spec(_PAD)]
         )
+        st_extra = (
+            [full_spec(tuple(s.shape)) for s in st_bufs] if any_bn_train else []
+        )
         out_specs = (
             [full_spec(s) for s in buf_shapes] * 3
             + [full_spec(_PAD), full_spec(_PAD)]
+            + st_extra
         )
         out_shape = (
             [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
             + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
+            + (
+                [jax.ShapeDtypeStruct(tuple(s.shape), jnp.float32)
+                 for s in st_bufs]
+                if any_bn_train else []
+            )
         )
 
         outs = pl.pallas_call(
@@ -902,8 +983,12 @@ def make_fused_epoch(
         new_v = list(outs[2 * npar : 3 * npar])
         t_new = outs[3 * npar]
         loss_sum = outs[3 * npar + 1]
+        new_st = (
+            list(outs[3 * npar + 2 : 3 * npar + 2 + nst])
+            if any_bn_train else list(st_bufs)
+        )
         mean_loss = loss_sum[0, 0] / num_batches
-        return new_p, new_m, new_v, t_new, mean_loss
+        return new_p, new_m, new_v, new_st, t_new, mean_loss
 
     # ---- jit wrapper: layout conversion + shuffled multi-epoch scan -------
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -993,7 +1078,8 @@ def make_fused_epoch(
                 data = (tensors.x, tensors.forcing, tensors.y, tensors.mask,
                         tensors.weight)
                 stacked = False
-            p_bufs, m_bufs, v_bufs, t_delta, last_loss = run_kernel_epoch(
+            (p_bufs, m_bufs, v_bufs, st_bufs, t_delta,
+             last_loss) = run_kernel_epoch(
                 list(p_bufs), list(m_bufs), list(v_bufs),
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
@@ -1007,23 +1093,26 @@ def make_fused_epoch(
                 xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
 
             def body(carry, perm):
-                pb, mb, vb, cum = carry
+                pb, mb, vb, stb, cum = carry
                 data = (
                     sample_shuffled(perm)
                     if do_sample_shuffle
                     else batch_shuffled(perm)
                 )
-                pb, mb, vb, t_delta, mean_loss = run_kernel_epoch(
+                pb, mb, vb, stb, t_delta, mean_loss = run_kernel_epoch(
                     list(pb), list(mb), list(vb), t_base_buf(cum),
-                    st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
-                    data, is_weight, update_fns,
+                    list(stb), st_treedef, st_orig_shapes, treedef,
+                    orig_shapes, data, is_weight, update_fns,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
-                return (tuple(pb), tuple(mb), tuple(vb), cum), mean_loss
+                return (
+                    tuple(pb), tuple(mb), tuple(vb), tuple(stb), cum
+                ), mean_loss
 
-            (p_bufs, m_bufs, v_bufs, t_cum), losses = jax.lax.scan(
+            (p_bufs, m_bufs, v_bufs, st_bufs, t_cum), losses = jax.lax.scan(
                 body,
-                (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs), jnp.int32(0)),
+                (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs),
+                 tuple(st_bufs), jnp.int32(0)),
                 xs,
             )
             last_loss = losses[-1]
@@ -1043,7 +1132,15 @@ def make_fused_epoch(
             ),
             "t": (t0 + t_cum).reshape(1),
         }
-        return new_params, new_opt_state, state_in, last_loss
+        if any_bn_train:
+            state_out = jax.tree.unflatten(
+                st_treedef,
+                [_from_kernel_buffer(a, s)
+                 for a, s in zip(st_bufs, st_orig_shapes)],
+            )
+        else:
+            state_out = state_in
+        return new_params, new_opt_state, state_out, last_loss
 
     return epoch_fn
 
@@ -1280,6 +1377,8 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         str(leaf_shapes), str(data_shapes),
         # launch configuration: phase B gates the variant that will run
         str(max(1, min(int(epochs_per_call), 4))), str(shuffle),
+        # multisite sub-chunk unrolling changes the compiled kernel shape
+        os.environ.get("EASYHYBRID_MS_UNROLL", "4"),
         jax.__version__, jax.default_backend(),
         _runtime_identity(),
     ]

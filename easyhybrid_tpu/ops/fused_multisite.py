@@ -405,7 +405,7 @@ def make_fused_multisite_epoch(
                 x_fb = x_ref[0, u]  # (F, M)
 
                 if neural_names:
-                    nn_out, nn_res = forward_mlp(
+                    nn_out, nn_res, _ = forward_mlp(
                         base.nn, p_shared["nn"], state2d.get("nn", {}),
                         x_fb, ones_m1,
                     )

@@ -58,7 +58,7 @@ def test_supports_fused_epoch():
         model, ("adam", 0.01),
         eh.LoggingLoss(extra_loss=lambda outputs, params: 0.0),
     )
-    # trainable BN not supported
+    # trainable BN supported since round 3 (batch stats + carried EMA)
     m2 = eh.construct_hybrid_model(
         predictors=["sw_pot"], forcing=["ta"], targets=["reco"],
         mechanistic_model=model.mechanistic_model,
@@ -66,7 +66,7 @@ def test_supports_fused_epoch():
         neural_param_names=["rb"], global_param_names=["Q10"],
         input_batchnorm=True,
     )
-    assert not supports_fused_epoch(m2, ("adam", 0.01), ll)
+    assert supports_fused_epoch(m2, ("adam", 0.01), ll)
 
 
 @pytest.mark.parametrize("opt", [("adam", 0.01), ("sgd", 0.05)])
@@ -598,3 +598,109 @@ def test_train_per_branch_optimizer_runs_fused():
     )
     assert np.isfinite(res.best_loss)
     assert res.epoch_path == "fused_pallas"
+
+
+def test_fused_trainable_batchnorm_matches_xla_epoch():
+    """input_batchnorm=True (the README quick-start default) runs fused:
+    batch-stat normalization + EMA running-stats state carried in-kernel,
+    matching the XLA path's params AND state over multiple epochs."""
+    model, params, state, tensors = _setup(static_norm=False)
+    # rebuild with TRAINABLE input batchnorm
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=model.mechanistic_model,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], activation="tanh",
+        scale_nn_outputs=True, input_batchnorm=True,
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll)
+
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=False, epochs_per_call=3
+    )
+    p_f, _, s_f, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, ll, optimizer, shuffle=False, epochs_per_call=3
+    )
+    p_x, _, s_x, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=f"params {path}",
+        )
+    # running stats advanced identically (state parity)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_f)[0],
+        jax.tree_util.tree_flatten_with_path(s_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=f"state {path}",
+        )
+    # stats actually moved (training mode, not static passthrough)
+    assert not np.allclose(
+        np.asarray(s_f["nn"]["norm"]["mean"]),
+        np.asarray(state["nn"]["norm"]["mean"]),
+    )
+
+
+def test_fused_trainable_batchnorm_shuffled_multinn():
+    """Trainable BN also holds for MultiNN branches under the shuffled
+    stacked grid."""
+    def mech(*, ta, rb, q, Q10):
+        return {"reco": rb * Q10 ** (0.1 * (ta - 15.0)) + 0.1 * q}
+
+    model = eh.construct_hybrid_model(
+        predictors={"rb": ["sw_pot"], "q": ["dsw_pot"]},
+        forcing=["ta"], targets=["reco"],
+        mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "q": (1.0, 0.0, 5.0),
+                    "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb", "q"], global_param_names=["Q10"],
+        hidden_layers=[6], activation="tanh",
+        scale_nn_outputs=True, input_batchnorm=True,
+    )
+    df = eh.gen_rbq10_data(256, seed=5)
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 64))
+    params, state = model.init(jax.random.PRNGKey(0))
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=2
+    )
+    p_f, _, s_f, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(2),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, ll, optimizer, shuffle=True, epochs_per_call=2
+    )
+    p_x, _, s_x, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(2),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_f), jax.tree.leaves(s_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
