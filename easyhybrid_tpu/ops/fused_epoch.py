@@ -81,7 +81,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..losses.specs import LoggingLoss
 from ..models.hybrid import SingleNNHybridModel, _call_mechanistic
-from ..models.nn import MLP, get_activation
+from ..models.nn import MLP, LSTMNet, get_activation
 from ..params import scale_param
 
 __all__ = [
@@ -198,6 +198,16 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
     else:
         return False
     for nn in nns:
+        if isinstance(nn, LSTMNet):
+            if isinstance(model, MultiNNHybridModel):
+                return False  # one LSTM per branch: XLA path
+            if nn.input_batchnorm is True:
+                return False  # batch stats over (B,T): XLA path
+            if logging.extra_loss is not None:
+                return False  # weight-L2 "w" key targets Dense, not gates
+            if logging.training_loss not in ("mse", "mae"):
+                return False  # rmse needs the cross-window sqrt ordering
+            continue
         if not isinstance(nn, MLP):
             return False
         if nn.compute_dtype is not None:
@@ -506,6 +516,16 @@ def make_fused_epoch(
         bname: bmlp.input_batchnorm is True for bname, bmlp in nn_branches
     }
     any_bn_train = any(bn_train_of.values())
+    is_lstm = bool(nn_branches) and isinstance(nn_branches[0][1], LSTMNet)
+    if is_lstm and (
+        is_multi or l2_spec is not None
+        or loss_name not in ("mse", "mae")
+        or model.nn.input_batchnorm is True
+    ):
+        raise ValueError(
+            "fused epoch does not support this LSTM configuration "
+            "(MultiNN branches / extra_loss / rmse / trainable BN)"
+        )
 
     def kernel_body(
         i,
@@ -714,6 +734,248 @@ def make_fused_epoch(
             new_state2d = None
         return grads, t_new, valid, batch_loss * valid, new_state2d
 
+    def kernel_body_lstm(
+        i,
+        p,            # params pytree in kernel layout
+        state2d,      # state pytree in kernel layout
+        x_tb,         # (T, F, B) predictors, per-timestep feature-major
+        forcing_b,    # {name: (T, 1, B)}
+        y_b,          # {target: (T_out, 1, B)}
+        mask_b,       # {target: (T_out, 1, B)}
+        t_old,
+    ):
+        """One SGD step of the LSTM sequence hybrid: static-unrolled
+        recurrence forward, hand-written backward-through-time (all plain
+        dot_generals — no reverse-mode AD, per the module rules), loss over
+        the trailing ``output_window`` timesteps (align_prediction parity,
+        losses/compute.py:22-35). Returns the same 5-tuple as
+        ``kernel_body``."""
+        lstm: LSTMNet = model.nn
+        T, n_feat, bsz = x_tb.shape
+        t_out_steps = next(iter(y_b.values())).shape[0]
+        ones_b1 = jnp.ones((bsz, 1), jnp.float32)
+        H = lstm.hidden_size
+
+        pnn = p["nn"]
+        wi = pnn["wi"]              # (4H, F)
+        wh = pnn["wh"]              # (4H, H)
+        b_col = pnn["b"]            # (4H, 1)
+        head_w = pnn["head"]["w"]   # (out, H)
+        head_b = pnn["head"]["b"]   # (out, 1)
+
+        has_norm = bool(lstm.input_batchnorm)
+        has_norm_affine = has_norm and lstm.norm.affine
+        if has_norm:
+            nmean = state2d["nn"]["norm"]["mean"]   # (F, 1)
+            nvar = state2d["nn"]["norm"]["var"]
+            inv_sig = jax.lax.rsqrt(nvar + lstm.norm.eps)
+
+        def dotg(a, bb, ca, cb):
+            return jax.lax.dot_general(
+                a, bb, (((ca,), (cb,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- forward: static-unrolled recurrence ------------------------
+        h = jnp.zeros((H, bsz), jnp.float32)
+        c = jnp.zeros((H, bsz), jnp.float32)
+        res = []
+        hs = []
+        xhats = []
+        for t in range(T):
+            x_t = x_tb[t]  # (F, B)
+            if has_norm:
+                xhat = (x_t - nmean) * inv_sig
+                xhats.append(xhat)
+                x_t = xhat
+                if has_norm_affine:
+                    x_t = (
+                        x_t * pnn["norm"]["scale"] + pnn["norm"]["bias"]
+                    )
+            z = dotg(wi, x_t, 1, 0) + dotg(wh, h, 1, 0) + b_col  # (4H, B)
+            i_g = jax.nn.sigmoid(z[0:H])
+            f_g = jax.nn.sigmoid(z[H : 2 * H])
+            g_g = jnp.tanh(z[2 * H : 3 * H])
+            o_g = jax.nn.sigmoid(z[3 * H : 4 * H])
+            c_new = f_g * c + i_g * g_g
+            tanh_c = jnp.tanh(c_new)
+            res.append((x_t, h, c, i_g, f_g, g_g, o_g, tanh_c))
+            h = o_g * tanh_c
+            c = c_new
+            hs.append(h)
+
+        # ---- head + physics + loss over the trailing window -------------
+        head_act = get_activation(lstm.output_activation)
+        agg_scale = (
+            1.0 / len(target_names) if agg_name == "mean" else 1.0
+        )
+        # per-target masked-mean divisor spans the whole (T_out × B) window
+        inv_n = {}
+        msum_all = None
+        for tgt in target_names:
+            m_el = None
+            for tt in range(t_out_steps):
+                m_t = mask_b[tgt][tt]
+                m_el = m_t if m_el is None else m_el + m_t
+            n = jnp.maximum(_dot11(m_el, jnp.ones_like(m_el)), 1.0)[0, 0]
+            inv_n[tgt] = agg_scale / n
+            msum_all = m_el if msum_all is None else msum_all + m_el
+        total = _dot11(msum_all, jnp.ones_like(msum_all))
+        valid = (total[0, 0] > 0.0).astype(jnp.float32)
+
+        # globals / fixed: time-invariant scalars (same as kernel_body)
+        base_mech: Dict[str, Any] = {}
+        dscale: Dict[str, Any] = {}
+        for g in global_names:
+            lo, up = bounds[g]
+            rawg = p["globals"][g]  # (1, 1)
+            val, dval = jax.jvp(
+                lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
+                (rawg,), (jnp.ones_like(rawg),),
+            )
+            base_mech[g] = val
+            dscale[g] = dval
+        for f in model.fixed_param_names:
+            base_mech[f] = state2d["fixed"][f]
+
+        gglob = {g: jnp.zeros((1, 1), jnp.float32) for g in global_names}
+        head_D = {}          # trailing t -> (out, B) head-output cotangent
+        loss_elem = None     # (1, B) elementwise loss, combined over t
+        for tt in range(t_out_steps):
+            t = T - t_out_steps + tt
+            z_head = dotg(head_w, hs[t], 1, 0) + head_b  # (out, B)
+            out_t, dact_head = jax.jvp(
+                head_act, (z_head,), (jnp.ones_like(z_head),)
+            )
+            mech_params = dict(base_mech)
+            forcing_t = {f: forcing_b[f][t] for f in forcing_names}
+            for j, name in enumerate(neural_names):
+                raw = out_t[j : j + 1, :]
+                if model.scale_nn_outputs:
+                    lo, up = bounds[name]
+                    col, dcol = jax.jvp(
+                        lambda r, _lo=lo, _up=up: scale_param(r, _lo, _up),
+                        (raw,), (jnp.ones_like(raw),),
+                    )
+                    mech_params[name] = col
+                    dscale[name] = dcol
+                else:
+                    mech_params[name] = raw
+                    dscale[name] = None
+
+            def mech_preds(pd, _forcing=forcing_t):
+                outs = _call_mechanistic(
+                    model.mechanistic_model, {**_forcing, **pd}
+                )
+                return tuple(
+                    jnp.broadcast_to(
+                        jnp.asarray(outs[tgt]).reshape(1, -1), (1, bsz)
+                    )
+                    for tgt in target_names
+                )
+
+            diff_names = (*neural_names, *global_names)
+            tangents: Dict[str, Tuple[Any, ...]] = {}
+            preds = None
+            for name in diff_names:
+                def fdiff(v, _name=name, _mp=mech_params, _f=mech_preds):
+                    pd = dict(_mp)
+                    pd[_name] = v
+                    return _f(pd)
+
+                preds, tangents[name] = jax.jvp(
+                    fdiff, (mech_params[name],),
+                    (jnp.ones_like(mech_params[name]),),
+                )
+            if preds is None:
+                preds = mech_preds(mech_params)
+
+            cots = []
+            for j, tgt in enumerate(target_names):
+                m = mask_b[tgt][tt]
+                diff = (preds[j] - y_b[tgt][tt]) * m
+                if loss_name == "mse":
+                    term = inv_n[tgt] * diff * diff
+                    cot = (2.0 * inv_n[tgt]) * diff
+                else:  # mae
+                    term = inv_n[tgt] * jnp.abs(diff)
+                    cot = inv_n[tgt] * jnp.sign(diff)
+                loss_elem = term if loss_elem is None else loss_elem + term
+                cots.append(cot)
+
+            def grad_row(name):
+                row = None
+                for j in range(len(target_names)):
+                    contrib = cots[j] * jnp.broadcast_to(
+                        tangents[name][j], (1, bsz)
+                    )
+                    row = contrib if row is None else row + contrib
+                return row
+
+            for g in global_names:
+                gg = _rowsum(grad_row(g), ones_b1)  # (1, 1)
+                gglob[g] = gglob[g] + gg * dscale[g]
+
+            gcols = []
+            for name in neural_names:
+                row = grad_row(name)
+                if dscale[name] is not None:
+                    row = row * dscale[name]
+                gcols.append(row)
+            D_out = (
+                jnp.concatenate(gcols, axis=0) if len(gcols) > 1 else gcols[0]
+            )
+            head_D[t] = D_out * dact_head  # chain the head activation
+
+        batch_loss = _dot11(loss_elem, jnp.ones_like(loss_elem))[0, 0]
+
+        # ---- backward-through-time --------------------------------------
+        gHw = jnp.zeros_like(head_w)
+        gHb = jnp.zeros_like(head_b)
+        dhs = {}
+        for t, D_t in head_D.items():
+            gHw = gHw + dotg(D_t, hs[t], 1, 1)        # (out, B)×B(H, B)ᵀ
+            gHb = gHb + _rowsum(D_t, ones_b1)
+            dhs[t] = dotg(head_w, D_t, 0, 0)          # contract out → (H, B)
+
+        gWi = jnp.zeros_like(wi)
+        gWh = jnp.zeros_like(wh)
+        gB = jnp.zeros((4 * H, 1), jnp.float32)
+        gscale_n = jnp.zeros((n_feat, 1), jnp.float32)
+        gbias_n = jnp.zeros((n_feat, 1), jnp.float32)
+        dh_next = jnp.zeros((H, bsz), jnp.float32)
+        dc = jnp.zeros((H, bsz), jnp.float32)
+        for t in range(T - 1, -1, -1):
+            dh = (dh_next + dhs[t]) if t in dhs else dh_next
+            x_t, h_prev, c_prev, i_g, f_g, g_g, o_g, tanh_c = res[t]
+            do_ = dh * tanh_c
+            dc = dc + dh * o_g * (1.0 - tanh_c * tanh_c)
+            dzi = (dc * g_g) * i_g * (1.0 - i_g)
+            dzf = (dc * c_prev) * f_g * (1.0 - f_g)
+            dzg = (dc * i_g) * (1.0 - g_g * g_g)
+            dzo = do_ * o_g * (1.0 - o_g)
+            dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=0)  # (4H, B)
+            gWi = gWi + dotg(dz, x_t, 1, 1)       # (4H, F)
+            gWh = gWh + dotg(dz, h_prev, 1, 1)    # (4H, H)
+            gB = gB + _rowsum(dz, ones_b1)
+            if has_norm_affine:
+                dxn = dotg(wi, dz, 0, 0)          # contract 4H → (F, B)
+                gscale_n = gscale_n + _rowsum(dxn * xhats[t], ones_b1)
+                gbias_n = gbias_n + _rowsum(dxn, ones_b1)
+            dh_next = dotg(wh, dz, 0, 0)          # (H, B)
+            dc = dc * f_g
+
+        nn_grads: Dict[str, Any] = {
+            "wi": gWi, "wh": gWh, "b": gB,
+            "head": {"w": gHw, "b": gHb},
+        }
+        if has_norm_affine:
+            nn_grads["norm"] = {"scale": gscale_n, "bias": gbias_n}
+        grads = {"globals": gglob, "nn": nn_grads}
+
+        t_new = t_old + valid
+        return grads, t_new, valid, batch_loss * valid, None
+
     # ---- optimizer update (per kernel-layout leaf; per-branch dict specs
     # get one update fn per leaf, mirroring multi_transform's labels) ------
     if branch_specs is None:
@@ -756,12 +1018,18 @@ def make_fused_epoch(
             x_ts = [
                 jnp.swapaxes(x_all[bname], -1, -2) for bname, _ in nn_branches
             ]
+        elif is_lstm:
+            # (..., B, T, F) → (..., T, F, B): per-timestep feature-major
+            x_ts = [jnp.moveaxis(x_all, -3, -1)]
         elif nn_branches:
             x_ts = [jnp.swapaxes(x_all, -1, -2)]
         else:
             x_ts = []
 
         def as3d(a):
+            if is_lstm:
+                # (..., B, T) → (..., T, 1, B): per-timestep rows
+                a = jnp.moveaxis(a, -2, -1)
             return a.reshape(a.shape[:-1] + (1, a.shape[-1]))
 
         forcing = [as3d(forcing_all[f]) for f in forcing_names]
@@ -855,7 +1123,8 @@ def make_fused_epoch(
                 [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
             )
 
-            grads_tree, t_new, valid, batch_loss, new_state2d = kernel_body(
+            body_fn = kernel_body_lstm if is_lstm else kernel_body
+            grads_tree, t_new, valid, batch_loss, new_state2d = body_fn(
                 i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_old
             )
             if any_bn_train:

@@ -704,3 +704,107 @@ def test_fused_trainable_batchnorm_shuffled_multinn():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
         )
+
+
+def _setup_lstm(n=600, batch=128, input_window=6, output_window=2,
+                hidden=8, norm="static"):
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers={"lstm": hidden}, activation="swish",
+        scale_nn_outputs=True, input_batchnorm=norm,
+    )
+    from easyhybrid_tpu.data.sequences import split_into_sequences
+
+    df = eh.gen_rbq10_data(n, seed=21)
+    data = split_into_sequences(
+        eh.prepare_data(model, df), input_window=input_window,
+        output_window=output_window,
+    )
+    tensors = jax.device_put(build_epoch_tensors(data, batch))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+    return model, params, state, tensors
+
+
+@pytest.mark.parametrize("opt,loss", [(("adam", 0.01), "mse"),
+                                      (("sgd", 0.05), "mae")])
+def test_fused_lstm_matches_xla_epoch(opt, loss):
+    """The LSTM sequence hybrid runs fused: static-unrolled recurrence +
+    hand-written BPTT matches the XLA scan path over multiple epochs."""
+    model, params, state, tensors = _setup_lstm()
+    ll = eh.LoggingLoss(training_loss=loss, loss_types=(loss,))
+    assert supports_fused_epoch(model, opt, ll)
+
+    fused = make_fused_epoch(
+        model, state, opt, ll, shuffle=False, epochs_per_call=3
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.flatten(
+        optax.adam(opt[1]) if opt[0] == "adam" else optax.sgd(opt[1])
+    )
+    xla = make_train_epoch(
+        model, ll, optimizer, shuffle=False, epochs_per_call=3
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+    assert int(o_f["t"][0]) == 3 * tensors.weight.shape[0]
+
+
+def test_fused_lstm_shuffled_no_norm():
+    """Shuffled stacked grid + no input norm + NaN-masked targets."""
+    model, params, state, tensors = _setup_lstm(norm=False)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.02), ll, shuffle=True, epochs_per_call=2
+    )
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(5),
+    )
+    optimizer = optax.flatten(optax.adam(0.02))
+    xla = make_train_epoch(
+        model, ll, optimizer, shuffle=True, epochs_per_call=2
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(5),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_fused_lstm_envelope():
+    model, params, state, tensors = _setup_lstm()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll)
+    # rmse needs the cross-window sqrt: XLA path
+    rmse = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert not supports_fused_epoch(model, ("adam", 0.01), rmse)
+    # weight-L2 extra loss targets Dense "w" keys: XLA path
+    assert not supports_fused_epoch(
+        model, ("adam", 0.01),
+        eh.LoggingLoss(extra_loss=eh.l2_extra_loss()),
+    )
