@@ -148,7 +148,10 @@ def _epoch_bench(
     is_ms = supports_fused_multisite(model, opt_spec, logging_loss, tensors)
     use_fused = (
         jax.default_backend() == "tpu"
-        and (supports_fused_epoch(model, opt_spec, logging_loss) or is_ms)
+        and (
+            supports_fused_epoch(model, opt_spec, logging_loss, tensors)
+            or is_ms
+        )
         and fused_exactness_check(
             model, params, state, opt_spec, logging_loss, tensors,
             epochs_per_call=epochs_per_call, shuffle=True,

@@ -183,8 +183,15 @@ def branch_leaf_label(path, branch_specs) -> str:
     return k0 if k0 in branch_specs else "__default__"
 
 
-def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
-    """Static support check for the fused-epoch fast path."""
+def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
+                         tensors=None) -> bool:
+    """Static support check for the fused-epoch fast path. ``tensors``
+    (when available) additionally bounds the LSTM unroll depth: Mosaic
+    compile time falls off a CLIFF with the statically unrolled recurrence
+    length on this toolchain (measured 2026-08-17 on-chip: input_window 5
+    compiles in seconds, 6 exceeds a 15-minute budget — repeatably), so
+    windows longer than ``EASYHYBRID_LSTM_FUSED_MAX_T`` (default 5) take
+    the XLA scan path."""
     from ..models.hybrid import MultiNNHybridModel
 
     if isinstance(model, MultiNNHybridModel):
@@ -207,6 +214,14 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss) -> bool:
                 return False  # weight-L2 "w" key targets Dense, not gates
             if logging.training_loss not in ("mse", "mae"):
                 return False  # rmse needs the cross-window sqrt ordering
+            if tensors is not None:
+                x = tensors.x
+                t_len = int(jnp.shape(x)[-2]) if jnp.ndim(x) == 4 else 0
+                max_t = int(
+                    os.environ.get("EASYHYBRID_LSTM_FUSED_MAX_T", "5")
+                )
+                if t_len > max_t:
+                    return False  # Mosaic compile blow-up (see docstring)
             continue
         if not isinstance(nn, MLP):
             return False

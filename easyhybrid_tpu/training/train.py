@@ -401,7 +401,9 @@ def train(
             and cfg.opt_state is None  # fused kernel has its own opt state
             and cfg.shuffle_each_epoch in (True, False, "batches")
             and (
-                supports_fused_epoch(model, cfg.optimizer, logging_loss)
+                supports_fused_epoch(
+                    model, cfg.optimizer, logging_loss, train_tensors
+                )
                 or is_multisite_fused
             )
         )

@@ -808,3 +808,17 @@ def test_fused_lstm_envelope():
         model, ("adam", 0.01),
         eh.LoggingLoss(extra_loss=eh.l2_extra_loss()),
     )
+
+
+def test_fused_lstm_window_bound(monkeypatch):
+    """Long input windows are rejected when tensors are provided: the
+    statically unrolled recurrence blows up Mosaic compile time on this
+    toolchain (measured round 3), so big-T LSTM takes the XLA path."""
+    model, params, state, tensors = _setup_lstm(input_window=6)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll)  # no tensors
+    assert not supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    monkeypatch.setenv("EASYHYBRID_LSTM_FUSED_MAX_T", "8")
+    assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    m4 = _setup_lstm(input_window=4)
+    assert supports_fused_epoch(m4[0], ("adam", 0.01), ll, m4[3])
