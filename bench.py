@@ -6,7 +6,11 @@ one grad step = fused forward (NN + sigmoid bound scaling + Q10 mechanistic
 model) + backward + optimizer update (BASELINE.md / reference README
 quick-start). The ``configs`` field carries the full scoreboard:
 
-* ``rbq10``        — single-series headline config (torch-CPU baseline)
+* ``rbq10``        — single-series headline config (torch-CPU baseline;
+                     round 3: TRAINABLE input BatchNorm, matching both
+                     the reference quick-start and the torch baseline's
+                     train-mode BatchNorm1d — the fused kernel now
+                     carries the EMA stats in-kernel)
 * ``multi_target`` — 2-target hybrid, per-target masked MSE, 10% NaNs
                      (torch-CPU baseline)
 * ``large_mlp``    — reference GPU-tutorial config [1024,512,256,128,64],
@@ -241,7 +245,7 @@ def bench_rbq10() -> float:
         parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
         neural_param_names=["rb"], global_param_names=["Q10"],
         hidden_layers=[16, 16], activation="swish",
-        scale_nn_outputs=True, input_batchnorm="static",
+        scale_nn_outputs=True, input_batchnorm=True,
     )
     df = eh.gen_rbq10_data(20_000, seed=42)
     data = eh.prepare_data(model, df)
@@ -273,7 +277,7 @@ def bench_multi_target() -> float:
         },
         neural_param_names=["rb", "gpp_max"], global_param_names=["Q10"],
         hidden_layers=[16, 16], activation="swish",
-        scale_nn_outputs=True, input_batchnorm="static",
+        scale_nn_outputs=True, input_batchnorm=True,
     )
     df = eh.gen_rbq10_data(20_000, seed=7)
     rng = np.random.default_rng(0)
@@ -303,7 +307,7 @@ def bench_large_mlp() -> float:
         parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
         neural_param_names=["rb"], global_param_names=["Q10"],
         hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
-        scale_nn_outputs=True, input_batchnorm="static",
+        scale_nn_outputs=True, input_batchnorm=True,
     )
     df = eh.gen_rbq10_data(5_000, seed=42)
     data = eh.prepare_data(model, df)
@@ -362,7 +366,7 @@ def bench_lstm() -> float:
         parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
         neural_param_names=["rb"], global_param_names=["Q10"],
         hidden_layers={"lstm": 16}, activation="swish",
-        scale_nn_outputs=True, input_batchnorm="static",
+        scale_nn_outputs=True, input_batchnorm=False,
     )
     df = eh.gen_rbq10_data(4_000, seed=42)
     data = split_into_sequences(
