@@ -1472,8 +1472,17 @@ def fused_exactness_check(
     3%·g_max, 1e-6)``. Per-leaf (not global) normalization matters because
     the round-1 failure class was garbage confined to small-gradient (1,1)
     leaves, which a global scale hides when MLP weight gradients dominate.
-    The 3 %·g_max floor absorbs the ~2e-3 cross-leaf bf16 MXU rounding
-    noise shared through the fused forward.
+    Both phase-A paths are traced under
+    ``jax.default_matmul_precision("float32")`` so the comparison's noise
+    floor does NOT scale with network depth/width: with the default bf16
+    MXU passes, the two paths' different matmul orderings accumulate
+    ~5e-2 relative divergence through a [1024,512,256,128,64] chain
+    (measured on-chip 2026-08-17) — two orders of magnitude below the
+    ≥10× garbage of a real miscompile, but above any fixed tight
+    tolerance. At f32 precision the honest floor is ~1e-4 at any depth.
+    The known Mosaic failure classes (aliased-buffer mis-scheduling,
+    (1,1)-buffer corruption, reduction fusion) are precision-independent,
+    and phase B still executes the exact production configuration.
 
     **Phase B — production variant.** The kernel configuration that will
     actually run (real optimizer update math, shuffle mode, multi-epoch
@@ -1517,19 +1526,23 @@ def fused_exactness_check(
     key = jax.random.PRNGKey(0)
     try:
         # ---- phase A: SGD implied-gradient comparison --------------------
-        fused = builder(model, state, ("sgd", lr), logging, shuffle=False)
-        p_f, _, _, loss_f = fused(
-            jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
-            state, sub, key,
-        )
-        optimizer = optax.flatten(optax.sgd(lr))
-        xla = make_train_epoch(model, logging, optimizer, shuffle=False)
-        # the XLA epoch donates (params, opt_state, state) — pass copies so
-        # the caller's live state survives the gate
-        p_x, _, _, loss_x = xla(
-            jax.tree.map(jnp.copy, params), optimizer.init(params),
-            jax.tree.map(jnp.copy, state), sub, key,
-        )
+        # f32 matmuls on BOTH paths (trace-time binding): depth-independent
+        # noise floor — see docstring. Phase B below keeps the default
+        # (production) precision.
+        with jax.default_matmul_precision("float32"):
+            fused = builder(model, state, ("sgd", lr), logging, shuffle=False)
+            p_f, _, _, loss_f = fused(
+                jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+                state, sub, key,
+            )
+            optimizer = optax.flatten(optax.sgd(lr))
+            xla = make_train_epoch(model, logging, optimizer, shuffle=False)
+            # the XLA epoch donates (params, opt_state, state) — pass copies
+            # so the caller's live state survives the gate
+            p_x, _, _, loss_x = xla(
+                jax.tree.map(jnp.copy, params), optimizer.init(params),
+                jax.tree.map(jnp.copy, state), sub, key,
+            )
 
         # ---- phase B: the production kernel variant ----------------------
         parsed = parse_opt_spec(optimizer_spec)
@@ -1618,10 +1631,17 @@ def fused_exactness_check(
         )
         rel, loss_rel = float(rel), float(loss_rel)
         frac_bad, ploss_rel = float(frac_bad), float(ploss_rel)
+        # ploss_rel bound: adaptive optimizers amplify bf16 matmul noise
+        # (adam divides by sqrt(v), so noise below the MXU floor flips
+        # effective update signs) — a deep [1024,...] net measures 5.3 %
+        # trajectory divergence from NOISE after 8 adam steps (on-chip,
+        # 2026-08-17) while real miscompiles diverge by orders of magnitude
+        # or NaN out; 20 % keeps discrimination with margin. frac_bad is
+        # the primary phase-B discriminator (whole-leaf divergence).
         ok = bool(
             np.isfinite(rel) and rel < tol and loss_rel < 1e-2
             and np.isfinite(frac_bad) and frac_bad <= 0.5
-            and np.isfinite(ploss_rel) and ploss_rel < 5e-2
+            and np.isfinite(ploss_rel) and ploss_rel < 0.2
         )
         worst = max(rel, loss_rel, ploss_rel)
         _gate_cache_write(cache_key, ok, worst)
@@ -1661,6 +1681,10 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         str(leaf_shapes), str(data_shapes),
         # launch configuration: phase B gates the variant that will run
         str(max(1, min(int(epochs_per_call), 4))), str(shuffle),
+        # gate-procedure version: bump when the comparison itself changes
+        # (v2: phase A at f32 matmul precision; v3: phase-B loss-trajectory
+        # bound made noise-aware) so stale verdicts refresh
+        "gate-v3",
         # multisite sub-chunk unrolling changes the compiled kernel shape
         os.environ.get("EASYHYBRID_MS_UNROLL", "4"),
         jax.__version__, jax.default_backend(),
