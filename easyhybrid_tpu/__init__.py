@@ -55,6 +55,8 @@ from .losses.metrics import (
     check_training_loss,
     register_metric,
     masked_mean,
+    pinball,
+    huber,
 )
 from .losses.specs import (
     LoggingLoss,
@@ -62,6 +64,7 @@ from .losses.specs import (
     SymbolicLoss,
     FunctionLoss,
     ParameterizedLoss,
+    ElementwiseLoss,
     ExtraLoss,
 )
 from .losses.compute import compute_loss
@@ -162,11 +165,14 @@ __all__ = [
     "check_training_loss",
     "register_metric",
     "masked_mean",
+    "pinball",
+    "huber",
     "LoggingLoss",
     "PerTarget",
     "SymbolicLoss",
     "FunctionLoss",
     "ParameterizedLoss",
+    "ElementwiseLoss",
     "ExtraLoss",
     "compute_loss",
     # data

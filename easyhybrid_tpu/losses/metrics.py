@@ -31,6 +31,8 @@ __all__ = [
     "masked_var",
     "masked_std",
     "masked_corr",
+    "pinball",
+    "huber",
 ]
 
 Array = jnp.ndarray
@@ -190,6 +192,49 @@ def register_metric(name: str, fn: Callable, *, maximize: bool = False) -> None:
     if maximize:
         global MAXIMIZE_METRICS
         MAXIMIZE_METRICS = MAXIMIZE_METRICS | {name}
+
+
+# --------------------------------------------------------------------------
+# declarative elementwise losses (fused-kernel-compatible training losses)
+# --------------------------------------------------------------------------
+
+def _pinball_elem(y_hat, y, tau):
+    r = y_hat - y
+    return tau * jnp.maximum(r, 0.0) + (tau - 1.0) * jnp.minimum(r, 0.0)
+
+
+def _huber_elem(y_hat, y, delta):
+    r = jnp.abs(y_hat - y)
+    quad = 0.5 * r * r
+    lin = delta * (r - 0.5 * delta)
+    return jnp.where(r <= delta, quad, lin)
+
+
+def pinball(tau: float = 0.5, *, normalize: str = "mean"):
+    """Quantile (pinball) loss as a declarative :class:`ElementwiseLoss`.
+
+    ``pinball(0.9)`` trains the 90 %-quantile regression of each target —
+    the loss the reference's RbQ10 real-data project hand-writes
+    (projects/RbQ10/Q10.jl:56-62). As an ``ElementwiseLoss`` it stays
+    inside the fused Pallas epoch kernel's envelope.
+    """
+    from .specs import ElementwiseLoss
+
+    return ElementwiseLoss(
+        _pinball_elem, args=(float(tau),), normalize=normalize,
+        name=f"pinball(tau={tau})",
+    )
+
+
+def huber(delta: float = 1.0, *, normalize: str = "mean"):
+    """Huber loss as a declarative :class:`ElementwiseLoss` (quadratic below
+    ``delta``, linear above — robust to outliers; fused-kernel compatible)."""
+    from .specs import ElementwiseLoss
+
+    return ElementwiseLoss(
+        _huber_elem, args=(float(delta),), normalize=normalize,
+        name=f"huber(delta={delta})",
+    )
 
 
 LossType = Union[str, Callable, tuple]

@@ -16,6 +16,7 @@ __all__ = [
     "SymbolicLoss",
     "FunctionLoss",
     "ParameterizedLoss",
+    "ElementwiseLoss",
     "ExtraLoss",
     "PerTarget",
     "LoggingLoss",
@@ -101,6 +102,58 @@ class ParameterizedLoss(LossSpec):
 
 
 @dataclasses.dataclass(frozen=True)
+class ElementwiseLoss(LossSpec):
+    """A per-element loss ``ℓ(ŷᵢ, yᵢ)`` reduced by a masked mean (or sum).
+
+    The declarative counterpart of a custom ``FunctionLoss`` for the common
+    case where the loss is a pointwise residual penalty (pinball, Huber,
+    log-cosh, …): ``fn(y_hat, y, *args, **kwargs)`` maps same-shape arrays
+    elementwise to per-element losses, and the framework applies the NaN
+    mask and the reduction. Declaring the structure (instead of burying the
+    reduction inside an opaque callable) lets the fused Pallas epoch kernel
+    differentiate it in forward mode — the same diagonal-Jacobian ``jvp``
+    trick used for the user's mechanistic model — so training with e.g. a
+    pinball loss keeps the fused fast path. The runtime exactness gate
+    still verifies the kernel against the XLA path on the actual model and
+    data, so a ``fn`` that violates the elementwise contract falls back
+    safely.
+
+    Reference analog: the RbQ10 project's custom pinball loss
+    (projects/RbQ10/Q10.jl:56-62) expressed declaratively.
+    """
+
+    fn: Callable
+    args: Tuple[Any, ...] = ()
+    kwargs: Tuple[Tuple[str, Any], ...] = ()
+    normalize: str = "mean"  # "mean" (masked mean) or "sum" (masked sum)
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if isinstance(self.kwargs, dict):
+            object.__setattr__(self, "kwargs", tuple(sorted(self.kwargs.items())))
+        if self.normalize not in ("mean", "sum"):
+            raise ValueError(
+                f"ElementwiseLoss normalize must be 'mean' or 'sum', "
+                f"got {self.normalize!r}"
+            )
+
+    def elementwise(self, y_hat, y):
+        """Per-element losses (no mask/reduction) — the fused kernel entry."""
+        return self.fn(y_hat, y, *self.args, **dict(self.kwargs))
+
+    def __call__(self, y_hat, y, mask):
+        import jax.numpy as jnp
+
+        from .metrics import _sanitize, masked_sum
+
+        yh, ys, m = _sanitize(y_hat, y, mask)
+        s = masked_sum(self.elementwise(yh, ys), m)
+        if self.normalize == "mean":
+            return s / jnp.maximum(jnp.sum(m), 1.0)
+        return s
+
+
+@dataclasses.dataclass(frozen=True)
 class ExtraLoss(LossSpec):
     """An additive penalty over (outputs, params) — e.g. weight decay.
 
@@ -162,6 +215,8 @@ def loss_name(spec) -> str:
         return spec.name
     if isinstance(spec, FunctionLoss):
         return getattr(spec.fn, "__name__", "custom").replace("<", "").replace(">", "")
+    if isinstance(spec, ElementwiseLoss):
+        return spec.name or getattr(spec.fn, "__name__", "elementwise")
     if isinstance(spec, ParameterizedLoss):
         return getattr(spec.fn, "__name__", "custom")
     if isinstance(spec, PerTarget):

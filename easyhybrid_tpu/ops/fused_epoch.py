@@ -58,7 +58,9 @@ Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
 epoch otherwise): SingleNN or MultiNN MLP hybrids (or a pure-parameter model
 with no NN), ``input_batchnorm`` in {False, "static", True} (trainable
 running-stats BN normalizes with batch stats and carries the EMA state
-in-kernel), training loss in {mse, mae, rmse}, agg in {sum, mean},
+in-kernel), training loss in {mse, mae, rmse, nseLoss} or a declarative
+``ElementwiseLoss`` (pinball/huber/custom pointwise residual penalties,
+forward-differentiated in-kernel), agg in {sum, mean},
 optimizer in {adam, adamw, sgd, rmsprop} with static hyperparameters —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
@@ -145,7 +147,23 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
     return name, hyper
 
 
-_FUSED_LOSSES = ("mse", "mae", "rmse")
+_FUSED_LOSSES = ("mse", "mae", "rmse", "nseLoss")
+
+
+def _fused_loss_kind(training_loss):
+    """Normalize a training-loss spec to what the kernel understands:
+    one of the ``_FUSED_LOSSES`` strings, an :class:`ElementwiseLoss`
+    instance (differentiated in-kernel with the diagonal-Jacobian ``jvp``
+    trick), or ``None`` (outside the fused envelope → XLA path)."""
+    from ..losses.specs import ElementwiseLoss, SymbolicLoss
+
+    if isinstance(training_loss, SymbolicLoss):
+        training_loss = training_loss.name
+    if isinstance(training_loss, str):
+        return training_loss if training_loss in _FUSED_LOSSES else None
+    if isinstance(training_loss, ElementwiseLoss):
+        return training_loss
+    return None
 
 
 def parse_branch_specs(spec) -> Optional[Dict[str, Tuple[str, Dict[str, float]]]]:
@@ -231,7 +249,7 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
         logging.extra_loss, "_l2_spec"
     ):
         return False  # only the declarative weight-L2 extra loss is fused
-    if logging.training_loss not in _FUSED_LOSSES:
+    if _fused_loss_kind(logging.training_loss) is None:
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
@@ -491,9 +509,13 @@ def make_fused_epoch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    loss_name = logging.training_loss
-    if loss_name not in _FUSED_LOSSES:
-        raise ValueError(f"fused epoch does not support training loss {loss_name!r}")
+    loss_name = _fused_loss_kind(logging.training_loss)
+    if loss_name is None:
+        raise ValueError(
+            f"fused epoch does not support training loss "
+            f"{logging.training_loss!r}"
+        )
+    elem_spec = None if isinstance(loss_name, str) else loss_name
     agg_name = logging.agg_name
     l2_spec = getattr(logging.extra_loss, "_l2_spec", None)
     if logging.extra_loss is not None and l2_spec is None:
@@ -648,22 +670,53 @@ def make_fused_epoch(
             1.0 / len(target_names) if agg_name == "mean" else 1.0
         ) * ex_outer  # ex_outer: outer agg over [target_loss, extra_loss]
         cots: List[Any] = []
-        loss_elem = None  # (1, B) elementwise loss contributions (mse/mae)
-        rmse_terms: List[Any] = []
+        loss_elem = None  # (1, B) elementwise loss contributions
+        scalar_terms: List[Any] = []  # (1,1) per-target terms (rmse/nseLoss)
         for j, t in enumerate(target_names):
             m = mask_b[t]
             diff = (preds[j] - y_b[t]) * m  # mask zeroes padding AND NaN slots
             n = jnp.maximum(_dot11(m, m), 1.0)  # Σ m (m ∈ {0,1} → m·m = m)
-            if loss_name == "mse":
+            if elem_spec is not None:
+                # declarative elementwise custom loss: per-element values AND
+                # the diagonal d ℓ/d ŷ from ONE forward-mode jvp (ones
+                # tangent) — exact iff fn is elementwise, which the runtime
+                # gate verifies against the XLA path before trusting.
+                # ŷ is mask-multiplied to mirror _sanitize (metrics.py): the
+                # XLA path evaluates fn at (ŷ·m, y·m), so fn values at
+                # masked slots agree (and are zeroed by ·m regardless).
+                yh_s = preds[j] * m
+                scale = agg_scale / n if elem_spec.normalize == "mean" else agg_scale
+                elem, delem = jax.jvp(
+                    lambda v: elem_spec.elementwise(v, y_b[t]),
+                    (yh_s,), (jnp.ones_like(yh_s),),
+                )
+                term = scale * elem * m
+                cot = scale * delem * m
+            elif loss_name == "mse":
                 term = (agg_scale / n) * diff * diff
                 cot = (2.0 * agg_scale / n) * diff
             elif loss_name == "mae":
                 term = (agg_scale / n) * jnp.abs(diff)
                 cot = (agg_scale / n) * jnp.sign(diff)
+            elif loss_name == "nseLoss":
+                # nseLoss = Σ diff² / max(Σ (y-ȳ)² m, eps) per batch
+                # (losses/metrics.py::_nse_loss semantics, batch statistics).
+                # The denominator depends only on the constant target, so
+                # the cotangent is simply 2·diff/den. One _dot11 per reduced
+                # quantity (Mosaic reduction-fusion rule).
+                sy = _dot11(y_b[t], jnp.ones_like(m))  # y pre-zeroed invalid
+                mu = sy / n
+                dev = (y_b[t] - mu) * m
+                sst = _dot11(dev, dev)
+                den = jnp.maximum(sst, 1e-12)  # metrics._EPS
+                sse = _dot11(diff, diff)
+                scalar_terms.append(agg_scale * (sse / den))
+                cot = (2.0 * agg_scale) * (diff / den)
+                term = None
             else:  # rmse
                 mse_t = _dot11(diff, diff) / n
                 r = jnp.sqrt(mse_t)
-                rmse_terms.append(agg_scale * r)
+                scalar_terms.append(agg_scale * r)
                 # max() only guards the all-masked batch (discarded anyway);
                 # a genuine zero-residual batch is ±inf on the XLA path too
                 cot = (agg_scale / (n * jnp.maximum(r, 1e-30))) * diff
@@ -671,10 +724,10 @@ def make_fused_epoch(
             if term is not None:
                 loss_elem = term if loss_elem is None else loss_elem + term
             cots.append(cot)
-        if loss_name == "rmse":
-            bl = rmse_terms[0]
-            for rterm in rmse_terms[1:]:
-                bl = bl + rterm  # (1,1) adds post-sqrt: no reduction fusion
+        if scalar_terms:
+            bl = scalar_terms[0]
+            for sterm in scalar_terms[1:]:
+                bl = bl + sterm  # (1,1) adds post-reduction: no fusion risk
             batch_loss = bl[0, 0]
         else:
             batch_loss = _dot11(loss_elem, jnp.ones_like(loss_elem))[0, 0]
@@ -1655,6 +1708,27 @@ def fused_exactness_check(
 # regime; caching its verdict per (model structure, shapes, optimizer, loss,
 # jax/backend version) means only the FIRST run of a configuration pays it.
 
+def _loss_cache_descr(training_loss) -> str:
+    """Stable (cross-process) cache descriptor for a training-loss spec.
+    ``str(ElementwiseLoss(...))`` embeds the fn's memory address, which
+    would defeat the disk cache; key on the fn's SOURCE instead (the same
+    trick as the mechanistic model) plus the static args/normalize."""
+    import inspect
+
+    from ..losses.specs import ElementwiseLoss
+
+    if isinstance(training_loss, ElementwiseLoss):
+        try:
+            src = inspect.getsource(training_loss.fn)
+        except (OSError, TypeError):
+            src = getattr(training_loss.fn, "__qualname__", "?")
+        return (
+            f"elem:{src}|{training_loss.args}|{training_loss.kwargs}"
+            f"|{training_loss.normalize}"
+        )
+    return str(training_loss)
+
+
 def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
                     epochs_per_call: int = 1, shuffle: Any = False) -> str:
     import hashlib
@@ -1676,7 +1750,7 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         str(getattr(model, "scale_nn_outputs", None)),
         mech_src,
         str(optimizer_spec),
-        str(logging.training_loss), str(logging.agg_name),
+        _loss_cache_descr(logging.training_loss), str(logging.agg_name),
         str(getattr(logging.extra_loss, "_l2_spec", None)),
         str(leaf_shapes), str(data_shapes),
         # launch configuration: phase B gates the variant that will run

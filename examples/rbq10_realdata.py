@@ -287,6 +287,17 @@ def main(out_dir="rbq10_realdata_out"):
     print(f"pinball(τ=0.9) run: val loss {res_pin.best_loss:.4f} "
           f"(positional-form smoke: {res_pin_pos.best_loss:.4f})")
 
+    # -- declarative form: eh.pinball(τ) stays inside the fused-kernel
+    #    envelope (ElementwiseLoss, forward-differentiated in-kernel),
+    #    unlike the opaque callables above which take the XLA epoch -------
+    res_pin_decl = eh.train(
+        model, df,
+        training_loss=eh.pinball(0.9), loss_types=["mse"],
+        nepochs=2, batchsize=512, show_progress=False,
+    )
+    print(f"declarative eh.pinball(0.9): val loss "
+          f"{res_pin_decl.best_loss:.4f} engine = {res_pin_decl.epoch_path}")
+
     # -- checkpoint reload + warm start (Q10.jl:103-124) -------------------
     best = os.path.join(out_dir, "rbq10_real", "best_rbq10_real.pkl")
     ckpt = eh.load_checkpoint(os.path.join(out_dir, "rbq10_real"))

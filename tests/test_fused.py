@@ -822,3 +822,165 @@ def test_fused_lstm_window_bound(monkeypatch):
     assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
     m4 = _setup_lstm(input_window=4)
     assert supports_fused_epoch(m4[0], ("adam", 0.01), ll, m4[3])
+
+
+# --------------------------------------------------------------------------
+# round 3 (late): nseLoss + declarative ElementwiseLoss in-kernel
+# --------------------------------------------------------------------------
+
+def test_fused_nse_loss_matches_xla_epoch():
+    """nseLoss (per-batch SSE/SST) hand-written cotangent matches jax.grad
+    through the metric on the XLA path."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="nseLoss", loss_types=("nseLoss",))
+    assert supports_fused_epoch(model, ("sgd", 0.05), ll)
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.sgd(0.05)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_fused_nse_loss_with_nans_multi_target():
+    """nseLoss per-target batch statistics honor the NaN mask (two targets,
+    agg='mean')."""
+    def mech(*, ta, rb, gpp_max, Q10):
+        reco = rb * Q10 ** (0.1 * (ta - 15.0))
+        return {"reco": reco, "nee": reco - gpp_max}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"],
+        targets=["reco", "nee"], mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "gpp_max": (5.0, 0.0, 20.0),
+                    "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb", "gpp_max"], global_param_names=["Q10"],
+        hidden_layers=[8], input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(256, seed=5, nan_frac=0.3)
+    df["nee"] = df["reco"] - 2.0
+    df.loc[df.index[::3], "nee"] = np.nan
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 64))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+
+    ll = eh.LoggingLoss(training_loss="nseLoss", loss_types=("nseLoss",),
+                        agg="mean")
+    fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("spec_fn", [lambda: eh.pinball(0.3),
+                                     lambda: eh.pinball(0.9),
+                                     lambda: eh.huber(0.7),
+                                     lambda: eh.huber(1.0, normalize="sum")])
+def test_fused_elementwise_loss_matches_xla(spec_fn):
+    """Declarative ElementwiseLoss (pinball/huber) is differentiated
+    in-kernel via the diagonal-Jacobian jvp and matches the XLA epoch's
+    jax.grad through the same spec."""
+    spec = spec_fn()
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss=spec, loss_types=("mse",))
+    assert supports_fused_epoch(model, ("sgd", 0.02), ll)
+    fused = make_fused_epoch(model, state, ("sgd", 0.02), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.sgd(0.02)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    # "sum" normalization scales gradients ~batchsize×: scale the float
+    # tolerance with it
+    atol = 5e-6 if spec.normalize == "mean" else 5e-5
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_fused_elementwise_loss_nan_targets():
+    """ElementwiseLoss masking matches the XLA path under 50% NaN targets."""
+    model, params, state, _ = _setup()
+    df = eh.gen_rbq10_data(256, seed=3, nan_frac=0.5)
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 64))
+    ll = eh.LoggingLoss(training_loss=eh.pinball(0.8), loss_types=("mse",))
+    fused = make_fused_epoch(model, state, ("adam", 0.01), ll, shuffle=True)
+    p_f, _, _, _ = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(7),
+    )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=True)
+    p_x, _, _, _ = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(7),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_fused_loss_envelope_round3():
+    """Envelope: ElementwiseLoss + nseLoss in; arbitrary callables out."""
+    model, *_ = _setup()
+    opt = ("adam", 0.01)
+    assert supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss="nseLoss"))
+    assert supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss=eh.pinball(0.5)))
+    assert supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss=eh.huber(2.0)))
+    # opaque callables / tuple specs / maximize metrics stay on the XLA path
+    assert not supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss=lambda yh, y, m: 0.0))
+    assert not supports_fused_epoch(
+        model, opt,
+        eh.LoggingLoss(training_loss=(lambda yh, y, m, tau: 0.0,
+                                      {"tau": 0.3})))
+    assert not supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss="kgeLoss"))
+
+
+def test_train_pinball_runs_fused():
+    """train(training_loss=pinball) picks the fused engine (interpret on
+    CPU) and reports it in TrainResults.epoch_path."""
+    df = eh.gen_rbq10_data(300, seed=11)
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=lambda *, ta, rb, Q10: {
+            "reco": rb * Q10 ** (0.1 * (ta - 15.0))},
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], input_batchnorm="static",
+    )
+    res = eh.train(
+        model, df, nepochs=3, batchsize=64, training_loss=eh.pinball(0.5),
+        loss_types=("mse",), use_pallas=True, plotting=False,
+        show_progress=False, save_training=False,
+    )
+    assert res.epoch_path == "fused_pallas"
+    assert np.isfinite(res.best_loss)

@@ -288,3 +288,56 @@ def test_extra_loss_dict_in_eval(rbq10_model, rbq10_df):
     )
     loss, _ = eh.compute_loss(model, params, state, batch, logging_t)
     assert np.isfinite(float(loss))
+
+
+def test_elementwise_loss_pinball_huber(yy):
+    """Declarative ElementwiseLoss applies the masked-mean reduction over
+    the per-element values; pinball/huber match numpy closed forms on the
+    masked subset (reference analog: the hand-written pinball loss of
+    projects/RbQ10/Q10.jl:56-62)."""
+    y_hat, y, mask = yy
+    yh, yv = _np_subset(y_hat, y, mask)
+
+    r = yh - yv
+    for tau in (0.1, 0.5, 0.9):
+        want = np.mean(tau * np.maximum(r, 0) + (tau - 1) * np.minimum(r, 0))
+        got = float(eh.pinball(tau)(y_hat, y, mask))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    for delta in (0.3, 1.0):
+        a = np.abs(r)
+        want = np.mean(
+            np.where(a <= delta, 0.5 * a * a, delta * (a - 0.5 * delta))
+        )
+        got = float(eh.huber(delta)(y_hat, y, mask))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    # sum normalization
+    a = np.abs(r)
+    want = np.sum(np.where(a <= 1.0, 0.5 * a * a, 1.0 * (a - 0.5)))
+    got = float(eh.huber(1.0, normalize="sum")(y_hat, y, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    with pytest.raises(ValueError):
+        eh.pinball(0.5, normalize="median")
+
+    # direction: any ElementwiseLoss is a minimize loss and a legal
+    # training loss
+    eh.check_training_loss(eh.pinball(0.9))
+    assert eh.is_better(0.1, 0.2, eh.pinball(0.9))
+
+
+def test_elementwise_loss_as_training_loss(rbq10_model, rbq10_df):
+    """ElementwiseLoss flows through compute_loss train mode like any spec."""
+    import jax
+
+    model = rbq10_model
+    data = eh.prepare_data(model, rbq10_df)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = ((data.x, data.forcing), (data.y, None))
+    logging = eh.LoggingLoss(training_loss=eh.pinball(0.5), train_mode=True)
+    loss, _ = eh.compute_loss(model, params, state, batch, logging)
+    # tau=0.5 pinball == 0.5 * mae
+    logging_mae = eh.LoggingLoss(training_loss="mae", train_mode=True)
+    mae, _ = eh.compute_loss(model, params, state, batch, logging_mae)
+    np.testing.assert_allclose(float(loss), 0.5 * float(mae), rtol=1e-5)
