@@ -58,9 +58,12 @@ Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
 epoch otherwise): SingleNN or MultiNN MLP hybrids (or a pure-parameter model
 with no NN), ``input_batchnorm`` in {False, "static", True} (trainable
 running-stats BN normalizes with batch stats and carries the EMA state
-in-kernel), training loss in {mse, mae, rmse, nseLoss} or a declarative
-``ElementwiseLoss`` (pinball/huber/custom pointwise residual penalties,
-forward-differentiated in-kernel), agg in {sum, mean},
+in-kernel), training loss in {mse, mae, rmse, nseLoss, pearsonLoss,
+kgeLoss, pbkgeLoss} — i.e. EVERY built-in minimize-direction metric —
+or a declarative ``ElementwiseLoss`` (pinball/huber/custom pointwise
+residual penalties, forward-differentiated in-kernel; batch-statistic
+losses use centered sufficient statistics + scalar jvp partials),
+agg in {sum, mean},
 optimizer in {adam, adamw, sgd, rmsprop} with static hyperparameters —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
@@ -147,7 +150,8 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
     return name, hyper
 
 
-_FUSED_LOSSES = ("mse", "mae", "rmse", "nseLoss")
+_STAT_LOSSES = ("pearsonLoss", "kgeLoss", "pbkgeLoss")
+_FUSED_LOSSES = ("mse", "mae", "rmse", "nseLoss") + _STAT_LOSSES
 
 
 def _fused_loss_kind(training_loss):
@@ -712,6 +716,59 @@ def make_fused_epoch(
                 sse = _dot11(diff, diff)
                 scalar_terms.append(agg_scale * (sse / den))
                 cot = (2.0 * agg_scale) * (diff / den)
+                term = None
+            elif loss_name in _STAT_LOSSES:
+                # batch-statistic losses (pearsonLoss/kgeLoss/pbkgeLoss):
+                # the loss is a scalar function g of masked batch moments
+                # of (ŷ, y). Centered sufficient statistics are reduced
+                # once each (Mosaic reduction rule); g is written EXACTLY
+                # as losses/metrics.py (same clamps, _EPS, ddof=1) so its
+                # value AND implied gradient match the XLA path; partials
+                # come from three scalar forward-mode jvp seeds — no
+                # reverse-mode AD in-kernel. The chain back to ŷᵢ is
+                # elementwise via total derivatives (Σdh = 0 kills the
+                # μ-path inside the centered sums):
+                #   dμh/dŷᵢ = mᵢ/n,  dShh/dŷᵢ = 2·dhᵢ,  dC/dŷᵢ = dyᵢ
+                yh_s = preds[j] * m
+                sh = _dot11(yh_s, jnp.ones_like(m))
+                sy = _dot11(y_b[t], jnp.ones_like(m))  # y pre-zeroed invalid
+                mu_h = sh / n  # (1,1); broadcasts over (1,B) lanes (safe)
+                mu_y = sy / n
+                dh = (yh_s - mu_h) * m
+                dy = (y_b[t] - mu_y) * m
+                shh = _dot11(dh, dh)
+                syy = _dot11(dy, dy)
+                c_hy = _dot11(dh, dy)
+
+                def g(mu_h_, shh_, c_, _ln=loss_name, _syy=syy,
+                      _mu_y=mu_y, _n=n):
+                    # masked_corr: cov / max(sqrt(Shh·Syy), _EPS)
+                    r = c_ / jnp.maximum(jnp.sqrt(shh_ * _syy), 1e-12)
+                    if _ln == "pearsonLoss":
+                        return 1.0 - r
+                    b = mu_h_ / _mu_y  # _beta (unguarded, as in metrics)
+                    if _ln == "pbkgeLoss":
+                        return jnp.sqrt(
+                            (r - 1.0) * (r - 1.0) + (b - 1.0) * (b - 1.0)
+                        )
+                    nm1 = jnp.maximum(_n - 1.0, 1.0)  # masked_std ddof=1
+                    a = jnp.sqrt(shh_ / nm1) / jnp.maximum(
+                        jnp.sqrt(_syy / nm1), 1e-12
+                    )
+                    return jnp.sqrt(
+                        (r - 1.0) * (r - 1.0) + (a - 1.0) * (a - 1.0)
+                        + (b - 1.0) * (b - 1.0)
+                    )
+
+                one = jnp.ones_like(mu_h)
+                zero = jnp.zeros_like(mu_h)
+                val, d_mu = jax.jvp(g, (mu_h, shh, c_hy), (one, zero, zero))
+                _, d_shh = jax.jvp(g, (mu_h, shh, c_hy), (zero, one, zero))
+                _, d_c = jax.jvp(g, (mu_h, shh, c_hy), (zero, zero, one))
+                scalar_terms.append(agg_scale * val)
+                cot = agg_scale * (
+                    d_mu * (m / n) + (2.0 * d_shh) * dh + d_c * dy
+                )
                 term = None
             else:  # rmse
                 mse_t = _dot11(diff, diff) / n

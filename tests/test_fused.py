@@ -961,8 +961,12 @@ def test_fused_loss_envelope_round3():
         model, opt,
         eh.LoggingLoss(training_loss=(lambda yh, y, m, tau: 0.0,
                                       {"tau": 0.3})))
-    assert not supports_fused_epoch(
+    # batch-statistic losses joined the envelope (late round 3)
+    assert supports_fused_epoch(
         model, opt, eh.LoggingLoss(training_loss="kgeLoss"))
+    # alpha/beta are diagnostics, not sensible training losses: XLA path
+    assert not supports_fused_epoch(
+        model, opt, eh.LoggingLoss(training_loss="beta"))
 
 
 def test_train_pinball_runs_fused():
@@ -980,6 +984,97 @@ def test_train_pinball_runs_fused():
     res = eh.train(
         model, df, nepochs=3, batchsize=64, training_loss=eh.pinball(0.5),
         loss_types=("mse",), use_pallas=True, plotting=False,
+        show_progress=False, save_training=False,
+    )
+    assert res.epoch_path == "fused_pallas"
+    assert np.isfinite(res.best_loss)
+
+
+@pytest.mark.parametrize("loss_name", ["pearsonLoss", "kgeLoss", "pbkgeLoss"])
+def test_fused_stat_losses_match_xla(loss_name):
+    """Batch-statistic losses (centered sufficient statistics + scalar jvp
+    partials) match jax.grad through the masked metrics on the XLA path."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss=loss_name, loss_types=(loss_name,))
+    assert supports_fused_epoch(model, ("sgd", 0.05), ll)
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle=False)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.sgd(0.05)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_name", ["kgeLoss", "pearsonLoss"])
+def test_fused_stat_losses_nan_multi_target(loss_name):
+    """Stat-loss batch moments honor per-target NaN masks (two targets,
+    agg='mean', shuffled multi-epoch)."""
+    def mech(*, ta, rb, gpp_max, Q10):
+        reco = rb * Q10 ** (0.1 * (ta - 15.0))
+        return {"reco": reco, "nee": reco - gpp_max}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"],
+        targets=["reco", "nee"], mechanistic_model=mech,
+        parameters={"rb": (3.0, 0.0, 13.0), "gpp_max": (5.0, 0.0, 20.0),
+                    "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb", "gpp_max"], global_param_names=["Q10"],
+        hidden_layers=[8], input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(256, seed=5, nan_frac=0.3)
+    df["nee"] = df["reco"] - 2.0
+    df.loc[df.index[::3], "nee"] = np.nan
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 64))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+
+    ll = eh.LoggingLoss(training_loss=loss_name, loss_types=(loss_name,),
+                        agg="mean")
+    # sgd, not adam: pearson is shift-invariant, so output-bias gradients
+    # are mathematically ~0 — adam amplifies their float noise into full
+    # +/-lr steps whose sign differs between paths (see memory of round-1
+    # exactness findings); sgd keeps noise at noise scale.
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle=True,
+                             epochs_per_call=2)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(1),
+    )
+    optimizer = optax.sgd(0.05)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=True,
+                           epochs_per_call=2)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_train_kge_loss_runs_fused():
+    """train(training_loss='kgeLoss') picks the fused engine end-to-end."""
+    df = eh.gen_rbq10_data(300, seed=11)
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=lambda *, ta, rb, Q10: {
+            "reco": rb * Q10 ** (0.1 * (ta - 15.0))},
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], input_batchnorm="static",
+    )
+    res = eh.train(
+        model, df, nepochs=3, batchsize=64, training_loss="kgeLoss",
+        loss_types=("kgeLoss", "mse"), use_pallas=True, plotting=False,
         show_progress=False, save_training=False,
     )
     assert res.epoch_path == "fused_pallas"

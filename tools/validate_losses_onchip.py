@@ -54,6 +54,11 @@ def main():
         ("pinball(0.3)", eh.pinball(0.3)),
         ("huber(1.0)", eh.huber(1.0)),
         ("huber(0.5,sum)", eh.huber(0.5, normalize="sum")),
+        # batch-statistic losses (centered sufficient statistics + scalar
+        # jvp partials — new scalar-DAG Mosaic patterns)
+        ("pearsonLoss", "pearsonLoss"),
+        ("kgeLoss", "kgeLoss"),
+        ("pbkgeLoss", "pbkgeLoss"),
     ]
     results = []
     for label, spec in specs:
