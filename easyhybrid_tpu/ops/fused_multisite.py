@@ -38,12 +38,23 @@ build — tools/probe_multisite_primitives{,2}.py, 2026-08-17 on-chip runs):
 
 Envelope (``supports_fused_multisite``): ``share_nn=True``,
 ``SingleNNHybridModel`` base with an MLP (input_batchnorm in
-{False, "static"}), scalar per-site globals, training loss in {mse, mae},
-agg in {sum, mean}, optimizer in {adam, adamw, sgd, rmsprop}, no
-``extra_loss``, and ONE site batch per epoch (``batchsize >= n_sites`` —
-the standard full-batch multisite setup; minibatched sites fall back to the
-XLA epoch because optax decays moments of out-of-batch parameters every
-step, which chunk-local updates cannot reproduce).
+{False, "static"}), scalar per-site globals, training loss in {mse, mae,
+nseLoss} or a declarative ``ElementwiseLoss`` (pinball/huber/…), agg in
+{sum, mean}, optimizer in {adam, adamw, sgd, rmsprop}, no ``extra_loss``,
+and ONE site batch per epoch (``batchsize >= n_sites`` — the standard
+full-batch multisite setup; minibatched sites fall back to the XLA epoch
+because optax decays moments of out-of-batch parameters every step, which
+chunk-local updates cannot reproduce).
+
+The loss envelope is exactly the CHUNK-LOCAL subset of the generic
+kernel's losses: per-element terms whose scale depends only on the static
+targets/masks, so the scale is precomputed XLA-side and each chunk's
+contribution is independent. nseLoss qualifies because its denominator
+``Σ (y-ȳ)²·m`` is a target-only batch statistic (masks are static at one
+batch/epoch) — in-kernel it is mse math with a different precomputed
+scale. rmse and the batch-statistic losses (pearsonLoss/kgeLoss/
+pbkgeLoss) need batch moments of the PREDICTIONS, which no single chunk
+sees; they fall back to the XLA epoch.
 
 Reference parity: the multisite training semantics themselves are a
 TPU-native addition (SURVEY.md §5; the reference is single-series), but the
@@ -72,6 +83,7 @@ from .fused_epoch import (
     _ceil_to,
     _dot11,
     _from_kernel_buffer,
+    _fused_loss_kind,
     _kernel_shape,
     _pad_to,
     _to_kernel_buffer,
@@ -84,7 +96,20 @@ from .fused_epoch import (
 __all__ = ["supports_fused_multisite", "make_fused_multisite_epoch"]
 
 _SITE_LANES = 128  # sites per chunk = one packed row
-_MS_LOSSES = ("mse", "mae")  # rmse needs the full-batch sqrt -> not chunkable
+# chunk-local losses only (see module docstring): rmse/pearson/kge/pbkge
+# need full-batch prediction statistics no single chunk sees
+_MS_LOSSES = ("mse", "mae", "nseLoss")
+
+
+def _ms_loss_kind(training_loss):
+    """The multisite-kernel loss envelope: a ``_MS_LOSSES`` string, an
+    ``ElementwiseLoss`` instance, or ``None`` (→ XLA fallback)."""
+    from ..losses.specs import ElementwiseLoss
+
+    kind = _fused_loss_kind(training_loss)
+    if isinstance(kind, ElementwiseLoss) or kind in _MS_LOSSES:
+        return kind
+    return None
 
 
 def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
@@ -112,7 +137,7 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
             return False
     if logging.extra_loss is not None:
         return False
-    if logging.training_loss not in _MS_LOSSES:
+    if _ms_loss_kind(logging.training_loss) is None:
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
@@ -166,11 +191,15 @@ def make_fused_multisite_epoch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    loss_name = logging.training_loss
-    if loss_name not in _MS_LOSSES:
+    from ..losses.specs import ElementwiseLoss
+
+    loss_kind = _ms_loss_kind(logging.training_loss)
+    if loss_kind is None:
         raise ValueError(
-            f"fused multisite epoch does not support training loss {loss_name!r}"
+            "fused multisite epoch does not support training loss "
+            f"{logging.training_loss!r}"
         )
+    elem_spec = loss_kind if isinstance(loss_kind, ElementwiseLoss) else None
     agg_name = logging.agg_name
     if logging.extra_loss is not None:
         raise ValueError("fused multisite epoch does not support extra_loss")
@@ -277,15 +306,35 @@ def make_fused_multisite_epoch(
         mask_chunks = [group(a) for a in mask_chunks]
 
         # ---- loss normalization + validity tile (batch-static) ----------
-        # row 0 lane j: agg_scale / max(Σ mask_j, 1); [1, 0]: validity flag
+        # row 0 lane j: the per-target elementwise loss scale sc_j (see the
+        # kernel's loss section); [1, 0]: validity flag. Every supported
+        # loss has a scale that depends ONLY on static targets/masks (the
+        # chunk-locality criterion), so it is computed once here:
+        #   mse/mae, elementwise(mean):  agg_scale / max(Σ mask_j, 1)
+        #   nseLoss:                     agg_scale / max(Σ (y-ȳ)²·m, eps)
+        #   elementwise(sum):            agg_scale
         counts = jnp.stack(
             [jnp.sum(tensors.mask[t][0]) for t in target_names]
         )
-        inv_n = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
+        if loss_kind == "nseLoss":
+            # exactly losses/metrics.py::_sse_over_sst's denominator (y in
+            # tensors is pre-zeroed at invalid slots, matching _sanitize)
+            ssts = []
+            for t in target_names:
+                y2, m2 = tensors.y[t][0], tensors.mask[t][0]
+                n2 = jnp.maximum(jnp.sum(m2), 1.0)
+                mu2 = jnp.sum(y2 * m2) / n2
+                dev2 = (y2 - mu2) * m2
+                ssts.append(jnp.sum(dev2 * dev2))
+            sc = agg_scale / jnp.maximum(jnp.stack(ssts), 1e-12)  # _EPS
+        elif elem_spec is not None and elem_spec.normalize == "sum":
+            sc = jnp.full((n_targets,), agg_scale, jnp.float32)
+        else:
+            sc = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
         valid_flag = (jnp.sum(counts) > 0.0).astype(jnp.float32)
         scale_tile = jnp.zeros(_PAD, jnp.float32)
         scale_tile = jax.lax.dynamic_update_slice(
-            scale_tile, inv_n.astype(jnp.float32)[None, :], (0, 0)
+            scale_tile, sc.astype(jnp.float32)[None, :], (0, 0)
         )
         scale_tile = scale_tile.at[1, 0].set(valid_flag)
 
@@ -471,19 +520,36 @@ def make_fused_multisite_epoch(
                 if preds is None:
                     preds = mech_preds(mech_params)
 
-                # ---- loss + cotangents (divisor precomputed) ------------
+                # ---- loss + cotangents (scale precomputed) --------------
                 cots: List[Any] = []
                 loss_elem = None
                 for j in range(nt):
                     m = mask_ts[j]
                     diff = (preds[j] - y_ts[j]) * m
-                    inv_nj = scale_ref[0, j]  # agg_scale / n_j (batch-wide)
-                    if loss_name == "mse":
-                        term = inv_nj * diff * diff
-                        cot = (2.0 * inv_nj) * diff
+                    sc_j = scale_ref[0, j]  # batch-wide per-target scale
+                    if elem_spec is not None:
+                        # declarative elementwise loss: values AND the
+                        # diagonal dℓ/dŷ from one forward-mode jvp (same
+                        # scheme as fused_epoch.py; exactness gate verifies
+                        # the elementwise contract at runtime). ŷ is
+                        # mask-multiplied to mirror _sanitize.
+                        yh_s = preds[j] * m
+                        elem, delem = jax.jvp(
+                            lambda v, _y=y_ts[j]: elem_spec.elementwise(
+                                v, _y
+                            ),
+                            (yh_s,), (jnp.ones_like(yh_s),),
+                        )
+                        term = sc_j * elem * m
+                        cot = sc_j * delem * m
+                    elif loss_kind in ("mse", "nseLoss"):
+                        # nseLoss IS mse math in-kernel: sc_j carries the
+                        # target-only denominator instead of 1/n
+                        term = sc_j * diff * diff
+                        cot = (2.0 * sc_j) * diff
                     else:  # mae
-                        term = inv_nj * jnp.abs(diff)
-                        cot = inv_nj * jnp.sign(diff)
+                        term = sc_j * jnp.abs(diff)
+                        cot = sc_j * jnp.sign(diff)
                     loss_elem = (
                         term if loss_elem is None else loss_elem + term
                     )

@@ -58,6 +58,8 @@ def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8)):
         (("sgd", 0.05), "mae", "mean"),
         (("adamw", 0.01, 0.9, 0.999, 1e-8), "mse", "mean"),
         (("rmsprop", 0.005), "mse", "sum"),
+        (("adam", 0.01), "nseLoss", "sum"),
+        (("sgd", 0.05), "nseLoss", "mean"),
     ],
 )
 def test_multisite_fused_matches_xla_epoch(opt, loss, agg):
@@ -134,6 +136,44 @@ def test_multisite_fused_site_count_not_multiple_of_128():
         )
 
 
+@pytest.mark.parametrize("spec_fn", [lambda: eh.pinball(0.3),
+                                     lambda: eh.huber(0.7),
+                                     lambda: eh.pinball(0.9, normalize="sum")])
+def test_multisite_fused_elementwise_loss_matches_xla(spec_fn):
+    """Declarative ElementwiseLoss (pinball/huber) in the multisite kernel:
+    chunk-local jvp differentiation matches jax.grad on the XLA epoch,
+    including the NaN mask and the precomputed mean/sum normalization."""
+    spec = spec_fn()
+    model, params, state, tensors = _make(S=150, N=7)
+    logging = LoggingLoss(training_loss=spec, loss_types=("mse",))
+    assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, epochs_per_call=2,
+        interpret=True,
+    )
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=2
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+
+
 def test_multisite_supports_envelope():
     model, params, state, tensors = _make(S=64, N=4)
     logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
@@ -152,6 +192,14 @@ def test_multisite_supports_envelope():
     # rmse needs the full-batch sqrt: outside the envelope
     rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
     assert not supports_fused_multisite(model, ("adam", 0.01), rmse, tensors)
+    # batch-statistic losses need full-batch PREDICTION moments: XLA path
+    pear = LoggingLoss(training_loss="pearsonLoss", loss_types=("mse",))
+    assert not supports_fused_multisite(model, ("adam", 0.01), pear, tensors)
+    # chunk-local losses joined the envelope (late round 3)
+    nse = LoggingLoss(training_loss="nseLoss", loss_types=("nseLoss",))
+    assert supports_fused_multisite(model, ("adam", 0.01), nse, tensors)
+    pb = LoggingLoss(training_loss=eh.pinball(0.5), loss_types=("mse",))
+    assert supports_fused_multisite(model, ("adam", 0.01), pb, tensors)
     # share_nn=False has per-site NN weights: outside the envelope
     import dataclasses
 
