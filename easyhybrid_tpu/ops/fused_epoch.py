@@ -64,7 +64,10 @@ or a declarative ``ElementwiseLoss`` (pinball/huber/custom pointwise
 residual penalties, forward-differentiated in-kernel; batch-statistic
 losses use centered sufficient statistics + scalar jvp partials),
 agg in {sum, mean},
-optimizer in {adam, adamw, sgd, rmsprop} with static hyperparameters —
+optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam}
+with static hyperparameters — every built-in first-order rule whose
+state fits the kernel's one (m, v) moment pair per leaf (amsgrad/
+adadelta need a third slot and stay on the XLA path) —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
@@ -111,6 +114,17 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     ),
     "sgd": dict(learning_rate=0.01),
     "rmsprop": dict(learning_rate=0.01, decay=0.9, eps=1e-8),
+    # two-slot-state optimizers widened into the kernel late round 3 (the
+    # kernel carries exactly one (m, v) moment pair per leaf; amsgrad/
+    # adadelta need a third slot and stay on the XLA path)
+    "adagrad": dict(
+        learning_rate=0.01, initial_accumulator_value=0.1, eps=1e-7
+    ),
+    "lion": dict(learning_rate=0.01, b1=0.9, b2=0.99, weight_decay=1e-3),
+    "adamax": dict(learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8),
+    "nadam": dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
+    ),
 }
 
 _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
@@ -118,6 +132,12 @@ _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "adamw": ("learning_rate", "b1", "b2", "eps"),
     "sgd": ("learning_rate",),
     "rmsprop": ("learning_rate", "decay", "eps"),
+    "adagrad": ("learning_rate", "initial_accumulator_value", "eps"),
+    # optax.lion's 4th positional is mu_dtype, not weight_decay — stop at
+    # b2 so tuple specs can never diverge between the two paths
+    "lion": ("learning_rate", "b1", "b2"),
+    "adamax": ("learning_rate", "b1", "b2", "eps"),
+    "nadam": ("learning_rate", "b1", "b2", "eps"),
 }
 
 
@@ -449,6 +469,62 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             v_sel = vv + valid * (v_new - vv)
             upd = g / jnp.sqrt(v_sel + eps)  # optax eps_in_sqrt=True
             return pv - (valid * lr) * upd, mv, v_sel
+        if opt_name == "adagrad":
+            # optax.scale_by_rss: the v slot carries Σg² FROM ZERO (the
+            # kernel's opt state inits zeros); the optax accumulator init
+            # value c is added at read time — acc_t = c + Σg² identically
+            c = hyper["initial_accumulator_value"]
+            eps = hyper["eps"]
+            v_new = vv + g * g
+            v_sel = vv + valid * (v_new - vv)
+            acc = v_sel + c
+            inv = jnp.where(acc > 0.0, jax.lax.rsqrt(acc + eps), 0.0)
+            return pv - (valid * lr) * (inv * g), mv, v_sel
+        if opt_name == "lion":
+            b1, b2 = hyper["b1"], hyper["b2"]
+            # optax.lion = scale_by_lion ∘ add_decayed_weights ∘ lr: the
+            # sign direction uses the PRE-update momentum
+            upd = jnp.sign((1.0 - b1) * g + b1 * mv)
+            upd = upd + hyper["weight_decay"] * pv
+            m_new = b2 * mv + (1.0 - b2) * g
+            m_sel = mv + valid * (m_new - mv)
+            return pv - (valid * lr) * upd, m_sel, vv
+        if opt_name == "adamax":
+            b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+            m_new = b1 * mv + (1.0 - b1) * g
+            # infinity moment (optax tree_update_infinity_moment argument
+            # order preserved); any valid step leaves u >= eps
+            u_new = jnp.maximum(jnp.abs(g) + eps, b2 * vv)
+            m_sel = mv + valid * (m_new - mv)
+            v_sel = vv + valid * (u_new - vv)
+            t_safe = jnp.maximum(t_new, 1.0)  # see the adam note below
+            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+            m_hat = m_sel / (1.0 - b1_t)
+            # guard ONLY the no-valid-step-yet u==0 read (0/0 would leak
+            # through the arithmetic valid-gate as NaN); any valid step
+            # has u >= eps, so real math never takes the select
+            upd = m_hat / jnp.where(v_sel > 0.0, v_sel, 1.0)
+            return pv - (valid * lr) * upd, m_sel, v_sel
+        if opt_name == "nadam":
+            # optax scale_by_adam(nesterov=True): the Nesterov lookahead
+            # mixes the POST-update momentum bias-corrected at t+1 with
+            # the raw gradient bias-corrected at t
+            b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+            m_new = b1 * mv + (1.0 - b1) * g
+            v_new = b2 * vv + (1.0 - b2) * g * g
+            m_sel = mv + valid * (m_new - mv)
+            v_sel = vv + valid * (v_new - vv)
+            t_safe = jnp.maximum(t_new, 1.0)
+            lb1 = np.log(b1).astype(np.float32)
+            b1_t = jnp.exp(t_safe * lb1)
+            b1_t1 = jnp.exp((t_safe + 1.0) * lb1)
+            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            m_hat = b1 * (m_sel / (1.0 - b1_t1)) + (1.0 - b1) * (
+                g / (1.0 - b1_t)
+            )
+            v_hat = v_sel / (1.0 - b2_t)
+            upd = m_hat / (jnp.sqrt(v_hat + hyper["eps_root"]) + eps)
+            return pv - (valid * lr) * upd, m_sel, v_sel
         b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
         # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
         # t clamped to >=1: a fully-masked batch at step 0 leaves t_new==0,

@@ -101,6 +101,7 @@ class LiveDashboard:
         max_frames: int = 120,
         subsample: int = 10_000,
         show: Optional[bool] = None,
+        yscale: str = "log",
     ):
         import matplotlib
 
@@ -110,6 +111,7 @@ class LiveDashboard:
         self.targets = list(targets)
         self.metric = metric
         self.agg = agg
+        self.yscale = yscale
         self.subsample = subsample
         self.max_frames = max_frames
         self.val_obs = {k: np.asarray(v).ravel() for k, v in val_obs.items()}
@@ -138,8 +140,11 @@ class LiveDashboard:
         ax_loss.clear()
         ax_loss.plot(self.epochs, self.tr_losses, label=f"train {self.metric}")
         ax_loss.plot(self.epochs, self.va_losses, label=f"val {self.metric}")
-        if min(self.tr_losses + self.va_losses, default=1.0) > 0:
+        if (self.yscale == "log"
+                and min(self.tr_losses + self.va_losses, default=1.0) > 0):
             ax_loss.set_yscale("log")
+        elif self.yscale != "log":
+            ax_loss.set_yscale(self.yscale)
         ax_loss.set_xlabel("epoch")
         ax_loss.set_title(f"loss ({self.metric}, {self.agg})")
         ax_loss.legend(frameon=False, fontsize=8)

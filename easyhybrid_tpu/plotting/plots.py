@@ -146,15 +146,16 @@ def plot_parameters(
     return ax
 
 
-def train_board(results, *, save: Optional[str] = None):
+def train_board(results, *, save: Optional[str] = None, yscale: str = "log"):
     """Multi-panel board: loss + zoomed loss + per-target pred-vs-obs
-    (parity: train_board, :252-414)."""
+    (parity: train_board, :252-414). ``yscale`` is the loss-axis scale
+    (``TrainConfig.yscale`` is plumbed through here)."""
     plt = _plt()
     targets = [c for c in results.train_obs.columns if c not in ("sample", "step")]
     ncols = max(2, len(targets))
     fig, axes = plt.subplots(2, ncols, figsize=(4.5 * ncols, 8))
     axes = np.atleast_2d(axes)
-    plot_loss(results, ax=axes[0, 0])
+    plot_loss(results, ax=axes[0, 0], yscale=yscale)
     # zoomed loss: second half of training
     hist = results.history
     if len(hist) > 4:

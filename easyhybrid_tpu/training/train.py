@@ -716,6 +716,7 @@ def train(
                     {k: np.asarray(v) for k, v in val_data.y.items()},
                     metric=stopper.metric,
                     agg=stopper.agg_name,
+                    yscale=cfg.yscale,
                 )
                 live.update(
                     0,
@@ -874,7 +875,7 @@ def train(
                 if paths is not None
                 else f"{cfg.model_name}_train_board.png"
             )
-            train_board(results, save=board_path)
+            train_board(results, save=board_path, yscale=cfg.yscale)
             log.info("saved training board to %s", board_path)
         except Exception as e:
             log.warning("plotting failed: %s", e)

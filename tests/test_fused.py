@@ -182,9 +182,18 @@ def test_fused_forward_matches_apply():
 
 
 @pytest.mark.parametrize("opt", [("adamw", 0.01), ("rmsprop", 0.02),
-                                 ("adam", 0.01, {"b1": 0.8})])
+                                 ("adam", 0.01, {"b1": 0.8}),
+                                 # two-slot-state rules (late round 3)
+                                 ("adagrad", 0.02),
+                                 ("adagrad", 0.02,
+                                  {"initial_accumulator_value": 0.0}),
+                                 ("lion", 0.001),
+                                 ("lion", 0.003, {"weight_decay": 0.1}),
+                                 ("adamax", 0.01),
+                                 ("nadam", 0.01)])
 def test_fused_widened_optimizers(opt):
-    """adamw / rmsprop / kwarg-form hyperparameters match optax exactly."""
+    """adamw / rmsprop / adagrad / lion / adamax / nadam / kwarg-form
+    hyperparameters match optax exactly."""
     from easyhybrid_tpu.training.optimizers import resolve_optimizer
 
     if isinstance(opt[-1], dict):
@@ -321,6 +330,17 @@ def test_parse_opt_spec_envelope():
     assert parse_opt_spec(("sgd", {"momentum": 0.9})) is None  # not fused
     assert parse_opt_spec("lbfgs") is None
     assert parse_opt_spec(("adam", "bad")) is None
+    # late-round-3 rules: defaults mirror the optax constructors
+    assert parse_opt_spec("adagrad") == ("adagrad", dict(
+        learning_rate=0.01, initial_accumulator_value=0.1, eps=1e-7))
+    assert parse_opt_spec(("lion", 0.001))[1]["weight_decay"] == 1e-3
+    # optax.lion's 4th positional is mu_dtype — tuple form stops at b2
+    assert parse_opt_spec(("lion", 0.01, 0.9, 0.99, 1e-3)) is None
+    assert parse_opt_spec(("nadam", 0.01))[1]["eps_root"] == 0.0
+    assert parse_opt_spec(("adamax", 0.01, 0.8))[1]["b1"] == 0.8
+    # three-slot-state rules stay on the XLA path
+    assert parse_opt_spec("amsgrad") is None
+    assert parse_opt_spec(("adadelta", 0.01)) is None
 
 
 def test_fused_multinn_matches_xla():
@@ -535,6 +555,7 @@ def test_gate_verdict_disk_cache(tmp_path, monkeypatch):
         {"globals": ("sgd", 0.1)},                      # nn -> default adam
         {"nn": ("adam", 0.02), "Q10": ("sgd", 0.05)},   # specific global
         {"nn": ("rmsprop", 0.005), "globals": ("adamw", 0.01)},
+        {"nn": ("lion", 0.001), "globals": ("nadam", 0.02)},  # round-3 rules
     ],
 )
 def test_fused_per_branch_optimizers_match_multi_transform(spec):

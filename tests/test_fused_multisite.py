@@ -60,6 +60,12 @@ def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8)):
         (("rmsprop", 0.005), "mse", "sum"),
         (("adam", 0.01), "nseLoss", "sum"),
         (("sgd", 0.05), "nseLoss", "mean"),
+        # late-round-3 two-slot optimizers flow through the shared
+        # make_update_leaf — one multisite case each
+        (("lion", 0.003), "mse", "sum"),
+        (("nadam", 0.01), "mse", "mean"),
+        (("adagrad", 0.02), "mae", "sum"),
+        (("adamax", 0.01), "mse", "sum"),
     ],
 )
 def test_multisite_fused_matches_xla_epoch(opt, loss, agg):
@@ -77,10 +83,11 @@ def test_multisite_fused_matches_xla_epoch(opt, loss, agg):
         state, tensors, jax.random.PRNGKey(0),
     )
 
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
     name = opt[0]
     optimizer = optax.flatten(
-        {"adam": optax.adam, "sgd": optax.sgd, "adamw": optax.adamw,
-         "rmsprop": optax.rmsprop}[name](*opt[1:])
+        resolve_optimizer(opt)
         if name != "adamw"
         else optax.adamw(opt[1], b1=opt[2], b2=opt[3], eps=opt[4])
     )

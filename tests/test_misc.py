@@ -177,6 +177,26 @@ def test_train_plotting_flag(tmp_path, rbq10_model, rbq10_df):
     assert os.path.exists(movie) or os.path.exists(gif)
 
 
+def test_yscale_plumbed_into_boards(tmp_path):
+    """TrainConfig.yscale reaches the live dashboard and the post-hoc board
+    loss axes (previously hardcoded to log)."""
+    pytest.importorskip("matplotlib")
+    from easyhybrid_tpu.plotting.live import LiveDashboard
+
+    for yscale in ("linear", "log"):
+        board = LiveDashboard(
+            ["reco"], {"reco": np.ones(8, np.float32)},
+            yscale=yscale, show=False,
+        )
+        board.update(0, type("S", (), {
+            "l_train": {"mse": {"sum": 1.0}},
+            "l_val": {"mse": {"sum": 1.0}},
+            "y_pred_val": {"reco": np.ones(8, np.float32)},
+        })(), {}, {})
+        assert board.axes[0, 0].get_yscale() == yscale
+        board.plt.close(board.fig)
+
+
 def test_metric_stream_without_plotting(tmp_path, rbq10_model, rbq10_df):
     """save_training alone also streams metrics (headless channel)."""
     res = eh.train(
