@@ -78,6 +78,7 @@ kernel behind a runtime exactness check against the XLA path
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
@@ -91,6 +92,8 @@ from ..losses.specs import LoggingLoss
 from ..models.hybrid import SingleNNHybridModel, _call_mechanistic
 from ..models.nn import MLP, LSTMNet, get_activation
 from ..params import scale_param
+
+log = logging.getLogger("easyhybrid_tpu")
 
 __all__ = [
     "supports_fused_epoch",
@@ -1832,7 +1835,17 @@ def fused_exactness_check(
         worst = max(rel, loss_rel, ploss_rel)
         _gate_cache_write(cache_key, ok, worst)
         return ok, worst
-    except Exception:  # shape/feature outside the kernel envelope
+    except Exception as e:  # shape/feature outside the kernel envelope
+        # cache the failure too: a crashing kernel BUILD (e.g. a Mosaic
+        # compile cliff) can cost 15+ minutes, and without a cached verdict
+        # every train() in every process re-pays it. The cache key includes
+        # the compiler-stack identity, so a toolchain fix re-runs the gate.
+        log.info(
+            "fused exactness gate: kernel build/compare raised %s: %s — "
+            "falling back to the XLA epoch (verdict cached)",
+            type(e).__name__, e,
+        )
+        _gate_cache_write(cache_key, False, float("inf"))
         return False, float("inf")
 
 

@@ -52,7 +52,7 @@ __all__ = ["can_defer", "run_deferred_loop"]
 log = logging.getLogger("easyhybrid_tpu")
 
 
-def can_defer(cfg, want_outputs: bool, grad_probe) -> bool:
+def can_defer(cfg) -> bool:
     """True when no consumer needs mid-run host values, so the whole run can
     dispatch without a single device→host readback.
 
@@ -62,7 +62,6 @@ def can_defer(cfg, want_outputs: bool, grad_probe) -> bool:
     the user mid-run and ``keep_history`` retains full prediction arrays per
     snapshot — those still need the eager loop.
     """
-    del grad_probe  # grad norms are packed on device now
     return (
         not cfg.show_progress
         and not cfg.plotting
@@ -131,13 +130,15 @@ def run_deferred_loop(
             out[name] = {"q25": q[0], "q50": q[1], "q75": q[2]}
         return out
 
-    def _grad_scalars(p, s):
-        """Global + per-branch gradient L2 norms, on device."""
+    def _grad_scalars(p, s, teb):
+        """Global + per-branch gradient L2 norms, on device. ``teb`` rides
+        as an explicit arg (a closure capture would embed the train batch
+        as a constant of the whole-run program)."""
         if grad_probe is None:
             return {}
         import optax
 
-        g = grad_probe(p, s)
+        g = grad_probe(p, s, teb)
         norms = {"global": optax.global_norm(g)}
         if isinstance(g, dict):
             for k, v in g.items():
@@ -156,7 +157,7 @@ def run_deferred_loop(
     # dispatch count is the wall-clock on a tunneled TPU). Eval batches are
     # explicit args, not closure captures (captured device arrays embed as
     # program constants: bigger executables, value-dependent cache keys).
-    def snapshot_tree(m_tr, m_va, out_va, p, s):
+    def snapshot_tree(m_tr, m_va, out_va, p, s, teb):
         """Everything a snapshot records, as one scalar pytree."""
         tree = {"metrics": (m_tr, m_va)}
         if tracked_fn is not None:
@@ -164,7 +165,7 @@ def run_deferred_loop(
         if monitor_names:
             tree["monitored"] = _monitored_scalars(out_va)
         if grad_probe is not None:
-            tree["grads"] = _grad_scalars(p, s)
+            tree["grads"] = _grad_scalars(p, s, teb)
         return tree
 
     def metric_row(tree):
@@ -197,7 +198,7 @@ def run_deferred_loop(
                     lambda a, b: jnp.where(better, a, b), new, old
                 )
 
-            row = metric_row(snapshot_tree(m_tr, m_va, out_va, p, s))
+            row = metric_row(snapshot_tree(m_tr, m_va, out_va, p, s, teb))
             hist = jax.lax.dynamic_update_slice(
                 es["hist"], row[None, :], (epoch // eval_every, 0)
             )
@@ -246,7 +247,9 @@ def run_deferred_loop(
     m_tr0, m_va0, out_va0 = eval_full(
         params, state, train_eval_batch, val_eval_batch
     )
-    tree0 = snapshot_tree(m_tr0, m_va0, out_va0, params, state)
+    tree0 = snapshot_tree(
+        m_tr0, m_va0, out_va0, params, state, train_eval_batch
+    )
     row_treedef = jax.tree.structure(tree0)
     metrics_treedef = jax.tree.structure(tree0["metrics"])
     n_metric = metrics_treedef.num_leaves

@@ -154,7 +154,7 @@ def _train_second_order(
     from .train import _grad_norms, _make_grad_probe
 
     grad_probe = (
-        _make_grad_probe(model, logging_loss, train_eval_batch, jit=cfg.jit)
+        _make_grad_probe(model, logging_loss, jit=cfg.jit)
         if cfg.return_gradients
         else None
     )
@@ -164,7 +164,7 @@ def _train_second_order(
     history = TrainingHistory([init_snapshot])
     stopper = EarlyStopping(init_snapshot, params, state, cfg)
     if grad_probe is not None:
-        grad_history.append(_grad_norms(grad_probe(params, state)))
+        grad_history.append(_grad_norms(grad_probe(params, state, train_eval_batch)))
 
     def step_fn(p, o, batch):
         def scalar_loss(pp):
@@ -205,7 +205,7 @@ def _train_second_order(
                     history, snapshot, params, state, epoch, cfg.keep_history
                 )
                 if grad_probe is not None:
-                    grad_history.append(_grad_norms(grad_probe(params, state)))
+                    grad_history.append(_grad_norms(grad_probe(params, state, train_eval_batch)))
                 if cfg.show_progress:
                     log.info(
                         "lbfgs iter %4d/%d  loss=%.6g  best val=%.6g  (%.1fs)",
@@ -244,7 +244,7 @@ def _train_second_order(
             snapshot = snapshot_of(params, state)
             stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
             if grad_probe is not None:
-                grad_history.append(_grad_norms(grad_probe(params, state)))
+                grad_history.append(_grad_norms(grad_probe(params, state, train_eval_batch)))
             if cfg.show_progress:
                 log.info(
                     "lbfgs epoch %4d/%d  best val=%.6g  (%.1fs)",
@@ -285,7 +285,7 @@ def _train_second_order(
         history=history,
         grad_history=grad_history or None,
         final_grads=(
-            jax.device_get(grad_probe(best_params, best_state))
+            jax.device_get(grad_probe(best_params, best_state, train_eval_batch))
             if grad_probe is not None
             else None
         ),

@@ -226,17 +226,23 @@ def _obs_pred_frames(data: HybridData, outputs, targets):
     return obs, pred
 
 
-def _make_grad_probe(model, logging_loss, train_eval_batch, jit: bool = True):
+def _make_grad_probe(model, logging_loss, jit: bool = True):
     """Full-train-batch gradient probe for ``return_gradients`` diagnostics
     (parity: the return_gradients TrainConfig field, TrainingConfig.jl:9-160
     — here as per-snapshot grad norms + the final grads pytree, the useful
-    form for diagnosing hybrid-physics gradient pathologies)."""
+    form for diagnosing hybrid-physics gradient pathologies).
+
+    The batch is an explicit argument, NOT a closure capture: the probe is
+    traced inside the deferred loop's single whole-run program, where a
+    captured device array would embed as a program constant (bigger
+    executable + value-dependent compile-cache key → full recompile on any
+    data change)."""
     from .epoch import make_loss_fn
 
     loss_fn = make_loss_fn(model, logging_loss)
 
-    def probe(params, state):
-        return jax.grad(lambda p: loss_fn(p, state, train_eval_batch)[0])(params)
+    def probe(params, state, batch):
+        return jax.grad(lambda p: loss_fn(p, state, batch)[0])(params)
 
     return jax.jit(probe) if jit else probe
 
@@ -380,6 +386,10 @@ def train(
     import os
 
     use_pallas = cfg.use_pallas
+    if use_pallas not in ("auto", None, True, False):
+        # normalize stray truthy/falsy values (e.g. 1, "on") so the gate
+        # block below always runs and is_multisite_fused is always bound
+        use_pallas = bool(use_pallas)
     if os.environ.get("EASYHYBRID_PALLAS") == "1" and use_pallas in ("auto", None):
         use_pallas = True
     if os.environ.get("EASYHYBRID_PALLAS") == "0":
@@ -566,11 +576,10 @@ def train(
         return out
 
     grad_probe = (
-        _make_grad_probe(model, logging_loss, train_eval_batch, jit=cfg.jit)
+        _make_grad_probe(model, logging_loss, jit=cfg.jit)
         if cfg.return_gradients
         else None
     )
-    grad_history: list = []
 
     def _make_tracked_fn():
         """Device-side tracked-parameter extraction (no readback): returns a
@@ -600,7 +609,7 @@ def train(
     paths = writer = stream = live = None
     monitored: Dict[str, list] = {}
     grad_history: list = []
-    deferred = can_defer(cfg, want_outputs, grad_probe)
+    deferred = can_defer(cfg)
     log.info("epoch engine: %s (%s loop)", epoch_path,
              "deferred" if deferred else "eager")
     if deferred:
@@ -610,8 +619,22 @@ def train(
         # values the whole run goes out without a single fetch. Monitored
         # quantiles + grad norms ride the on-device history row;
         # save_training files are written post-hoc from the fetch.
-        init_host = (
-            jax.device_get((params, state)) if cfg.save_training else None
+        if cfg.save_training and cfg.checkpoint_every > 1:
+            log.warning(
+                "deferred loop: checkpoint_every=%d mid-run checkpoints are "
+                "not written (the run is one program; only initial/best/"
+                "final files are produced). Set show_progress=True or "
+                "plotting=True to force the eager per-epoch loop if you "
+                "need them.", cfg.checkpoint_every,
+            )
+        # initial params/state for the post-hoc save_initial: DEVICE copy
+        # now (params are donated into the run program), host fetch only
+        # after the run's own final fetch — a device_get here would be a
+        # pre-dispatch readback, exactly what this loop exists to avoid
+        init_dev = (
+            jax.jit(lambda t: jax.tree.map(jnp.copy, t))((params, state))
+            if cfg.save_training
+            else None
         )
         (
             params, opt_state, state, history, stopper, tracked, monitored,
@@ -639,7 +662,7 @@ def train(
 
             paths = resolve_paths(cfg)
             writer = CheckpointWriter(paths, model, cfg, dcfg)
-            writer.save_initial(*init_host)
+            writer.save_initial(*jax.device_get(init_dev))
             stream = MetricStream(paths.metrics_jsonl)
             stream.write_meta(epoch_path=epoch_path, loop_mode="deferred")
             for i, snap in enumerate(history.snapshots):
@@ -662,7 +685,7 @@ def train(
         # ---- initial snapshot / history / stopper / io ----
         init_snapshot = snapshot_of(params, state)
         if grad_probe is not None:
-            grad_history.append(_grad_norms(grad_probe(params, state)))
+            grad_history.append(_grad_norms(grad_probe(params, state, train_eval_batch)))
         stored_init = (
             init_snapshot
             if cfg.keep_history
@@ -736,7 +759,7 @@ def train(
             donated into the next epoch's program)."""
             stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
             if grad_probe is not None:
-                grad_history.append(_grad_norms(grad_probe(params, state)))
+                grad_history.append(_grad_norms(grad_probe(params, state, train_eval_batch)))
             tracked_now = tracked_values(params, state)
             monitored_now = monitored_quantiles(snapshot)
             for k, v in tracked_now.items():
@@ -841,7 +864,7 @@ def train(
         opt_state=jax.device_get(opt_state),
         grad_history=grad_history or None,
         final_grads=(
-            jax.device_get(grad_probe(best_params, best_state))
+            jax.device_get(grad_probe(best_params, best_state, train_eval_batch))
             if grad_probe is not None
             else None
         ),

@@ -160,6 +160,16 @@ def test_train_with_use_pallas_flag():
     assert np.isfinite(res.best_loss)
     # and it actually learns a bit
     assert res.best_loss <= res.val_history[0]["mse"]["sum"]
+    # stray truthy/falsy values normalize instead of NameError-ing in the
+    # engine selection (review finding, round 3)
+    res1 = eh.train(
+        model, df, nepochs=1, batchsize=64, use_pallas=1, show_progress=False,
+    )
+    assert np.isfinite(res1.best_loss)
+    res0 = eh.train(
+        model, df, nepochs=1, batchsize=64, use_pallas=0, show_progress=False,
+    )
+    assert res0.epoch_path == "xla_scan"
 
 
 def test_fused_forward_matches_apply():

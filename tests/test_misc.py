@@ -197,6 +197,22 @@ def test_yscale_plumbed_into_boards(tmp_path):
         board.plt.close(board.fig)
 
 
+def test_deferred_checkpoint_every_warns(tmp_path, rbq10_model, rbq10_df,
+                                         caplog):
+    """A deferred save_training run with checkpoint_every>1 warns that
+    mid-run checkpoint files are not written (review finding, round 3)."""
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING, logger="easyhybrid_tpu"):
+        res = eh.train(
+            rbq10_model, rbq10_df, nepochs=2, batchsize=64,
+            show_progress=False, save_training=True, checkpoint_every=5,
+            output_folder=str(tmp_path), model_name="ckptwarn",
+        )
+    assert res.loop_mode == "deferred"
+    assert any("checkpoint_every" in r.message for r in caplog.records)
+
+
 def test_metric_stream_without_plotting(tmp_path, rbq10_model, rbq10_df):
     """save_training alone also streams metrics (headless channel)."""
     res = eh.train(
