@@ -115,7 +115,9 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     "adamw": dict(
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-4
     ),
-    "sgd": dict(learning_rate=0.01),
+    # momentum=0.0 is numerically identical to optax's momentum=None
+    # (trace decay 0 passes gradients through unchanged)
+    "sgd": dict(learning_rate=0.01, momentum=0.0, nesterov=0.0),
     "rmsprop": dict(learning_rate=0.01, decay=0.9, eps=1e-8),
     # two-slot-state optimizers widened into the kernel late round 3 (the
     # kernel carries exactly one (m, v) moment pair per leaf; amsgrad/
@@ -133,7 +135,7 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
 _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "adam": ("learning_rate", "b1", "b2", "eps"),
     "adamw": ("learning_rate", "b1", "b2", "eps"),
-    "sgd": ("learning_rate",),
+    "sgd": ("learning_rate", "momentum", "nesterov"),
     "rmsprop": ("learning_rate", "decay", "eps"),
     "adagrad": ("learning_rate", "initial_accumulator_value", "eps"),
     # optax.lion's 4th positional is mu_dtype, not weight_decay — stop at
@@ -160,7 +162,7 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
     if len(rest) == 1 and isinstance(rest[0], Mapping):
         kw = dict(rest[0])
         if not set(kw) <= set(hyper):
-            return None  # e.g. sgd momentum, rmsprop centered: not fused
+            return None  # e.g. rmsprop centered: not fused
         hyper.update({k: float(v) for k, v in kw.items()})
     else:
         names = _OPT_POSITIONAL[name]
@@ -465,7 +467,15 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
 
     def update_leaf(pv, mv, vv, g, valid, t_new):
         if opt_name == "sgd":
-            return pv - (valid * lr) * g, mv, vv
+            mom = hyper.get("momentum", 0.0)
+            if mom == 0.0:
+                return pv - (valid * lr) * g, mv, vv
+            # optax.trace: m' = g + mom·m; update = g + mom·m' (nesterov)
+            # or m' (heavy-ball)
+            m_new = g + mom * mv
+            m_sel = mv + valid * (m_new - mv)
+            upd = g + mom * m_sel if hyper.get("nesterov", 0.0) else m_sel
+            return pv - (valid * lr) * upd, m_sel, vv
         if opt_name == "rmsprop":
             decay, eps = hyper["decay"], hyper["eps"]
             v_new = decay * vv + (1.0 - decay) * g * g

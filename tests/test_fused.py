@@ -200,7 +200,9 @@ def test_fused_forward_matches_apply():
                                  ("lion", 0.001),
                                  ("lion", 0.003, {"weight_decay": 0.1}),
                                  ("adamax", 0.01),
-                                 ("nadam", 0.01)])
+                                 ("nadam", 0.01),
+                                 ("sgd", 0.02, 0.9),         # heavy-ball
+                                 ("sgd", 0.02, 0.9, True)])  # nesterov
 def test_fused_widened_optimizers(opt):
     """adamw / rmsprop / adagrad / lion / adamax / nadam / kwarg-form
     hyperparameters match optax exactly."""
@@ -337,7 +339,8 @@ def test_parse_opt_spec_envelope():
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8))
     assert parse_opt_spec(("rmsprop", 0.003))[1]["learning_rate"] == 0.003
     assert parse_opt_spec(("adamw", {"weight_decay": 0.01}))[1]["weight_decay"] == 0.01
-    assert parse_opt_spec(("sgd", {"momentum": 0.9})) is None  # not fused
+    assert parse_opt_spec(("sgd", {"momentum": 0.9}))[1]["momentum"] == 0.9
+    assert parse_opt_spec(("rmsprop", {"centered": True})) is None  # not fused
     assert parse_opt_spec("lbfgs") is None
     assert parse_opt_spec(("adam", "bad")) is None
     # late-round-3 rules: defaults mirror the optax constructors
@@ -613,7 +616,11 @@ def test_fused_per_branch_rejects_unfusable_branch():
     from easyhybrid_tpu.ops.fused_epoch import parse_branch_specs
 
     assert parse_branch_specs({"globals": "lbfgs"}) is None
-    assert parse_branch_specs({"nn": ("sgd", 0.1, 0.9)}) is None  # momentum
+    # sgd momentum is fusable since late round 3
+    assert parse_branch_specs({"nn": ("sgd", 0.1, 0.9)}) is not None
+    assert parse_branch_specs(
+        {"nn": ("rmsprop", {"centered": True})}
+    ) is None  # centered rmsprop: third state slot
     assert parse_branch_specs("adam") is None  # not a dict
 
 

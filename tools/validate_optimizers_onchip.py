@@ -80,6 +80,8 @@ def main():
         ("lion", ("lion", 0.003)),
         ("adamax", ("adamax", 0.01)),
         ("nadam", ("nadam", 0.01)),
+        ("sgd+momentum", ("sgd", 0.02, 0.9)),
+        ("sgd+nesterov", ("sgd", 0.02, 0.9, True)),
     ]
     results = []
     m, params, state, tensors = build_single()
