@@ -82,12 +82,17 @@ def _median_rate(run_block, steps_per_block: int, repeats: int = REPEATS):
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak; kernels run f32 → conservative
 
 _PINNED_BASELINES = {
-    # torch-CPU 1-thread steps/s, measured 2026-08-17 (BENCH_r02.json);
-    # re-measured each run only as a drift check
-    "rbq10": 570.39,
-    "multi_target": 439.48,
-    "large_mlp": 126.80,
-    "lstm": 127.12,  # pinned from the 2026-08-17 round-3 measurement
+    # torch-CPU 1-thread steps/s; re-measured each run only as a drift
+    # check. RE-PINNED late round 3 (2026-08-17): the original pins were
+    # measured while concurrent session work loaded the host CPU and
+    # understated true single-thread speed by 1.4-2.2x (flagged by this
+    # file's own drift check on an idle machine). Each pin is now the MAX
+    # across all clean idle-machine measurements — the conservative choice
+    # that yields the LOWEST honest TPU-vs-CPU ratio.
+    "rbq10": 1147.7,
+    "multi_target": 784.0,
+    "large_mlp": 175.0,
+    "lstm": 285.0,
 }
 
 
