@@ -64,10 +64,11 @@ or a declarative ``ElementwiseLoss`` (pinball/huber/custom pointwise
 residual penalties, forward-differentiated in-kernel; batch-statistic
 losses use centered sufficient statistics + scalar jvp partials),
 agg in {sum, mean},
-optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam}
-with static hyperparameters — every built-in first-order rule whose
-state fits the kernel's one (m, v) moment pair per leaf (amsgrad/
-adadelta need a third slot and stay on the XLA path) —
+optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam,
+adadelta, amsgrad} with static hyperparameters — every optax built-in
+first-order rule except the RNG-consuming noisy_sgd (adadelta's two EMAs
+ride the (m, v) slots; amsgrad carries an optional third ``u`` buffer
+set for nu_max) —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
@@ -120,8 +121,8 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     "sgd": dict(learning_rate=0.01, momentum=0.0, nesterov=0.0),
     "rmsprop": dict(learning_rate=0.01, decay=0.9, eps=1e-8),
     # two-slot-state optimizers widened into the kernel late round 3 (the
-    # kernel carries exactly one (m, v) moment pair per leaf; amsgrad/
-    # adadelta need a third slot and stay on the XLA path)
+    # kernel carries one (m, v) moment pair per leaf by default; amsgrad
+    # rides an OPTIONAL third carried slot, see init_fused_opt_state)
     "adagrad": dict(
         learning_rate=0.01, initial_accumulator_value=0.1, eps=1e-7
     ),
@@ -130,7 +131,17 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     "nadam": dict(
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
     ),
+    # (e_g, e_x) EMAs map onto the (v, m) slots — no counter, no 3rd slot
+    "adadelta": dict(learning_rate=0.01, rho=0.9, eps=1e-6, weight_decay=0.0),
+    # needs the optional 3rd slot (nu_max of the bias-corrected nu_hat)
+    "amsgrad": dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
+    ),
 }
+
+# rules whose optax state needs a third per-leaf slot: the kernel carries
+# an extra (u) buffer set only when one of these is in the spec
+_SLOT3_OPTS = ("amsgrad",)
 
 _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "adam": ("learning_rate", "b1", "b2", "eps"),
@@ -143,7 +154,21 @@ _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "lion": ("learning_rate", "b1", "b2"),
     "adamax": ("learning_rate", "b1", "b2", "eps"),
     "nadam": ("learning_rate", "b1", "b2", "eps"),
+    "adadelta": ("learning_rate", "rho", "eps"),
+    "amsgrad": ("learning_rate", "b1", "b2", "eps"),
 }
+
+
+def spec_uses_slot3(optimizer_spec) -> bool:
+    """Whether the parsed spec (single or per-branch) includes a rule
+    needing the optional third carried state slot."""
+    parsed = parse_opt_spec(optimizer_spec)
+    if parsed is not None:
+        return parsed[0] in _SLOT3_OPTS
+    branch = parse_branch_specs(optimizer_spec)
+    if branch is not None:
+        return any(name in _SLOT3_OPTS for name, _ in branch.values())
+    return False
 
 
 def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
@@ -288,14 +313,19 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
     )
 
 
-def init_fused_opt_state(params) -> Dict[str, Any]:
+def init_fused_opt_state(params, optimizer_spec=None) -> Dict[str, Any]:
     """Moments + step counter for the in-kernel optimizer (adam layout;
-    sgd/rmsprop simply ignore the unused slots)."""
-    return {
+    sgd/rmsprop simply ignore the unused slots). When ``optimizer_spec``
+    names a :data:`_SLOT3_OPTS` rule (amsgrad), a third ``u`` slot tree is
+    added (optax ``nu_max``)."""
+    out = {
         "m": jax.tree.map(jnp.zeros_like, params),
         "v": jax.tree.map(jnp.zeros_like, params),
         "t": jnp.zeros((1,), jnp.int32),
     }
+    if optimizer_spec is not None and spec_uses_slot3(optimizer_spec):
+        out["u"] = jax.tree.map(jnp.zeros_like, params)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -518,6 +548,21 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             # has u >= eps, so real math never takes the select
             upd = m_hat / jnp.where(v_sel > 0.0, v_sel, 1.0)
             return pv - (valid * lr) * upd, m_sel, v_sel
+        if opt_name == "adadelta":
+            # optax.adadelta = add_decayed_weights ∘ scale_by_adadelta ∘ lr:
+            # weight decay enters the gradient BEFORE the EMAs. v slot =
+            # E[g²] EMA, m slot = E[Δx²] EMA; the scaled update uses the
+            # PREVIOUS E[Δx²] and the CURRENT E[g²] (both eps-regularized
+            # INSIDE the sqrt), and E[Δx²] is updated with the pre-lr
+            # scaled update. No step counter.
+            rho, eps = hyper["rho"], hyper["eps"]
+            g_eff = g + hyper["weight_decay"] * pv
+            eg_new = rho * vv + (1.0 - rho) * g_eff * g_eff
+            v_sel = vv + valid * (eg_new - vv)
+            upd0 = (jnp.sqrt(mv + eps) / jnp.sqrt(v_sel + eps)) * g_eff
+            ex_new = rho * mv + (1.0 - rho) * upd0 * upd0
+            m_sel = mv + valid * (ex_new - mv)
+            return pv - (valid * lr) * upd0, m_sel, v_sel
         if opt_name == "nadam":
             # optax scale_by_adam(nesterov=True): the Nesterov lookahead
             # mixes the POST-update momentum bias-corrected at t+1 with
@@ -562,6 +607,47 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
     return update_leaf
 
 
+def make_update_leaf_u(opt_name: str, hyper: Dict[str, float]):
+    """Uniform 3-slot update protocol for the generic epoch kernel:
+    ``update(pv, mv, vv, wv, g, valid, t_new) -> (p', m', v', w')``.
+    Two-slot rules pass the ``w`` slot through untouched (it may be None
+    when the launch carries no third buffer set); amsgrad uses it for
+    optax's ``nu_max`` of the bias-corrected second moment."""
+    lr = hyper["learning_rate"]
+
+    if opt_name == "amsgrad":
+        b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+        eps_root = hyper["eps_root"]
+
+        def update_amsgrad(pv, mv, vv, wv, g, valid, t_new):
+            # optax.scale_by_amsgrad: nu_max = max(nu_max, nu_hat) with
+            # nu_hat BIAS-CORRECTED; update = mu_hat / (sqrt(nu_max +
+            # eps_root) + eps). Same exp/log b^t and t>=1 clamp as adam
+            # (clamped exponent only reachable when valid==0).
+            m_new = b1 * mv + (1.0 - b1) * g
+            v_new = b2 * vv + (1.0 - b2) * g * g
+            m_sel = mv + valid * (m_new - mv)
+            v_sel = vv + valid * (v_new - vv)
+            t_safe = jnp.maximum(t_new, 1.0)
+            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            m_hat = m_sel / (1.0 - b1_t)
+            v_hat = v_sel / (1.0 - b2_t)
+            w_sel = wv + valid * (jnp.maximum(wv, v_hat) - wv)
+            upd = m_hat / (jnp.sqrt(w_sel + eps_root) + eps)
+            return pv - (valid * lr) * upd, m_sel, v_sel, w_sel
+
+        return update_amsgrad
+
+    base = make_update_leaf(opt_name, hyper)
+
+    def update_2slot(pv, mv, vv, wv, g, valid, t_new):
+        p_new, m_new, v_new = base(pv, mv, vv, g, valid, t_new)
+        return p_new, m_new, v_new, wv
+
+    return update_2slot
+
+
 # --------------------------------------------------------------------------
 # the kernel
 # --------------------------------------------------------------------------
@@ -575,6 +661,7 @@ def make_fused_epoch(
     shuffle: Any = True,
     epochs_per_call: int = 1,
     interpret: Optional[bool] = None,
+    unroll: Optional[int] = None,
 ):
     """Build ``fn(params, opt_state, state, tensors, key) -> (params,
     opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` with
@@ -583,6 +670,25 @@ def make_fused_epoch(
     ``epochs_per_call > 1`` scans that many re-shuffled epochs inside ONE
     jit program, one kernel launch per epoch (shuffling — the same packed
     gather as the XLA path — happens between launches, in-program).
+
+    ``unroll`` (default ``EASYHYBRID_FUSED_UNROLL``, 1) processes that many
+    SEQUENTIAL SGD steps per grid step: the batch grid shrinks by the
+    factor and each grid step statically loops the fused
+    forward+backward+update over its sub-batches, params/moments staying
+    in registers/VMEM values between sub-steps. Epoch tails shorter than
+    ``unroll`` are padded with zero-mask batches — the empty-batch
+    validity gate makes them exact no-ops (same semantics as the XLA path
+    skipping empty batches). LSTM bodies pin ``unroll=1`` (Mosaic
+    compile-time cliff, module docstring).
+
+    Measured on-chip (2026-08-17, headline RbQ10 config, gate-exact at
+    every factor): unroll 1/4/8/16 are all ~250-300k marginal steps/s —
+    WITHIN NOISE OF EACH OTHER. Unlike the multisite kernel's independent
+    sub-chunks (1.6× from unrolling), consecutive SGD steps form a true
+    dependency chain (update → next forward), so the ~3.3 µs/step floor
+    here is chain latency, not per-grid-step sequencing overhead, and
+    unrolling cannot shorten it. The knob stays for experimentation; the
+    default stays 1 (the round-2-validated layout, smallest compile).
     """
     if shuffle not in (True, False, "batches"):
         # the XLA path raises for e.g. "per_shard" without a mesh; never
@@ -599,6 +705,9 @@ def make_fused_epoch(
             )
     else:
         parsed = None
+    # optional third carried state slot (amsgrad nu_max): one extra buffer
+    # set, seeded/carried/written exactly like the (m, v) moments
+    has_u = spec_uses_slot3(optimizer_spec)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -647,6 +756,11 @@ def make_fused_epoch(
     }
     any_bn_train = any(bn_train_of.values())
     is_lstm = bool(nn_branches) and isinstance(nn_branches[0][1], LSTMNet)
+    if unroll is None:
+        unroll = int(os.environ.get("EASYHYBRID_FUSED_UNROLL", "1"))
+    # LSTM: the statically unrolled recurrence already multiplies body size
+    # by T; batch-unrolling on top of it crosses the Mosaic compile cliff
+    k_unroll = 1 if is_lstm else max(1, int(unroll))
     if is_lstm and (
         is_multi or l2_spec is not None
         or loss_name not in ("mse", "mae")
@@ -1193,13 +1307,13 @@ def make_fused_epoch(
     # ---- optimizer update (per kernel-layout leaf; per-branch dict specs
     # get one update fn per leaf, mirroring multi_transform's labels) ------
     if branch_specs is None:
-        _single_update = make_update_leaf(*parsed)
+        _single_update = make_update_leaf_u(*parsed)
 
         def updates_for(path_leaves):
             return [_single_update] * len(path_leaves)
     else:
         _branch_updates = {
-            lbl: make_update_leaf(*sp) for lbl, sp in branch_specs.items()
+            lbl: make_update_leaf_u(*sp) for lbl, sp in branch_specs.items()
         }
 
         def updates_for(path_leaves):
@@ -1212,13 +1326,13 @@ def make_fused_epoch(
     _PAD = (8, 128)
 
     def run_kernel_epoch(
-        p_bufs, m_bufs, v_bufs, t_buf,
+        p_bufs, m_bufs, v_bufs, u_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
         treedef, orig_shapes, data, is_weight, update_fns,
         epochs=1, stacked=False,
     ):
         """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
-        ``(epochs, num_batches)`` — one kernel launch total, so the launch /
+        ``(epochs, num_batches / unroll)`` — one kernel launch total, so the launch /
         prologue cost amortizes over every epoch instead of being paid per
         epoch. ``data`` is the ``(x, forcing, y, mask, weight)`` leaf tuple;
         with ``stacked=True`` each leaf carries a leading per-epoch axis
@@ -1227,6 +1341,23 @@ def make_fused_epoch(
         the no-shuffle case)."""
         x_all, forcing_all, y_all, mask_all, weight_all = data
         num_batches, batch = weight_all.shape[-2:]
+        # sub-batch unrolling (see make_fused_epoch docstring): group the
+        # batch axis into (n_groups, k_sub); the grid runs over groups and
+        # the kernel statically loops the k_sub sequential SGD steps
+        k_sub = max(1, min(k_unroll, num_batches))
+        n_groups = -(-num_batches // k_sub)
+        nb_eff = n_groups * k_sub
+        bax = 1 if stacked else 0
+
+        def group_batches(a):
+            if k_sub == 1:
+                return a  # keep the round-2-validated ungrouped layout
+            pad = [(0, 0)] * a.ndim
+            pad[bax] = (0, nb_eff - num_batches)
+            a = jnp.pad(a, pad)  # zero masks → exact no-op batches
+            return a.reshape(
+                a.shape[:bax] + (n_groups, k_sub) + a.shape[bax + 1 :]
+            )
         # predictor streams, feature-major (..., F, B): one per NN branch
         if is_multi:
             x_ts = [
@@ -1246,9 +1377,10 @@ def make_fused_epoch(
                 a = jnp.moveaxis(a, -2, -1)
             return a.reshape(a.shape[:-1] + (1, a.shape[-1]))
 
-        forcing = [as3d(forcing_all[f]) for f in forcing_names]
-        ys = [as3d(y_all[t]) for t in target_names]
-        masks = [as3d(mask_all[t]) for t in target_names]
+        x_ts = [group_batches(x) for x in x_ts]
+        forcing = [group_batches(as3d(forcing_all[f])) for f in forcing_names]
+        ys = [group_batches(as3d(y_all[t])) for t in target_names]
+        masks = [group_batches(as3d(mask_all[t])) for t in target_names]
         nf, nt = len(forcing), len(ys)
         npar, nst = len(p_bufs), len(st_bufs)
         buf_shapes = [_buffer_shape(s) for s in orig_shapes]
@@ -1273,10 +1405,14 @@ def make_fused_epoch(
             p_in = refs[idx : idx + npar]; idx += npar
             m_in = refs[idx : idx + npar]; idx += npar
             v_in = refs[idx : idx + npar]; idx += npar
+            if has_u:
+                u_in = refs[idx : idx + npar]; idx += npar
             t_in = refs[idx]; idx += 1
             p_out = refs[idx : idx + npar]; idx += npar
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
+            if has_u:
+                au_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]; idx += 1
             st_out = refs[idx : idx + nst] if any_bn_train else ()
@@ -1288,20 +1424,15 @@ def make_fused_epoch(
             first = (e + i) == 0
             epoch_start = i == 0
 
-            def block0(ref):
-                # drop the singleton grid dims of a streamed block
-                return ref[0, 0] if stacked else ref[0]
+            def block_at(ref, j):
+                # drop the singleton grid dims of a streamed block; with
+                # sub-batch unrolling additionally take sub-batch j (static
+                # leading-dim index — the LSTM body's validated timestep
+                # access pattern)
+                if stacked:
+                    return ref[0, 0, j] if k_sub > 1 else ref[0, 0]
+                return ref[0, j] if k_sub > 1 else ref[0]
 
-            if is_multi:
-                x_fb = {
-                    bname: block0(x_refs[j])
-                    for j, (bname, _) in enumerate(nn_branches)
-                }
-            else:
-                x_fb = block0(x_refs[0]) if nx else None  # (F, B)
-            forcing_b = {f: block0(f_refs[j]) for j, f in enumerate(forcing_names)}
-            y_b = {t: block0(y_refs[j]) for j, t in enumerate(target_names)}
-            mask_b = {t: block0(m_refs[j]) for j, t in enumerate(target_names)}
             # trainable BN: norm stats are CARRIED state (same seeded-output
             # pattern as params); static state reads the inputs directly
             if any_bn_train:
@@ -1311,16 +1442,17 @@ def make_fused_epoch(
                 ]
             else:
                 st_cur = [r[...] for r in st_refs]
-            state2d = jax.tree.unflatten(
-                st_treedef,
-                [read_forward(v, s) for v, s in zip(st_cur, st_orig_shapes)],
-            )
             # carried state: output blocks stay VMEM-resident across the
             # sequential grid; at i==0 seed them from the read-only inputs
             # (NO input_output_aliases — see module docstring, rule 1)
             pb = [jnp.where(first, p_in[k][...], p_out[k][...]) for k in range(npar)]
             mb = [jnp.where(first, m_in[k][...], am_out[k][...]) for k in range(npar)]
             vb = [jnp.where(first, v_in[k][...], av_out[k][...]) for k in range(npar)]
+            if has_u:
+                ub = [jnp.where(first, u_in[k][...], au_out[k][...])
+                      for k in range(npar)]
+            else:
+                ub = [None] * npar
             # step counting: the carried tile holds only this launch's
             # valid-step DELTA (starts at 0; bounded by epochs×num_batches,
             # far below 2^24 so float32 increments stay exact). The absolute
@@ -1330,75 +1462,114 @@ def make_fused_epoch(
             # float t_base loses ulps, but there b^t has underflowed to 0 so
             # bias correction is exactly 1 regardless.)
             t_base = t_in[0, 0]
-            t_old = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
+            t_run = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
+            group_loss = jnp.float32(0.0)
 
-            p = jax.tree.unflatten(
-                treedef,
-                [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
-            )
-
-            body_fn = kernel_body_lstm if is_lstm else kernel_body
-            grads_tree, t_new, valid, batch_loss, new_state2d = body_fn(
-                i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_old
-            )
-            if any_bn_train:
-                new_st_leaves = jax.tree.flatten(new_state2d)[0]
-                for k in range(nst):
-                    v = new_st_leaves[k]
-                    if len(st_orig_shapes[k]) == 1:
-                        v = v.T  # column → row store layout
-                    elif len(st_orig_shapes[k]) != 2:
-                        v = v.reshape(1, 1)
-                    v = _pad_to(v, tuple(st_cur[k].shape))
-                    # arithmetic valid-gate (consistent with the updates)
-                    st_out[k][...] = st_cur[k] + valid * (v - st_cur[k])
             l2_coeff = 0.0
             if l2_spec is not None:
-                # declarative weight-L2 extra loss: symbolic value+grad.
-                # Padded buffer regions are zero so they contribute nothing.
                 count = sum(
                     int(np.prod(orig_shapes[k]))
                     for k in range(npar)
                     if is_weight[k]
                 )
                 norm_div = float(count) if l2_spec["normalize"] else 1.0
-                l2_sum = None
-                for k in range(npar):
-                    if not is_weight[k]:
-                        continue
-                    wb = pb[k]
-                    sq_col = _rowsum(
-                        wb * wb, jnp.ones((wb.shape[1], 1), jnp.float32)
-                    )  # (O, 1)
-                    s11 = jax.lax.dot_general(
-                        jnp.ones((1, wb.shape[0]), jnp.float32), sq_col,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (1, 1)
-                    l2_sum = s11 if l2_sum is None else l2_sum + s11
-                l2_val = (l2_spec["scale"] / norm_div) * l2_sum[0, 0]
-                batch_loss = batch_loss + (ex_outer * valid) * l2_val
                 l2_coeff = ex_outer * 2.0 * l2_spec["scale"] / norm_div
-            t_out[...] = jnp.zeros(_PAD, jnp.float32) + t_new
-            g_leaves = jax.tree.flatten(grads_tree)[0]
-            for k in range(npar):
-                g = g_leaves[k]
-                if len(orig_shapes[k]) == 1:
-                    g = g.T  # column grad → row store layout
-                g_pad = _pad_to(g, buf_shapes[k])
-                if l2_spec is not None and is_weight[k]:
-                    g_pad = g_pad + l2_coeff * pb[k]
-                p_new, m_new, v_new = update_fns[k](
-                    pb[k], mb[k], vb[k], g_pad, valid, t_base + t_new
+
+            body_fn = kernel_body_lstm if is_lstm else kernel_body
+            # k_sub SEQUENTIAL SGD steps per grid step: params/moments flow
+            # through the loop as VMEM values, written back once at the end
+            for j in range(k_sub):
+                if is_multi:
+                    x_fb = {
+                        bname: block_at(x_refs[jj], j)
+                        for jj, (bname, _) in enumerate(nn_branches)
+                    }
+                else:
+                    x_fb = block_at(x_refs[0], j) if nx else None  # (F, B)
+                forcing_b = {
+                    f: block_at(f_refs[jj], j)
+                    for jj, f in enumerate(forcing_names)
+                }
+                y_b = {
+                    t: block_at(y_refs[jj], j)
+                    for jj, t in enumerate(target_names)
+                }
+                mask_b = {
+                    t: block_at(m_refs[jj], j)
+                    for jj, t in enumerate(target_names)
+                }
+                state2d = jax.tree.unflatten(
+                    st_treedef,
+                    [read_forward(v, s)
+                     for v, s in zip(st_cur, st_orig_shapes)],
                 )
-                p_out[k][...] = p_new
-                am_out[k][...] = m_new
-                av_out[k][...] = v_new
+                p = jax.tree.unflatten(
+                    treedef,
+                    [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
+                )
+                grads_tree, t_run, valid, batch_loss, new_state2d = body_fn(
+                    i, p, state2d, x_fb, forcing_b, y_b, mask_b, t_run
+                )
+                if any_bn_train:
+                    new_st_leaves = jax.tree.flatten(new_state2d)[0]
+                    for k in range(nst):
+                        v = new_st_leaves[k]
+                        if len(st_orig_shapes[k]) == 1:
+                            v = v.T  # column → row store layout
+                        elif len(st_orig_shapes[k]) != 2:
+                            v = v.reshape(1, 1)
+                        v = _pad_to(v, tuple(st_cur[k].shape))
+                        # arithmetic valid-gate (consistent with the updates)
+                        st_cur[k] = st_cur[k] + valid * (v - st_cur[k])
+                if l2_spec is not None:
+                    # declarative weight-L2 extra loss: symbolic value+grad
+                    # at the CURRENT (sub-step) params. Padded buffer
+                    # regions are zero so they contribute nothing.
+                    l2_sum = None
+                    for k in range(npar):
+                        if not is_weight[k]:
+                            continue
+                        wb = pb[k]
+                        sq_col = _rowsum(
+                            wb * wb, jnp.ones((wb.shape[1], 1), jnp.float32)
+                        )  # (O, 1)
+                        s11 = jax.lax.dot_general(
+                            jnp.ones((1, wb.shape[0]), jnp.float32), sq_col,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (1, 1)
+                        l2_sum = s11 if l2_sum is None else l2_sum + s11
+                    l2_val = (l2_spec["scale"] / norm_div) * l2_sum[0, 0]
+                    batch_loss = batch_loss + (ex_outer * valid) * l2_val
+                group_loss = group_loss + batch_loss
+                g_leaves = jax.tree.flatten(grads_tree)[0]
+                for k in range(npar):
+                    g = g_leaves[k]
+                    if len(orig_shapes[k]) == 1:
+                        g = g.T  # column grad → row store layout
+                    g_pad = _pad_to(g, buf_shapes[k])
+                    if l2_spec is not None and is_weight[k]:
+                        g_pad = g_pad + l2_coeff * pb[k]
+                    pb[k], mb[k], vb[k], ub[k] = update_fns[k](
+                        pb[k], mb[k], vb[k], ub[k], g_pad, valid,
+                        t_base + t_run,
+                    )
+
+            for k in range(npar):
+                p_out[k][...] = pb[k]
+                am_out[k][...] = mb[k]
+                av_out[k][...] = vb[k]
+                if has_u:
+                    au_out[k][...] = ub[k]
+            if any_bn_train:
+                for k in range(nst):
+                    st_out[k][...] = st_cur[k]
+            t_out[...] = jnp.zeros(_PAD, jnp.float32) + t_run
             prev = loss_out[0, 0]
             # reset at the start of EVERY epoch: the launch returns the LAST
             # epoch's summed loss (same value the per-epoch-launch scan's
             # losses[-1] produced)
-            acc = jnp.where(epoch_start, batch_loss, prev + batch_loss)
+            acc = jnp.where(epoch_start, group_loss, prev + group_loss)
             loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc
 
         def batch_spec(arr):
@@ -1425,25 +1596,26 @@ def make_fused_epoch(
                 memory_space=pltpu.VMEM,
             )
 
+        n_sets = 4 if has_u else 3  # carried buffer sets: p, m, v[, u]
         in_specs = (
             [batch_spec(x) for x in x_ts]
             + [batch_spec(f) for f in forcing]
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
             + [full_spec(tuple(s.shape)) for s in st_bufs]
-            + [full_spec(s) for s in buf_shapes] * 3
+            + [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD)]
         )
         st_extra = (
             [full_spec(tuple(s.shape)) for s in st_bufs] if any_bn_train else []
         )
         out_specs = (
-            [full_spec(s) for s in buf_shapes] * 3
+            [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD), full_spec(_PAD)]
             + st_extra
         )
         out_shape = (
-            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * n_sets
             + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
             + (
                 [jax.ShapeDtypeStruct(tuple(s.shape), jnp.float32)
@@ -1454,24 +1626,26 @@ def make_fused_epoch(
 
         outs = pl.pallas_call(
             kernel,
-            grid=(epochs, num_batches),
+            grid=(epochs, n_groups),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(*x_ts, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs, t_buf)
+        )(*x_ts, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs,
+          *u_bufs, t_buf)
 
         new_p = list(outs[:npar])
         new_m = list(outs[npar : 2 * npar])
         new_v = list(outs[2 * npar : 3 * npar])
-        t_new = outs[3 * npar]
-        loss_sum = outs[3 * npar + 1]
+        new_u = list(outs[3 * npar : 4 * npar]) if has_u else []
+        t_new = outs[n_sets * npar]
+        loss_sum = outs[n_sets * npar + 1]
         new_st = (
-            list(outs[3 * npar + 2 : 3 * npar + 2 + nst])
+            list(outs[n_sets * npar + 2 : n_sets * npar + 2 + nst])
             if any_bn_train else list(st_bufs)
         )
         mean_loss = loss_sum[0, 0] / num_batches
-        return new_p, new_m, new_v, new_st, t_new, mean_loss
+        return new_p, new_m, new_v, new_u, new_st, t_new, mean_loss
 
     # ---- jit wrapper: layout conversion + shuffled multi-epoch scan -------
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -1492,6 +1666,19 @@ def make_fused_epoch(
         p_bufs = [_to_kernel_buffer(l) for l in leaves]
         m_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["m"])[0]]
         v_bufs = [_to_kernel_buffer(l) for l in jax.tree.flatten(opt_state["v"])[0]]
+        if has_u:
+            if "u" not in opt_state:
+                raise ValueError(
+                    "this optimizer needs the third state slot: build the "
+                    "opt state with init_fused_opt_state(params, "
+                    "optimizer_spec)"
+                )
+            u_bufs = [
+                _to_kernel_buffer(l)
+                for l in jax.tree.flatten(opt_state["u"])[0]
+            ]
+        else:
+            u_bufs = []
         # step counter: int32 master copy stays XLA-side; the kernel gets a
         # float32 BASE splat in and returns this launch's valid-step DELTA
         # (see kernel_body) — exact int accumulation at any step count
@@ -1561,9 +1748,9 @@ def make_fused_epoch(
                 data = (tensors.x, tensors.forcing, tensors.y, tensors.mask,
                         tensors.weight)
                 stacked = False
-            (p_bufs, m_bufs, v_bufs, st_bufs, t_delta,
+            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_delta,
              last_loss) = run_kernel_epoch(
-                list(p_bufs), list(m_bufs), list(v_bufs),
+                list(p_bufs), list(m_bufs), list(v_bufs), list(u_bufs),
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                 data, is_weight, update_fns, epochs=epochs, stacked=stacked,
@@ -1576,27 +1763,30 @@ def make_fused_epoch(
                 xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
 
             def body(carry, perm):
-                pb, mb, vb, stb, cum = carry
+                pb, mb, vb, ub, stb, cum = carry
                 data = (
                     sample_shuffled(perm)
                     if do_sample_shuffle
                     else batch_shuffled(perm)
                 )
-                pb, mb, vb, stb, t_delta, mean_loss = run_kernel_epoch(
-                    list(pb), list(mb), list(vb), t_base_buf(cum),
+                pb, mb, vb, ub, stb, t_delta, mean_loss = run_kernel_epoch(
+                    list(pb), list(mb), list(vb), list(ub), t_base_buf(cum),
                     list(stb), st_treedef, st_orig_shapes, treedef,
                     orig_shapes, data, is_weight, update_fns,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
                 return (
-                    tuple(pb), tuple(mb), tuple(vb), tuple(stb), cum
+                    tuple(pb), tuple(mb), tuple(vb), tuple(ub), tuple(stb),
+                    cum,
                 ), mean_loss
 
-            (p_bufs, m_bufs, v_bufs, st_bufs, t_cum), losses = jax.lax.scan(
-                body,
-                (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs),
-                 tuple(st_bufs), jnp.int32(0)),
-                xs,
+            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_cum), losses = (
+                jax.lax.scan(
+                    body,
+                    (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs),
+                     tuple(u_bufs), tuple(st_bufs), jnp.int32(0)),
+                    xs,
+                )
             )
             last_loss = losses[-1]
 
@@ -1615,6 +1805,11 @@ def make_fused_epoch(
             ),
             "t": (t0 + t_cum).reshape(1),
         }
+        if has_u:
+            new_opt_state["u"] = jax.tree.unflatten(
+                treedef,
+                [_from_kernel_buffer(a, s) for a, s in zip(u_bufs, orig_shapes)],
+            )
         if any_bn_train:
             state_out = jax.tree.unflatten(
                 st_treedef,
@@ -1766,7 +1961,8 @@ def fused_exactness_check(
                 shuffle=shuffle, epochs_per_call=e_gate,
             )
             pp_f, _, _, pl_f = fused_p(
-                jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+                jax.tree.map(jnp.copy, params),
+                init_fused_opt_state(params, optimizer_spec),
                 state, sub, key,
             )
             opt_p = resolve_optimizer(optimizer_spec, params)
@@ -1915,8 +2111,9 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         # (v2: phase A at f32 matmul precision; v3: phase-B loss-trajectory
         # bound made noise-aware) so stale verdicts refresh
         "gate-v3",
-        # multisite sub-chunk unrolling changes the compiled kernel shape
+        # sub-chunk / sub-batch unrolling changes the compiled kernel shape
         os.environ.get("EASYHYBRID_MS_UNROLL", "4"),
+        os.environ.get("EASYHYBRID_FUSED_UNROLL", "1"),
         jax.__version__, jax.default_backend(),
         _runtime_identity(),
     ]

@@ -141,8 +141,13 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
-    if parse_opt_spec(optimizer_spec) is None:
+    parsed_opt = parse_opt_spec(optimizer_spec)
+    if parsed_opt is None:
         return False
+    from .fused_epoch import _SLOT3_OPTS
+
+    if parsed_opt[0] in _SLOT3_OPTS:
+        return False  # no third per-site state tile in this kernel
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
         return False
     return True

@@ -449,7 +449,7 @@ def train(
     def build_fused_epoch():
         from ..ops.fused_epoch import _fused_builder, init_fused_opt_state
 
-        opt_state = init_fused_opt_state(params)
+        opt_state = init_fused_opt_state(params, cfg.optimizer)
         fused_fn = _fused_builder(model)(
             model,
             state,

@@ -201,11 +201,18 @@ def test_fused_forward_matches_apply():
                                  ("lion", 0.003, {"weight_decay": 0.1}),
                                  ("adamax", 0.01),
                                  ("nadam", 0.01),
+                                 # adadelta's two EMAs ride the (m, v)
+                                 # slots; amsgrad carries the 3rd u slot
+                                 ("adadelta", 0.5),
+                                 ("adadelta", 0.5, {"rho": 0.8,
+                                                    "weight_decay": 1e-3}),
+                                 ("amsgrad", 0.01),
+                                 ("amsgrad", 0.01, {"b1": 0.8}),
                                  ("sgd", 0.02, 0.9),         # heavy-ball
                                  ("sgd", 0.02, 0.9, True)])  # nesterov
 def test_fused_widened_optimizers(opt):
-    """adamw / rmsprop / adagrad / lion / adamax / nadam / kwarg-form
-    hyperparameters match optax exactly."""
+    """adamw / rmsprop / adagrad / lion / adamax / nadam / adadelta /
+    amsgrad / kwarg-form hyperparameters match optax exactly."""
     from easyhybrid_tpu.training.optimizers import resolve_optimizer
 
     if isinstance(opt[-1], dict):
@@ -215,7 +222,7 @@ def test_fused_widened_optimizers(opt):
     assert supports_fused_epoch(model, opt, ll)
     fused = make_fused_epoch(model, state, opt, ll, shuffle=False)
     p_f, _, _, loss_f = fused(
-        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params, opt),
         state, tensors, jax.random.PRNGKey(1),
     )
     optimizer = resolve_optimizer(opt, params)
@@ -351,9 +358,20 @@ def test_parse_opt_spec_envelope():
     assert parse_opt_spec(("lion", 0.01, 0.9, 0.99, 1e-3)) is None
     assert parse_opt_spec(("nadam", 0.01))[1]["eps_root"] == 0.0
     assert parse_opt_spec(("adamax", 0.01, 0.8))[1]["b1"] == 0.8
-    # three-slot-state rules stay on the XLA path
-    assert parse_opt_spec("amsgrad") is None
-    assert parse_opt_spec(("adadelta", 0.01)) is None
+    # fused since late round 3: adadelta rides (m, v); amsgrad uses the
+    # optional third u slot (spec_uses_slot3 drives its allocation)
+    from easyhybrid_tpu.ops.fused_epoch import spec_uses_slot3
+
+    assert parse_opt_spec("amsgrad") == ("amsgrad", dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0))
+    assert parse_opt_spec(("adadelta", 0.01))[1]["rho"] == 0.9
+    assert spec_uses_slot3("amsgrad")
+    assert spec_uses_slot3({"nn": ("amsgrad", 0.01)})
+    assert not spec_uses_slot3(("adadelta", 0.01))
+    assert not spec_uses_slot3("adam")
+    # the RNG-consuming noisy_sgd is the one optax first-order rule that
+    # stays on the XLA path (no in-kernel RNG)
+    assert parse_opt_spec("noisy_sgd") is None
 
 
 def test_fused_multinn_matches_xla():
@@ -1117,3 +1135,146 @@ def test_train_kge_loss_runs_fused():
     )
     assert res.epoch_path == "fused_pallas"
     assert np.isfinite(res.best_loss)
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_fused_sub_batch_unroll_parity(shuffle):
+    """Sub-batch unrolling (round 3) is semantics-free: unroll=3 over 7
+    batches (non-dividing — exercises the zero-mask tail padding) matches
+    unroll=1 and the XLA epoch exactly, including the shuffled stacked
+    layout and the adam step counter."""
+    model, params, state, tensors = _setup(n=7 * 64, batch=64)
+    assert tensors.weight.shape[0] == 7
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+
+    outs = {}
+    for k in (1, 3):
+        fused = make_fused_epoch(
+            model, state, ("adam", 0.01), ll, shuffle=shuffle,
+            epochs_per_call=2, unroll=k,
+        )
+        outs[k] = fused(
+            jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(5),
+        )
+    optimizer = optax.adam(0.01)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=shuffle,
+                           epochs_per_call=2)
+    p_x, os_x, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(5),
+    )
+    for k in (1, 3):
+        p_f, os_f, _, loss_f = outs[k]
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-6,
+                err_msg=f"unroll={k}",
+            )
+        np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+        # step counter counts REAL valid batches, not padded tail slots
+        assert int(os_f["t"][0]) == int(os_x[0][0].count) if hasattr(
+            os_x[0][0], "count") else True
+        assert int(os_f["t"][0]) == 14
+
+
+def test_fused_unroll_with_trainable_bn_and_l2():
+    """Carried BN state and the sub-step-current weight-L2 gradient stay
+    exact through the unrolled loop."""
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], input_batchnorm=True,
+    )
+    df = eh.gen_rbq10_data(6 * 64, seed=3)
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 64))
+    params, state = model.init(jax.random.PRNGKey(0))
+    ll = eh.LoggingLoss(training_loss="mse", extra_loss=eh.l2_extra_loss(1e-3))
+
+    res = {}
+    for k in (1, 4):
+        fused = make_fused_epoch(model, state, ("adamw", 0.01), ll,
+                                 shuffle=False, unroll=k)
+        res[k] = fused(
+            jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(1),
+        )
+    for a, b in zip(jax.tree.leaves(res[1][:3]), jax.tree.leaves(res[4][:3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    np.testing.assert_allclose(float(res[1][3]), float(res[4][3]), rtol=1e-5)
+
+
+def test_fused_amsgrad_multi_epoch_shuffle_and_branch():
+    """The third (nu_max) slot carries across grid steps, stacked shuffled
+    epochs, and the lax.scan fallback; per-branch specs may mix a 3-slot
+    rule on one branch with 2-slot rules elsewhere."""
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    model, params, state, tensors = _setup(n=6 * 64, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+
+    for opt in [("amsgrad", 0.01), {"nn": ("amsgrad", 0.01),
+                                    "globals": ("adam", 0.02)}]:
+        fused = make_fused_epoch(model, state, opt, ll, shuffle=True,
+                                 epochs_per_call=3)
+        p_f, os_f, _, loss_f = fused(
+            jax.tree.map(jnp.array, params),
+            init_fused_opt_state(params, opt),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(2),
+        )
+        assert "u" in os_f
+        optimizer = resolve_optimizer(opt, params)
+        if not isinstance(opt, dict):
+            optimizer = optax.flatten(optimizer)
+        xla = make_train_epoch(model, ll, optimizer, shuffle=True,
+                               epochs_per_call=3)
+        p_x, _, _, loss_x = xla(
+            jax.tree.map(jnp.array, params), optimizer.init(params),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(2),
+        )
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6, err_msg=str(opt))
+        # slightly looser than the adam cases: exp/log b^t noise compounds
+        # through the max() accumulator over 18 steps
+        np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=5e-5)
+        # nu_max is non-negative everywhere and populated on the amsgrad
+        # leaves (2-slot branches legitimately leave their u slot zero)
+        assert all(
+            float(jnp.min(u)) >= 0.0 for u in jax.tree.leaves(os_f["u"])
+        )
+        assert any(
+            float(jnp.max(u)) > 0.0 for u in jax.tree.leaves(os_f["u"])
+        )
+
+
+def test_fused_amsgrad_scan_fallback_matches_single_launch(monkeypatch):
+    """u-slot threading through the per-epoch lax.scan (stack cap 0)."""
+    monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "0")
+    model, params, state, tensors = _setup(n=4 * 64, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    opt = ("amsgrad", 0.01)
+    scan = make_fused_epoch(model, state, opt, ll, shuffle=True,
+                            epochs_per_call=2)
+    p_s, os_s, _, loss_s = scan(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params, opt),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(7),
+    )
+    monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "256")
+    single = make_fused_epoch(model, state, opt, ll, shuffle=True,
+                              epochs_per_call=2)
+    p_1, os_1, _, loss_1 = single(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params, opt),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(7),
+    )
+    for a, b in zip(jax.tree.leaves((p_s, os_s["u"])),
+                    jax.tree.leaves((p_1, os_1["u"]))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
