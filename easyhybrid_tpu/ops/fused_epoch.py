@@ -65,10 +65,11 @@ residual penalties, forward-differentiated in-kernel; batch-statistic
 losses use centered sufficient statistics + scalar jvp partials),
 agg in {sum, mean},
 optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam,
-adadelta, amsgrad} with static hyperparameters — every optax built-in
-first-order rule except the RNG-consuming noisy_sgd (adadelta's two EMAs
-ride the (m, v) slots; amsgrad carries an optional third ``u`` buffer
-set for nu_max) —
+adadelta, radam, amsgrad} with static hyperparameters — every rule in
+``training.optimizers.OPTIMIZERS`` except lamb (needs per-leaf
+trust-ratio norms) and the RNG-consuming noisy_sgd (adadelta's two EMAs
+ride the (m, v) slots; radam's rectification is a pure function of t;
+amsgrad carries an optional third ``u`` buffer set for nu_max) —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
@@ -133,6 +134,11 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     ),
     # (e_g, e_x) EMAs map onto the (v, m) slots — no counter, no 3rd slot
     "adadelta": dict(learning_rate=0.01, rho=0.9, eps=1e-6, weight_decay=0.0),
+    # rectification term is a pure function of t — no extra state
+    "radam": dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0,
+        threshold=5.0,
+    ),
     # needs the optional 3rd slot (nu_max of the bias-corrected nu_hat)
     "amsgrad": dict(
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
@@ -156,6 +162,7 @@ _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "nadam": ("learning_rate", "b1", "b2", "eps"),
     "adadelta": ("learning_rate", "rho", "eps"),
     "amsgrad": ("learning_rate", "b1", "b2", "eps"),
+    "radam": ("learning_rate", "b1", "b2", "eps"),
 }
 
 
@@ -197,6 +204,11 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
             if not isinstance(v, (int, float)):
                 return None
             hyper[k] = float(v)
+    if name == "radam" and hyper["threshold"] < 4.0:
+        # optax's own rectified branch computes sqrt of a NEGATIVE radicand
+        # for ro ∈ (threshold, 4) and NaNs; don't mirror a broken regime —
+        # leave pathological thresholds on the XLA path as-is
+        return None
     return name, hyper
 
 
@@ -563,6 +575,35 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             ex_new = rho * mv + (1.0 - rho) * upd0 * upd0
             m_sel = mv + valid * (ex_new - mv)
             return pv - (valid * lr) * upd0, m_sel, v_sel
+        if opt_name == "radam":
+            # optax.scale_by_radam: adam moments + a RECTIFICATION factor
+            # that is a pure function of t. Below the tractability
+            # threshold the update is the bias-corrected momentum alone.
+            # Arithmetic (not where-) gating per the kernel rules, so the
+            # rectification radicand is clamped at 0 — it is only negative
+            # in the untaken ro < threshold regime, and NaN·0 would
+            # otherwise leak through the arithmetic select.
+            b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+            ro_inf = 2.0 / (1.0 - b2) - 1.0
+            m_new = b1 * mv + (1.0 - b1) * g
+            v_new = b2 * vv + (1.0 - b2) * g * g
+            m_sel = mv + valid * (m_new - mv)
+            v_sel = vv + valid * (v_new - vv)
+            t_safe = jnp.maximum(t_new, 1.0)
+            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            ro = ro_inf - 2.0 * t_safe * b2_t / (1.0 - b2_t)
+            m_hat = m_sel / (1.0 - b1_t)
+            v_hat = v_sel / (1.0 - b2_t)
+            rad = (
+                (ro - 4.0) * (ro - 2.0) * ro_inf
+                / ((ro_inf - 4.0) * (ro_inf - 2.0) * ro)
+            )
+            r = jnp.sqrt(jnp.maximum(rad, 0.0))
+            rect = r * m_hat / (jnp.sqrt(v_hat + hyper["eps_root"]) + eps)
+            sel = (ro >= hyper["threshold"]).astype(jnp.float32)
+            upd = sel * rect + (1.0 - sel) * m_hat
+            return pv - (valid * lr) * upd, m_sel, v_sel
         if opt_name == "nadam":
             # optax scale_by_adam(nesterov=True): the Nesterov lookahead
             # mixes the POST-update momentum bias-corrected at t+1 with

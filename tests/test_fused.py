@@ -208,6 +208,10 @@ def test_fused_forward_matches_apply():
                                                     "weight_decay": 1e-3}),
                                  ("amsgrad", 0.01),
                                  ("amsgrad", 0.01, {"b1": 0.8}),
+                                 # 4 steps stay in the ro<threshold
+                                 # momentum-only regime (the rectified
+                                 # regime has a dedicated longer test)
+                                 ("radam", 0.02),
                                  ("sgd", 0.02, 0.9),         # heavy-ball
                                  ("sgd", 0.02, 0.9, True)])  # nesterov
 def test_fused_widened_optimizers(opt):
@@ -1278,3 +1282,42 @@ def test_fused_amsgrad_scan_fallback_matches_single_launch(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+
+
+def test_fused_radam_rectified_regime():
+    """radam across BOTH regimes: 24 steps pass through the t≈5 variance-
+    tractability boundary into the rectified update; trajectories must
+    match optax (which crosses the same boundary at the same step)."""
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+    from easyhybrid_tpu.ops.fused_epoch import parse_opt_spec
+
+    # pathological thresholds (optax NaNs for ro ∈ (thr, 4)) stay XLA-side
+    assert parse_opt_spec(("radam", 0.02, {"threshold": 2.0})) is None
+    assert parse_opt_spec(("radam", 0.02))[1]["threshold"] == 5.0
+
+    model, params, state, tensors = _setup(n=12 * 64, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    opt = ("radam", 0.02)
+    fused = make_fused_epoch(model, state, opt, ll, shuffle=False,
+                             epochs_per_call=2)
+    p_f, os_f, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params, opt),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(3),
+    )
+    assert int(os_f["t"][0]) == 24
+    optimizer = optax.flatten(resolve_optimizer(opt, params))
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False,
+                           epochs_per_call=2)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(3),
+    )
+    # looser than the other rules: ro = ro_inf - 2t·b2^t/(1-b2^t) suffers
+    # catastrophic cancellation in (1-b2^t) (±0.04 on ro at t≈5 between
+    # pow and exp/log roundings) and the rectifier r=sqrt(rad) is
+    # ill-conditioned just past the boundary where rad is tiny — ~1e-3
+    # relative update noise for a few steps, identical regime on both
+    # paths (a flip would diverge the whole trajectory, not 3e-5)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)

@@ -82,6 +82,14 @@ def main():
         ("nadam", ("nadam", 0.01)),
         ("sgd+momentum", ("sgd", 0.02, 0.9)),
         ("sgd+nesterov", ("sgd", 0.02, 0.9, True)),
+        # final-session widening: adadelta (two EMAs on (m, v); dual-sqrt
+        # ratio chain) and amsgrad (third carried u buffer set + in-kernel
+        # elementwise max accumulator) — plus a mixed 3-slot/2-slot branch
+        # dict exercising the uniform update protocol
+        ("adadelta", ("adadelta", 0.5)),
+        ("amsgrad", ("amsgrad", 0.01)),
+        ("radam", ("radam", 0.02)),
+        ("branch-mix", {"nn": ("amsgrad", 0.01), "globals": ("adam", 0.02)}),
     ]
     results = []
     m, params, state, tensors = build_single()
@@ -97,7 +105,8 @@ def main():
 
     ms, ps, st, ts = build_multisite()
     for label, opt in [("ms/lion", ("lion", 0.003)),
-                       ("ms/nadam", ("nadam", 0.01))]:
+                       ("ms/nadam", ("nadam", 0.01)),
+                       ("ms/adadelta", ("adadelta", 0.5))]:
         t0 = time.perf_counter()
         ok, d = fused_exactness_check(
             ms, ps, st, opt, ll, ts, epochs_per_call=4, shuffle=True,
