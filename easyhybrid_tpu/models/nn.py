@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -361,7 +362,15 @@ class LSTMNet(Module):
         h0 = jnp.zeros((n, h_size), jnp.float32)
         c0 = jnp.zeros((n, h_size), jnp.float32)
         xs = jnp.swapaxes(x, 0, 1)  # (time, batch, feat) for scan
-        _, hs = lax.scan(step, (h0, c0), xs)
+        # static unrolling lets XLA fuse the elementwise gate math across
+        # consecutive timesteps and drop the loop bookkeeping; windows are
+        # O(10-100) steps, so a bounded unroll keeps compile time sane
+        unroll = max(
+            1, int(os.environ.get("EASYHYBRID_LSTM_SCAN_UNROLL", "8"))
+        )
+        _, hs = lax.scan(
+            step, (h0, c0), xs, unroll=min(unroll, x.shape[1])
+        )
         hs = jnp.swapaxes(hs, 0, 1)  # (batch, time, hidden)
 
         head = Dense(h_size, self.out_dim, self.output_activation)
