@@ -56,7 +56,10 @@ shape three more hard rules in this kernel:
 
 Supported fast path (``supports_fused_epoch``; falls back to the XLA scan
 epoch otherwise): SingleNN or MultiNN MLP hybrids (or a pure-parameter model
-with no NN), ``input_batchnorm`` in {False, "static", True} (trainable
+with no NN), optionally with ``compute_dtype=bfloat16`` mixed precision
+(forward operands cast per layer, f32 accumulation; the backward mirrors
+the XLA path's cast-VJP bf16 round-trips — see ``backward_mlp``),
+``input_batchnorm`` in {False, "static", True} (trainable
 running-stats BN normalizes with batch stats and carries the EMA state
 in-kernel), training loss in {mse, mae, rmse, nseLoss, pearsonLoss,
 kgeLoss, pbkgeLoss} — i.e. EVERY built-in minimize-direction metric —
@@ -143,7 +146,18 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
     "amsgrad": dict(
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
     ),
+    # per-LEAF trust-ratio norms (tile-wide dot reductions in-kernel);
+    # whole-leaf semantics keep it out of the chunked multisite kernel
+    "lamb": dict(
+        learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-6, eps_root=0.0,
+        weight_decay=0.0,
+    ),
 }
+
+# rules whose update is NOT elementwise (needs whole-leaf reductions): the
+# multisite kernel splits each stacked per-site leaf across grid chunks, so
+# a chunk-local norm would not be the optax leaf norm — XLA path there
+_WHOLELEAF_OPTS = ("lamb",)
 
 # rules whose optax state needs a third per-leaf slot: the kernel carries
 # an extra (u) buffer set only when one of these is in the spec
@@ -163,6 +177,7 @@ _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "adadelta": ("learning_rate", "rho", "eps"),
     "amsgrad": ("learning_rate", "b1", "b2", "eps"),
     "radam": ("learning_rate", "b1", "b2", "eps"),
+    "lamb": ("learning_rate", "b1", "b2", "eps"),
 }
 
 
@@ -309,8 +324,10 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
             continue
         if not isinstance(nn, MLP):
             return False
-        if nn.compute_dtype is not None:
-            return False  # kernel computes in float32
+        if nn.compute_dtype is not None and (
+            jnp.dtype(nn.compute_dtype) != jnp.dtype(jnp.bfloat16)
+        ):
+            return False  # mixed precision in-kernel: bfloat16 only
     if logging.extra_loss is not None and not hasattr(
         logging.extra_loss, "_l2_spec"
     ):
@@ -456,11 +473,36 @@ def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1, bn_train: bool = False):
         if mlp.norm.affine:
             h = xhat * pnn["norm"]["scale"] + pnn["norm"]["bias"]
     residual_h, residual_dact = [], []
+    cd = mlp.compute_dtype
+    # bf16 operands: pin contract precision to DEFAULT explicitly. An
+    # ambient jax.default_matmul_precision("float32") context (the gate's
+    # phase A) would otherwise stamp contract_precision<fp32> onto a bf16
+    # tpu.matmul, which Mosaic rejects outright ("Bad lhs type", found
+    # on-chip 2026-08-17). bf16×bf16 products are exact in the f32
+    # accumulator, so DEFAULT loses nothing vs the multi-pass emulation.
+    prec = jax.lax.Precision.DEFAULT if cd is not None else None
     for layer, lp in zip(mlp.layers, pnn["layers"]):
+        w = lp["w"]
+        if cd is not None:
+            # mixed precision exactly like Dense.apply: operands cast to
+            # the compute dtype, f32 accumulation. The CAST activations are
+            # the residuals the backward contracts against (mirroring the
+            # XLA path's jaxpr, where the saved residual is the bf16 cast)
+            h = h.astype(cd)
+            w = w.astype(cd)
         residual_h.append(h)
+        if cd is not None and h.shape[0] == 1:
+            # A bf16 dot operand with a size-1 dim makes Mosaic emit an
+            # invalid mixed-dtype vector.broadcast ((1,B)bf16 → (O,B)f32,
+            # found on-chip 2026-08-17 on a one-predictor MultiNN branch).
+            # Promote BOTH operands to f32 for the dot: the values are
+            # already bf16-quantized, so every product is exact — numerics
+            # identical, and the all-f32 degenerate dot is the validated
+            # f32-kernel pattern.
+            w, h = w.astype(jnp.float32), h.astype(jnp.float32)
         z = jax.lax.dot_general(
-            lp["w"], h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            w, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )  # (out, in) @ (in, B) → (out, B)
         z = z + lp["b"]  # (out, 1) broadcasts over lanes
         act = get_activation(layer.activation)
@@ -472,24 +514,50 @@ def forward_mlp(mlp: MLP, pnn, st_nn, x_fb, ones_b1, bn_train: bool = False):
 
 def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
     """Symbolic transposed backward from the nn_out cotangent ``D``
-    (out, B). Returns the branch grads dict mirroring ``pnn``."""
+    (out, B). Returns the branch grads dict mirroring ``pnn``.
+
+    Mixed precision (``mlp.compute_dtype``) mirrors the XLA path's jaxpr
+    exactly: the backward dots contract the f32 cotangent against the
+    CAST (bf16) residuals/weights with f32 accumulation, and both the
+    weight gradients and the inter-layer cotangents pass through the cast
+    VJP's bf16 round-trip (cotangents of a bf16 primal are bf16)."""
     residual_h, residual_dact, xhat = residuals
+    cd = mlp.compute_dtype
+    # same DEFAULT-precision pin as forward_mlp (phase-A f32 context would
+    # otherwise produce a Mosaic-rejected fp32-precision bf16 matmul)
+    prec = jax.lax.Precision.DEFAULT if cd is not None else None
+
+    def requantize(a):
+        return a.astype(cd).astype(jnp.float32) if cd is not None else a
+
     has_norm_affine = bool(mlp.input_batchnorm and mlp.norm.affine)
     layer_grads: List[Dict[str, Any]] = [None] * len(mlp.layers)
     for li in range(len(mlp.layers) - 1, -1, -1):
         D = D * residual_dact[li]  # dL/dz_li (out, B)
-        gw = jax.lax.dot_general(
-            D, residual_h[li], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (out, B) ×_B (in, B) → (out, in)
+        h_res = residual_h[li]
+        if cd is not None and h_res.shape[0] == 1:
+            # size-1 bf16 operand: same invalid-broadcast Mosaic pattern
+            # as forward_mlp — promote to f32 (exact, values already
+            # bf16-quantized)
+            h_res = h_res.astype(jnp.float32)
+        gw = requantize(jax.lax.dot_general(
+            D, h_res, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ))  # (out, B) ×_B (in, B) → (out, in)
         gb = _rowsum(D, ones_b1)  # (out, 1)
         layer_grads[li] = {"w": gw, "b": gb}
         if li > 0 or has_norm_affine:
             w = pnn["layers"][li]["w"]  # (out, in)
-            D = jax.lax.dot_general(
+            if cd is not None:
+                w = w.astype(cd)
+                if w.shape[0] == 1 or w.shape[1] == 1:
+                    # size-1 bf16 operand: same invalid-broadcast Mosaic
+                    # pattern — promote to f32 (exact)
+                    w = w.astype(jnp.float32)
+            D = requantize(jax.lax.dot_general(
                 w, D, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # contract out → (in, B)
+                preferred_element_type=jnp.float32, precision=prec,
+            ))  # contract out → (in, B)
     grads = {"layers": layer_grads}
     if has_norm_affine:
         grads["norm"] = {
@@ -624,6 +692,46 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             v_hat = v_sel / (1.0 - b2_t)
             upd = m_hat / (jnp.sqrt(v_hat + hyper["eps_root"]) + eps)
             return pv - (valid * lr) * upd, m_sel, v_sel
+        if opt_name == "lamb":
+            # optax.lamb = scale_by_adam ∘ add_decayed_weights ∘
+            # scale_by_trust_ratio ∘ lr. The trust ratio needs per-LEAF L2
+            # norms: computed tile-wide with the validated rowsum+dot
+            # reduction pattern (the l2_spec path's) — padded tile regions
+            # hold zeros for params, gradients, and moments, so the tile
+            # norm IS the leaf norm. Same exp/log b^t + t>=1 clamp as adam.
+            b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
+            m_new = b1 * mv + (1.0 - b1) * g
+            v_new = b2 * vv + (1.0 - b2) * g * g
+            m_sel = mv + valid * (m_new - mv)
+            v_sel = vv + valid * (v_new - vv)
+            t_safe = jnp.maximum(t_new, 1.0)
+            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            m_hat = m_sel / (1.0 - b1_t)
+            v_hat = v_sel / (1.0 - b2_t)
+            upd = m_hat / (jnp.sqrt(v_hat + hyper["eps_root"]) + eps)
+            upd = upd + hyper["weight_decay"] * pv
+
+            def tile_norm(a):
+                ones_c1 = jnp.ones((a.shape[1], 1), jnp.float32)
+                sq_col = _rowsum(a * a, ones_c1)  # (R, 1)
+                s11 = jax.lax.dot_general(
+                    jnp.ones((1, a.shape[0]), jnp.float32), sq_col,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, 1)
+                return jnp.sqrt(s11[0, 0])
+
+            pn, un = tile_norm(pv), tile_norm(upd)
+            # optax: trust_ratio = pn/un, forced to 1 when either norm is
+            # zero. Scalar arithmetic gating (no boolean-and lowering):
+            # sel == 1 iff both norms are positive.
+            sel = (pn > 0.0).astype(jnp.float32) * (un > 0.0).astype(
+                jnp.float32
+            )
+            ratio = pn / jnp.where(un > 0.0, un, 1.0)
+            tr = sel * ratio + (1.0 - sel)
+            return pv - (valid * lr) * (tr * upd), m_sel, v_sel
         b1, b2, eps = hyper["b1"], hyper["b2"], hyper["eps"]
         # b^t as exp(t·log b): Mosaic does not lower power with traced exp.
         # t clamped to >=1: a fully-masked batch at step 0 leaves t_new==0,
@@ -2137,10 +2245,22 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
     ]
     data_shapes = jax.tree.map(lambda a: tuple(a.shape), (
         tensors.x, tensors.forcing, tensors.y, tensors.mask))
+    # NN architecture descriptor: the frozen-dataclass reprs capture layer
+    # sizes, activation, batchnorm mode/affine, and compute_dtype — all of
+    # which change the kernel's compiled code (and therefore which Mosaic
+    # patterns the verdict vouches for). Without this, a bf16 model reused
+    # the f32 model's cached PASS (found on-chip 2026-08-17).
+    nns = getattr(model, "nns", None)
+    if nns is None:
+        nn = getattr(model, "nn", None)
+        nn_descr = repr(nn)
+    else:
+        nn_descr = repr(list(nns))
     parts = [
         type(model).__name__,
         str(model.neural_param_names), str(model.global_param_names),
         str(getattr(model, "scale_nn_outputs", None)),
+        nn_descr,
         mech_src,
         str(optimizer_spec),
         _loss_cache_descr(logging.training_loss), str(logging.agg_name),
@@ -2150,15 +2270,36 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         str(max(1, min(int(epochs_per_call), 4))), str(shuffle),
         # gate-procedure version: bump when the comparison itself changes
         # (v2: phase A at f32 matmul precision; v3: phase-B loss-trajectory
-        # bound made noise-aware) so stale verdicts refresh
-        "gate-v3",
+        # bound made noise-aware; v4: NN-architecture descriptor in the key
+        # + bf16 dots pinned to DEFAULT precision) so stale verdicts refresh
+        "gate-v4",
         # sub-chunk / sub-batch unrolling changes the compiled kernel shape
         os.environ.get("EASYHYBRID_MS_UNROLL", "4"),
         os.environ.get("EASYHYBRID_FUSED_UNROLL", "1"),
         jax.__version__, jax.default_backend(),
         _runtime_identity(),
+        _kernel_source_rev(),
     ]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:32]
+
+
+@functools.lru_cache(maxsize=1)
+def _kernel_source_rev() -> str:
+    """Hash of the kernel source files. A verdict vouches for the compiled
+    kernel CODE, not just the configuration — during development a stale
+    FAIL (or PASS) surviving a kernel edit repeatedly misled on-chip
+    validation, so the key tracks the source bytes themselves."""
+    import hashlib
+
+    h = hashlib.sha256()
+    here = os.path.dirname(__file__)
+    for fname in ("fused_epoch.py", "fused_multisite.py", "fused_forward.py"):
+        try:
+            with open(os.path.join(here, fname), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
 
 
 @functools.lru_cache(maxsize=1)

@@ -1321,3 +1321,63 @@ def test_fused_radam_rectified_regime():
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
     np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+
+
+def test_fused_compute_dtype_bf16_matches_xla():
+    """compute_dtype=bfloat16 mixed precision inside the kernel: forward
+    operands cast per layer, backward mirrors the XLA path's cast-VJP
+    bf16 round-trips — trajectories match the XLA epoch. Tolerance is a
+    touch looser than the f32 cases: the kernel's feature-major
+    contraction sums the (exact) bf16 products in a different order, and
+    where that lands a backward result on a bf16 rounding boundary the
+    cast-VJP quantization flips one ulp (~2^-9 relative) on isolated
+    elements."""
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish", scale_nn_outputs=True,
+        input_batchnorm="static", compute_dtype=jnp.bfloat16,
+    )
+    df = eh.gen_rbq10_data(4 * 128, seed=9)
+    data = eh.prepare_data(model, df)
+    tensors = jax.device_put(build_epoch_tensors(data, 128))
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll)
+
+    # sgd for the trajectory comparison: adaptive rules amplify an
+    # isolated bf16 ulp flip to ~lr per step (sign noise), which is why
+    # the runtime gate's phase-B criterion is structural; under sgd the
+    # divergence stays proportional to the true gradient difference
+    fused = make_fused_epoch(model, state, ("sgd", 0.05), ll, shuffle=True,
+                             epochs_per_call=2)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params),
+        init_fused_opt_state(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(4),
+    )
+    optimizer = optax.flatten(optax.sgd(0.05))
+    xla = make_train_epoch(model, ll, optimizer, shuffle=True,
+                           epochs_per_call=2)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(4),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-4)
+    # f16 compute dtypes stay outside the envelope
+    m16 = eh.construct_hybrid_model(
+        predictors=["sw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        compute_dtype=jnp.float16,
+    )
+    assert not supports_fused_epoch(m16, ("adam", 0.01), ll)
