@@ -15,6 +15,8 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      (torch-CPU baseline)
 * ``large_mlp``    — reference GPU-tutorial config [1024,512,256,128,64],
                      batch 64, 5k rows (torch-CPU baseline)
+* ``large_mlp_bf16`` — the same config with ``compute_dtype=bfloat16``
+                     (MXU-native mixed precision; vs the same f32 CPU pin)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
@@ -92,6 +94,9 @@ _PINNED_BASELINES = {
     "rbq10": 1147.7,
     "multi_target": 784.0,
     "large_mlp": 175.0,
+    # same pin as large_mlp: the reference/torch baseline computes f32 (CPU
+    # bf16 would be slower, so the f32 pin is the conservative denominator)
+    "large_mlp_bf16": 175.0,
     "lstm": 285.0,
 }
 
@@ -313,6 +318,37 @@ def bench_large_mlp() -> float:
         neural_param_names=["rb"], global_param_names=["Q10"],
         hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
         scale_nn_outputs=True, input_batchnorm=True,
+    )
+    df = eh.gen_rbq10_data(5_000, seed=42)
+    data = eh.prepare_data(model, df)
+    return _epoch_bench(
+        model, data, batch=64, epochs_per_call=64,
+        flops_per_step=_mlp_flops_per_step(
+            [1024, 512, 256, 128, 64], 2, 64
+        ),
+    )
+
+
+def bench_large_mlp_bf16() -> float:
+    """``large_mlp`` with ``compute_dtype=bfloat16``: the kernel's dots
+    contract bf16 operands with f32 accumulation (MXU-native). Static
+    input norm (bf16 + trainable-BN batch stats would re-quantize the
+    normalizer every step for no benchmark-relevant reason)."""
+    import jax.numpy as jnp
+
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+        compute_dtype=jnp.bfloat16,
     )
     df = eh.gen_rbq10_data(5_000, seed=42)
     data = eh.prepare_data(model, df)
@@ -580,6 +616,7 @@ def main():
     headline = entry("rbq10", bench_rbq10, baseline_rbq10)
     entry("multi_target", bench_multi_target, baseline_multi_target)
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
+    entry("large_mlp_bf16", bench_large_mlp_bf16, None)
     entry("multisite", bench_multisite, None)
     entry("lstm", bench_lstm, baseline_lstm)
 

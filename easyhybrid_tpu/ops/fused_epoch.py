@@ -68,11 +68,12 @@ residual penalties, forward-differentiated in-kernel; batch-statistic
 losses use centered sufficient statistics + scalar jvp partials),
 agg in {sum, mean},
 optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam,
-adadelta, radam, amsgrad} with static hyperparameters — every rule in
-``training.optimizers.OPTIMIZERS`` except lamb (needs per-leaf
-trust-ratio norms) and the RNG-consuming noisy_sgd (adadelta's two EMAs
-ride the (m, v) slots; radam's rectification is a pure function of t;
-amsgrad carries an optional third ``u`` buffer set for nu_max) —
+adadelta, radam, amsgrad, lamb} with static hyperparameters — every rule
+in ``training.optimizers.OPTIMIZERS`` except the RNG-consuming noisy_sgd
+(adadelta's two EMAs ride the (m, v) slots; radam's rectification is a
+pure function of t; amsgrad carries an optional third ``u`` buffer set
+for nu_max; lamb's per-leaf trust ratio uses tile-wide norm dots — the
+zero-padded tile invariant makes the tile norm the leaf norm) —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
@@ -713,12 +714,21 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             upd = upd + hyper["weight_decay"] * pv
 
             def tile_norm(a):
+                # HIGHEST precision: the default MXU bf16 passes put ~1e-3
+                # relative noise on the norm, which the trust ratio then
+                # applies to the WHOLE leaf every step (failed the on-chip
+                # gate at 2.2e-2); optax's safe_norm is an f32 reduction.
+                # These dots are tile-sized — the f32 passes cost nothing.
+                hi = jax.lax.Precision.HIGHEST
                 ones_c1 = jnp.ones((a.shape[1], 1), jnp.float32)
-                sq_col = _rowsum(a * a, ones_c1)  # (R, 1)
+                sq_col = jax.lax.dot_general(
+                    a * a, ones_c1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi,
+                )  # (R, 1)
                 s11 = jax.lax.dot_general(
                     jnp.ones((1, a.shape[0]), jnp.float32), sq_col,
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=hi,
                 )  # (1, 1)
                 return jnp.sqrt(s11[0, 0])
 
@@ -2115,9 +2125,12 @@ def fused_exactness_check(
                 state, sub, key,
             )
             opt_p = resolve_optimizer(optimizer_spec, params)
-            if branch is None:
+            if branch is None and parsed[0] not in _WHOLELEAF_OPTS:
                 # flatten only non-Mapping specs (a flattened params vector
-                # has no branch structure for multi_transform labels)
+                # has no branch structure for multi_transform labels) that
+                # are ELEMENTWISE — flatten turns lamb's per-leaf trust
+                # ratio into one global norm, i.e. a wrong reference
+                # (train()'s fast path excludes these too: _flatten_safe)
                 opt_p = optax.flatten(opt_p)
             xla_p = make_train_epoch(
                 model, logging, opt_p, shuffle=shuffle,

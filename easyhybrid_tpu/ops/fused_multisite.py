@@ -144,10 +144,15 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     parsed_opt = parse_opt_spec(optimizer_spec)
     if parsed_opt is None:
         return False
-    from .fused_epoch import _SLOT3_OPTS
+    from .fused_epoch import _SLOT3_OPTS, _WHOLELEAF_OPTS
 
     if parsed_opt[0] in _SLOT3_OPTS:
         return False  # no third per-site state tile in this kernel
+    if parsed_opt[0] in _WHOLELEAF_OPTS:
+        # lamb's trust ratio needs whole-LEAF norms; this kernel splits a
+        # stacked per-site leaf across grid chunks, so a chunk-local norm
+        # would not be the optax leaf norm — XLA path instead
+        return False
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
         return False
     return True
@@ -192,6 +197,14 @@ def make_fused_multisite_epoch(
             f"fused multisite epoch does not support optimizer {optimizer_spec!r}"
         )
     opt_name, hyper = parsed
+    from .fused_epoch import _WHOLELEAF_OPTS
+
+    if opt_name in _WHOLELEAF_OPTS:
+        raise ValueError(
+            f"fused multisite epoch does not support {opt_name!r}: the "
+            "trust ratio needs whole-leaf norms, but per-site leaves are "
+            "split across grid chunks here"
+        )
     update_leaf = make_update_leaf(opt_name, hyper)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

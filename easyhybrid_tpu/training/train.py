@@ -53,6 +53,24 @@ _TRAIN_FIELDS = {f.name for f in dataclasses.fields(TrainConfig)}
 _DATA_FIELDS = {f.name for f in dataclasses.fields(DataConfig)}
 
 
+def _flatten_safe(spec) -> bool:
+    """Whether the ``optax.flatten`` fast path preserves the optimizer's
+    semantics. Flatten concatenates every leaf into ONE vector, which only
+    commutes with ELEMENTWISE update rules — lamb's per-leaf trust ratio
+    silently becomes one global norm (found 2026-08-17; optax.flatten(lamb)
+    and lamb genuinely disagree). Prebuilt transforms can't be proven
+    elementwise, so they are not flattened either."""
+    from ..ops.fused_epoch import _WHOLELEAF_OPTS
+
+    if isinstance(spec, str):
+        name = spec.lower()
+    elif isinstance(spec, tuple) and spec and isinstance(spec[0], str):
+        name = spec[0].lower()
+    else:
+        return False  # Mapping (label tree) or prebuilt transform
+    return name not in _WHOLELEAF_OPTS
+
+
 def kwargs_to_configs(
     kwargs: Dict[str, Any],
     train_cfg: Optional[TrainConfig],
@@ -463,7 +481,7 @@ def train(
     def build_xla_epoch():
         nonlocal params, state
         optimizer = resolve_optimizer(cfg.optimizer, params)
-        if not isinstance(cfg.optimizer, Mapping):
+        if _flatten_safe(cfg.optimizer):
             # one flat update vector per step instead of ~2 ops per pytree
             # leaf — measurably faster for small hybrid models on TPU;
             # incompatible with per-branch label trees (dict specs).

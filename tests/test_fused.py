@@ -1381,3 +1381,56 @@ def test_fused_compute_dtype_bf16_matches_xla():
         compute_dtype=jnp.float16,
     )
     assert not supports_fused_epoch(m16, ("adam", 0.01), ll)
+
+
+def test_fused_lamb_matches_xla():
+    """In-kernel lamb: adam direction + weight decay + per-LEAF trust
+    ratio (tile-norm dots; padded regions are zero so the tile norm IS the
+    leaf norm, including for the (1,1) global leaves). Trajectories match
+    optax.lamb through the XLA epoch, with and without weight decay, and
+    in a per-branch mix. The multisite kernel refuses it (whole-leaf norms
+    don't survive chunking)."""
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    model, params, state, tensors = _setup(n=6 * 64, batch=64)
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+
+    specs = [
+        ("lamb", 0.01),
+        ("lamb", {"learning_rate": 0.01, "weight_decay": 0.02}),
+        {"nn": ("lamb", 0.01), "globals": ("adam", 0.02)},
+    ]
+    for opt in specs:
+        assert supports_fused_epoch(model, opt, ll), opt
+        fused = make_fused_epoch(model, state, opt, ll, shuffle=True,
+                                 epochs_per_call=3)
+        p_f, os_f, _, loss_f = fused(
+            jax.tree.map(jnp.array, params),
+            init_fused_opt_state(params, opt),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(2),
+        )
+        # NO optax.flatten here: flatten concatenates leaves, turning the
+        # per-leaf trust ratio into one global norm — train()'s fast path
+        # excludes lamb for exactly this reason (_flatten_safe)
+        optimizer = resolve_optimizer(opt, params)
+        xla = make_train_epoch(model, ll, optimizer, shuffle=True,
+                               epochs_per_call=3)
+        p_x, _, _, loss_x = xla(
+            jax.tree.map(jnp.array, params), optimizer.init(params),
+            jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(2),
+        )
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(opt))
+        np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=5e-5)
+
+    # the flatten fast path must refuse lamb (global-norm corruption) but
+    # keep elementwise rules
+    from easyhybrid_tpu.training.train import _flatten_safe
+    assert not _flatten_safe(("lamb", 0.01)) and not _flatten_safe("lamb")
+    assert _flatten_safe(("adam", 0.01)) and _flatten_safe("adagrad")
+
+    # whole-leaf semantics stay out of the chunked multisite kernel
+    from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
+    ms = eh.MultiSiteHybridModel(model, n_sites=8, share_nn=True)
+    assert not supports_fused_multisite(ms, ("lamb", 0.01), ll)

@@ -90,6 +90,10 @@ def main():
         ("amsgrad", ("amsgrad", 0.01)),
         ("radam", ("radam", 0.02)),
         ("branch-mix", {"nn": ("amsgrad", 0.01), "globals": ("adam", 0.02)}),
+        # lamb: per-leaf trust ratio — in-update tile-norm dots + scalar
+        # sqrt/compare chains are their own Mosaic surface
+        ("lamb", ("lamb", 0.01)),
+        ("lamb+wd", ("lamb", {"learning_rate": 0.01, "weight_decay": 0.02})),
     ]
     results = []
     m, params, state, tensors = build_single()
