@@ -16,7 +16,11 @@ quick-start). The ``configs`` field carries the full scoreboard:
 * ``large_mlp``    — reference GPU-tutorial config [1024,512,256,128,64],
                      batch 64, 5k rows (torch-CPU baseline)
 * ``large_mlp_bf16`` — the same config with ``compute_dtype=bfloat16``
-                     (MXU-native mixed precision; vs the same f32 CPU pin)
+                     (MXU-native mixed precision; vs the same f32 CPU pin;
+                     honestly perf-NEUTRAL — see its docstring)
+* ``large_mlp_b1024`` — the MFU flagship: same tower at batch 1024 /
+                     16k rows, the throughput-bound shape (~37 % MFU;
+                     no CPU row)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
@@ -333,7 +337,14 @@ def bench_large_mlp_bf16() -> float:
     """``large_mlp`` with ``compute_dtype=bfloat16``: the kernel's dots
     contract bf16 operands with f32 accumulation (MXU-native). Static
     input norm (bf16 + trainable-BN batch stats would re-quantize the
-    normalizer every step for no benchmark-relevant reason)."""
+    normalizer every step for no benchmark-relevant reason).
+
+    Measured HONESTLY NEUTRAL vs f32 at this config (73k vs 79k marginal
+    steps/s, within spread, 2026-08-17): JAX's DEFAULT matmul precision on
+    TPU already runs f32 matmuls as bf16 MXU passes, so explicit bf16
+    operands add cast VPU work without raising MXU throughput at these
+    model sizes — the row exists as an envelope proof and regression
+    canary for the mixed-precision kernel path, not as a speedup claim."""
     import jax.numpy as jnp
 
     import easyhybrid_tpu as eh
@@ -356,6 +367,38 @@ def bench_large_mlp_bf16() -> float:
         model, data, batch=64, epochs_per_call=64,
         flops_per_step=_mlp_flops_per_step(
             [1024, 512, 256, 128, 64], 2, 64
+        ),
+    )
+
+
+def bench_large_mlp_b1024() -> float:
+    """MFU flagship: the large-MLP tower at batch 1024 / 16k rows — the
+    throughput-bound shape (batch 64 leaves half the 128-lane MXU tiles
+    empty and is latency-bound). Runs the XLA epoch by design: the fused
+    kernel's VMEM envelope tops out below this activation footprint
+    (supports_fused_epoch's guard), and XLA here reaches ~73 TFLOP/s /
+    ~37 % MFU (2026-08-17) — 3.4× the fused batch-64 config's absolute
+    FLOP/s. No CPU row: the torch baseline at this batch is bound by the
+    same single thread, so the ratio would just restate rbq10's."""
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(16 * 1024, seed=42)
+    data = eh.prepare_data(model, df)
+    return _epoch_bench(
+        model, data, batch=1024, epochs_per_call=64,
+        flops_per_step=_mlp_flops_per_step(
+            [1024, 512, 256, 128, 64], 2, 1024
         ),
     )
 
@@ -617,6 +660,7 @@ def main():
     entry("multi_target", bench_multi_target, baseline_multi_target)
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
     entry("large_mlp_bf16", bench_large_mlp_bf16, None)
+    entry("large_mlp_b1024", bench_large_mlp_b1024, None)
     entry("multisite", bench_multisite, None)
     entry("lstm", bench_lstm, baseline_lstm)
 

@@ -105,6 +105,7 @@ from .training.tune import (
     grid_search,
     cross_validate,
 )
+from .training.population import PopulationResults, population_train
 
 # parallel
 from .parallel.mesh import make_mesh, shard_batch, replicate
@@ -213,6 +214,8 @@ __all__ = [
     "random_search",
     "grid_search",
     "cross_validate",
+    "population_train",
+    "PopulationResults",
     "make_inference_fn",
     "predict",
     # parallel

@@ -283,6 +283,35 @@ def branch_leaf_label(path, branch_specs) -> str:
     return k0 if k0 in branch_specs else "__default__"
 
 
+def _fused_vmem_estimate_mb(model, nns, tensors) -> float:
+    """Crude (conservative-enough) VMEM footprint of the MLP epoch kernel
+    in MB: tile-padded parameter buffers × 8 carried sets (p/m/v/u in+out)
+    plus per-layer forward residuals + activation-derivative residuals at
+    the actual batch width. Data stream blocks and (1,1) scalars are noise
+    at the scales where this matters."""
+    from ..models.hybrid import MultiNNHybridModel
+
+    batch = int(tensors.weight.shape[-1])
+    x = tensors.x
+    if isinstance(model, MultiNNHybridModel):
+        feats = [int(jnp.shape(x[bname])[-1]) for bname, _ in model.nns]
+        outs = [1] * len(feats)
+    else:
+        feats = [int(jnp.shape(x)[-1])] if nns else []
+        outs = [len(model.neural_param_names)] if nns else []
+    total_bytes = 0.0
+    for nn, f_in, n_out in zip(nns, feats, outs):
+        if not isinstance(nn, MLP):
+            continue
+        dims = [f_in, *nn.hidden, n_out]
+        for a, b in zip(dims[:-1], dims[1:]):
+            tile = _buffer_shape((a, b))
+            total_bytes += 8 * 4 * (tile[0] * tile[1] + 8 * 128)  # w + b
+            # residual h (in, B) + dact (out, B), f32 values
+            total_bytes += 2 * 4 * (a + b) * batch
+    return total_bytes / 1e6
+
+
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
                          tensors=None) -> bool:
     """Static support check for the fused-epoch fast path. ``tensors``
@@ -329,6 +358,16 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
             jnp.dtype(nn.compute_dtype) != jnp.dtype(jnp.bfloat16)
         ):
             return False  # mixed precision in-kernel: bfloat16 only
+    if tensors is not None and any(isinstance(nn, MLP) for nn in nns):
+        # VMEM envelope: params/moments + per-layer residuals must fit.
+        # Past it the kernel BUILD crashes (compile-helper subprocess dies
+        # — observed at [1024,512,256,128,64] × batch 1024, 2026-08-17);
+        # the crash is caught and disk-cached, but predicting it skips a
+        # ~30 s doomed remote compile and an ugly log line.
+        if _fused_vmem_estimate_mb(model, nns, tensors) > float(
+            os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "40")
+        ):
+            return False
     if logging.extra_loss is not None and not hasattr(
         logging.extra_loss, "_l2_spec"
     ):
