@@ -108,6 +108,7 @@ def population_train(
     split_data_at: float = 0.8,
     sequence_kwargs: Optional[dict] = None,
     data_seed: Optional[int] = None,
+    mesh=None,
 ) -> PopulationResults:
     """Train a population of K members of ``model`` in ONE program.
 
@@ -119,6 +120,12 @@ def population_train(
     is a name from ``OPTIMIZERS`` (a fresh-state first-order rule —
     elementwise or not, each member's state is whole). ``static_hyper``
     passes non-swept constructor kwargs.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards the MEMBER axis across
+    devices — members are embarrassingly parallel (shared read-only data,
+    zero inter-member collectives), so a K-member population on D chips is
+    K/D members per chip: population size scales linearly with the slice.
+    K must be divisible by the mesh size.
 
     Returns :class:`PopulationResults` with per-member best-epoch tracking
     done ON DEVICE — one dispatch, one final fetch.
@@ -206,6 +213,29 @@ def population_train(
                 **pop_opt_state.hyperparams,
                 **{k: jnp.asarray(v) for k, v in hyper_arr.items()},
             }
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if K % n_dev:
+            raise ValueError(
+                f"population size {K} not divisible by mesh size {n_dev}"
+            )
+        member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
+        repl_sh = NamedSharding(mesh, _P())
+
+        def _member_put(tree):
+            return jax.tree.map(
+                lambda a: jax.device_put(a, member_sh), tree
+            )
+
+        pop_params = _member_put(pop_params)
+        pop_state = _member_put(pop_state)
+        pop_opt_state = _member_put(pop_opt_state)
+        tensors, tr_batch, va_batch = jax.device_put(
+            (tensors, tr_batch, va_batch), repl_sh
         )
 
     epoch_fn = make_train_epoch(

@@ -151,3 +151,32 @@ def test_population_multi_hyper_and_static():
     )
     assert set(pop.hyper) == {"learning_rate", "b1"}
     assert np.isfinite(pop.best_losses).all()
+
+
+def test_population_mesh_sharded_matches_single_device():
+    """The member axis shards across an 8-device mesh (members are
+    embarrassingly parallel — no inter-member collectives), and the
+    trajectories match the unsharded run."""
+    df = eh.gen_rbq10_data(600, seed=2)
+    model = _model()
+    kw = dict(
+        hyper={"learning_rate": list(np.geomspace(0.001, 0.05, 8))},
+        optimizer="adam", nepochs=10, batchsize=128, eval_every=5,
+        seed=4, data_seed=0,
+    )
+    pop = eh.population_train(model, df, **kw)
+    mesh = eh.make_mesh(8, axis_name="members")
+    popm = eh.population_train(model, df, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        popm.val_history["mse"], pop.val_history["mse"], rtol=1e-5
+    )
+    assert popm.best_member == pop.best_member
+    for a, b in zip(
+        jax.tree.leaves(popm.best_params), jax.tree.leaves(pop.best_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    with pytest.raises(ValueError, match="divisible"):
+        eh.population_train(
+            model, df, mesh=mesh,
+            hyper={"learning_rate": [0.01, 0.02, 0.03]}, nepochs=1,
+        )
