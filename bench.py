@@ -264,7 +264,11 @@ def bench_rbq10() -> float:
     df = eh.gen_rbq10_data(20_000, seed=42)
     data = eh.prepare_data(model, df)
     return _epoch_bench(
-        model, data, batch=512, epochs_per_call=256,
+        # 1024 epochs/program: at ~3.4 us/step the 36 ms tunnel dispatch
+        # still costs ~30% of a 256-epoch program; 1024 drops it under 10%
+        # so SUSTAINED approaches the marginal rate (the number through-
+        # tunnel users actually see per dispatch)
+        model, data, batch=512, epochs_per_call=1024,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, 512),
     )
 
@@ -303,7 +307,7 @@ def bench_multi_target() -> float:
         df[col] = vals
     data = eh.prepare_data(model, df)
     return _epoch_bench(
-        model, data, batch=512, epochs_per_call=256,
+        model, data, batch=512, epochs_per_call=1024,  # see bench_rbq10
         flops_per_step=_mlp_flops_per_step([16, 16], 2, 512, n_out=2),
     )
 
