@@ -284,11 +284,17 @@ def branch_leaf_label(path, branch_specs) -> str:
 
 
 def _fused_vmem_estimate_mb(model, nns, tensors) -> float:
-    """Crude (conservative-enough) VMEM footprint of the MLP epoch kernel
-    in MB: tile-padded parameter buffers × 8 carried sets (p/m/v/u in+out)
-    plus per-layer forward residuals + activation-derivative residuals at
-    the actual batch width. Data stream blocks and (1,1) scalars are noise
-    at the scales where this matters."""
+    """Crude VMEM footprint score of the MLP epoch kernel in MB:
+    tile-padded parameter buffers × 8 carried sets (p/m/v/u in+out) plus
+    2× the per-layer (h, dact) residual bytes at the actual batch width —
+    the deliberate 2× covers the backward's stack values (transposed
+    gradient tiles, requantize copies) the enumeration omits. CALIBRATED
+    ON-CHIP 2026-08-17 against the [1024,512,256,128,64] tower: batch 64
+    (score 28.7) compiles and gates; batch 256 (score 34.6) dies with a
+    Mosaic "out of memory in memory space vmem while allocating on stack"
+    — hence the 30 MB default threshold between them. A score, not a
+    byte-count: tune via EASYHYBRID_FUSED_MAX_VMEM_MB if the toolchain's
+    real budget moves."""
     from ..models.hybrid import MultiNNHybridModel
 
     batch = int(tensors.weight.shape[-1])
@@ -365,7 +371,7 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
         # the crash is caught and disk-cached, but predicting it skips a
         # ~30 s doomed remote compile and an ugly log line.
         if _fused_vmem_estimate_mb(model, nns, tensors) > float(
-            os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "40")
+            os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "30")
         ):
             return False
     if logging.extra_loss is not None and not hasattr(

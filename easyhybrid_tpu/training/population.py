@@ -102,7 +102,7 @@ def population_train(
     eval_every: int = 1,
     training_loss: Any = "mse",
     loss_types: Optional[Sequence[Any]] = None,
-    agg: str = "mean",
+    agg: Any = "sum",
     shuffle_each_epoch: bool = True,
     seed: int = 42,
     split_data_at: float = 0.8,
@@ -119,7 +119,10 @@ def population_train(
     omitted, every member starts from the same ``seed`` init. ``optimizer``
     is a name from ``OPTIMIZERS`` (a fresh-state first-order rule —
     elementwise or not, each member's state is whole). ``static_hyper``
-    passes non-swept constructor kwargs.
+    passes non-swept constructor kwargs; with neither ``hyper`` nor
+    ``static_hyper`` the library-default lr (0.01, as in ``train()``)
+    applies. Epoch budget matches ``train()``'s eval grid: exactly
+    ``(nepochs // eval_every) * eval_every`` epochs run — never more.
 
     ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards the MEMBER axis across
     devices — members are embarrassingly parallel (shared read-only data,
@@ -164,12 +167,14 @@ def population_train(
     )
     monitor = loss_name(lt[0])
     sign = -1.0 if best_direction(monitor) == "max" else 1.0
-    agg_name = agg if isinstance(agg, str) else getattr(agg, "__name__", "sum")
+    # the key compute_loss files the aggregated scalar under — reuse the
+    # LoggingLoss's own derivation (callable agg names, lstrip, fallbacks)
+    agg_key = logging_loss.agg_name
 
     def _scalars(metrics: Mapping[str, Mapping[str, Any]]):
         """metrics[loss_name][target|agg] → {loss_name: aggregated scalar}
         (the same scalar train()'s history/early stopping track)."""
-        return {k: v[agg_name] for k, v in metrics.items()}
+        return {k: v[agg_key] for k, v in metrics.items()}
 
     # ---- data: ONE device copy shared by every member ---------------------
     train_data, val_data = split_data(
@@ -203,8 +208,14 @@ def population_train(
             **{k: float(v[0]) for k, v in hyper_arr.items()}, **static_hyper
         )
     else:
-        opt = OPTIMIZERS[optimizer](**static_hyper) if static_hyper else (
-            OPTIMIZERS[optimizer](0.01)
+        # seed-only ensembles: the library default lr (resolve_optimizer's
+        # _DEFAULT_LR), same as train(model, df, optimizer="adam")
+        from .optimizers import _DEFAULT_LR
+
+        opt = (
+            OPTIMIZERS[optimizer](**static_hyper)
+            if static_hyper
+            else OPTIMIZERS[optimizer](_DEFAULT_LR)
         )
     pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
     if hyper_arr:
@@ -246,7 +257,14 @@ def population_train(
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, None, None))
 
-    n_evals = -(-int(nepochs) // int(eval_every))
+    # floor, matching train()'s eval grid range(eval_every, nepochs+1, ...):
+    # a 10-epoch budget at eval_every=3 trains 9 epochs, never 12
+    n_evals = int(nepochs) // int(eval_every)
+    if n_evals < 1:
+        raise ValueError(
+            f"nepochs={nepochs} < eval_every={eval_every}: no eval block "
+            "fits the budget (train() would run zero evaluated epochs too)"
+        )
 
     def run(pop_params, pop_opt_state, pop_state, key):
         (m_tr0, _), (m_va0, _) = veval(

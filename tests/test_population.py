@@ -180,3 +180,31 @@ def test_population_mesh_sharded_matches_single_device():
             model, df, mesh=mesh,
             hyper={"learning_rate": [0.01, 0.02, 0.03]}, nepochs=1,
         )
+
+
+def test_population_epoch_budget_and_agg_parity_with_train():
+    """Review fixes pinned: (1) the epoch budget floors to train()'s eval
+    grid — nepochs=10 @ eval_every=3 runs 9 epochs, never 12; (2) a
+    callable agg uses compute_loss's own key derivation (was KeyError);
+    (3) nepochs < eval_every is an explicit error."""
+    from easyhybrid_tpu.losses.specs import AGGREGATIONS
+
+    df = eh.gen_rbq10_data(300, seed=5)
+    model = _model()
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01]},
+        nepochs=10, batchsize=128, eval_every=3, seed=1, data_seed=0,
+    )
+    assert list(pop.epochs) == [3, 6, 9]
+    assert pop.val_history["mse"].shape == (3, 1)
+    # callable agg resolved through LoggingLoss.agg_name (not __name__)
+    pop2 = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01]}, agg=AGGREGATIONS["mean"],
+        nepochs=3, batchsize=128, eval_every=3, seed=1, data_seed=0,
+    )
+    assert np.isfinite(pop2.best_losses).all()
+    with pytest.raises(ValueError, match="no eval block"):
+        eh.population_train(
+            model, df, hyper={"learning_rate": [0.01]},
+            nepochs=2, eval_every=5,
+        )
