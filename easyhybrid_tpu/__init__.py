@@ -96,7 +96,7 @@ from .training.train import train
 from .training.history import TrainingHistory, EpochSnapshot
 from .training.early_stopping import EarlyStopping
 from .training.optimizers import resolve_optimizer
-from .training.inference import make_inference_fn, predict
+from .training.inference import ensemble_predict, make_inference_fn, predict
 from .training.tune import (
     ModelSpec,
     tune,
@@ -218,6 +218,7 @@ __all__ = [
     "PopulationResults",
     "make_inference_fn",
     "predict",
+    "ensemble_predict",
     # parallel
     "make_mesh",
     "shard_batch",

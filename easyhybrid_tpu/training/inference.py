@@ -18,7 +18,21 @@ import numpy as np
 
 from ..data.prepare import prepare_data
 
-__all__ = ["make_inference_fn", "predict"]
+__all__ = ["make_inference_fn", "predict", "ensemble_predict"]
+
+
+def _flatten_outputs(outputs) -> Dict[str, Any]:
+    """model.apply outputs → flat {name: (B, ...) array} dict (drops
+    nested non-array entries), shared by the single and ensemble paths."""
+    flat: Dict[str, Any] = {}
+    for k, v in outputs.items():
+        if isinstance(v, Mapping):
+            for kk, vv in v.items():
+                if not isinstance(vv, Mapping) and np.ndim(vv) >= 1:
+                    flat[kk] = vv
+        else:
+            flat[k] = v
+    return flat
 
 
 def make_inference_fn(model, params, state, *, batch_size: int = 1024):
@@ -37,44 +51,10 @@ def make_inference_fn(model, params, state, *, batch_size: int = 1024):
     @jax.jit
     def forward(x, forcing):
         outputs, _ = model.apply(params, state, (x, forcing), training=False)
-        flat = {}
-        for k, v in outputs.items():
-            if isinstance(v, Mapping):
-                for kk, vv in v.items():
-                    if not isinstance(vv, Mapping) and np.ndim(vv) >= 1:
-                        flat[kk] = vv
-            else:
-                flat[k] = v
-        return flat
-
-    def pad_to(arr, n):
-        arr = np.asarray(arr, np.float32)
-        if arr.shape[0] == n:
-            return arr
-        pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, pad)
+        return _flatten_outputs(outputs)
 
     def predict_fn(data) -> Dict[str, np.ndarray]:
-        hd = prepare_data(model, data, drop_missing_rows=False)
-        n = hd.n_samples
-        chunks: Dict[str, list] = {}
-        for start in range(0, max(n, 1), batch_size):
-            end = min(start + batch_size, n)
-            take = end - start
-            if isinstance(hd.x, Mapping):
-                x = {k: pad_to(np.asarray(v)[start:end], batch_size) for k, v in hd.x.items()}
-            else:
-                x = pad_to(np.asarray(hd.x)[start:end], batch_size)
-            forcing = {
-                k: pad_to(np.asarray(v)[start:end], batch_size)
-                for k, v in hd.forcing.items()
-            }
-            out = forward(x, forcing)
-            for k, v in out.items():
-                v = np.asarray(jax.device_get(v))
-                if v.ndim >= 1 and v.shape[0] == batch_size:
-                    chunks.setdefault(k, []).append(v[:take])
-        return {k: np.concatenate(vs) for k, vs in chunks.items()}
+        return _run_chunked(model, forward, data, batch_size)
 
     return predict_fn
 
@@ -82,3 +62,83 @@ def make_inference_fn(model, params, state, *, batch_size: int = 1024):
 def predict(model, params, state, data, *, batch_size: int = 1024):
     """One-shot convenience wrapper around :func:`make_inference_fn`."""
     return make_inference_fn(model, params, state, batch_size=batch_size)(data)
+
+
+def ensemble_predict(
+    model,
+    population,
+    data,
+    *,
+    batch_size: int = 1024,
+    best: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Ensemble inference over a trained population: ONE vmapped compiled
+    forward over all K members, returning per-output member MEAN plus the
+    member SPREAD as ``<name>_std`` — predictive uncertainty from a seed
+    (or hyperparameter) ensemble, which the reference has no analog for.
+
+    ``population`` is a :class:`~easyhybrid_tpu.training.population.
+    PopulationResults` (uses each member's best-epoch params with the
+    final model state — identical for static input norms; for trainable
+    BatchNorm the end-of-run EMA stands in for the best-epoch stats) or a
+    ``(stacked_params, stacked_state)`` tuple with a leading member axis.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(population, tuple):
+        stacked_params, stacked_state = population
+    else:
+        stacked_params = population.best_params if best else population.params
+        stacked_state = population.state
+    stacked_params = jax.tree.map(jnp.asarray, stacked_params)
+    stacked_state = jax.tree.map(jnp.asarray, stacked_state)
+
+    @jax.jit
+    def forward(x, forcing):
+        def one(p, s):
+            out, _ = model.apply(p, s, (x, forcing), training=False)
+            return _flatten_outputs(out)
+
+        outs = jax.vmap(one)(stacked_params, stacked_state)  # (K, B, ...)
+        flat = {}
+        for k, v in outs.items():
+            flat[k] = jnp.mean(v, axis=0)
+            flat[k + "_std"] = jnp.std(v, axis=0)
+        return flat
+
+    return _run_chunked(model, forward, data, batch_size)
+
+
+def _run_chunked(model, forward, data, batch_size: int) -> Dict[str, np.ndarray]:
+    """Shared pad/chunk/fetch driver around a compiled ``forward``."""
+    hd = prepare_data(model, data, drop_missing_rows=False)
+    n = hd.n_samples
+
+    def pad_to(arr, m):
+        arr = np.asarray(arr, np.float32)
+        if arr.shape[0] == m:
+            return arr
+        pad = [(0, m - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad)
+
+    chunks: Dict[str, list] = {}
+    for start in range(0, max(n, 1), batch_size):
+        end = min(start + batch_size, n)
+        take = end - start
+        if isinstance(hd.x, Mapping):
+            x = {
+                k: pad_to(np.asarray(v)[start:end], batch_size)
+                for k, v in hd.x.items()
+            }
+        else:
+            x = pad_to(np.asarray(hd.x)[start:end], batch_size)
+        forcing = {
+            k: pad_to(np.asarray(v)[start:end], batch_size)
+            for k, v in hd.forcing.items()
+        }
+        out = forward(x, forcing)
+        for k, v in out.items():
+            v = np.asarray(jax.device_get(v))
+            if v.ndim >= 1 and v.shape[0] == batch_size:
+                chunks.setdefault(k, []).append(v[:take])
+    return {k: np.concatenate(vs) for k, vs in chunks.items()}

@@ -208,3 +208,32 @@ def test_population_epoch_budget_and_agg_parity_with_train():
             model, df, hyper={"learning_rate": [0.01]},
             nepochs=2, eval_every=5,
         )
+
+
+def test_ensemble_predict_mean_and_spread():
+    """ensemble_predict: one vmapped forward over members; the mean/std
+    reduce over the member axis, a single-member ensemble has zero std,
+    and a (stacked_params, stacked_state) tuple works directly."""
+    df = eh.gen_rbq10_data(500, seed=8)
+    model = _model()
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01]}, seeds=[0, 1, 2],
+        nepochs=10, batchsize=128, eval_every=5, seed=6, data_seed=0,
+    )
+    out = eh.ensemble_predict(model, pop, df)
+    n = len(np.asarray(df["ta"]))
+    assert out["reco"].shape == (n,)
+    assert out["reco_std"].shape == (n,)
+    assert np.isfinite(out["reco"]).all()
+    # distinct members -> nonzero spread somewhere
+    assert out["reco_std"].max() > 0
+    # single-member ensemble: std identically ~0, mean == its prediction
+    one = jax.tree.map(lambda a: a[:1], pop.best_params)
+    st1 = jax.tree.map(lambda a: a[:1], pop.state)
+    out1 = eh.ensemble_predict(model, (one, st1), df)
+    np.testing.assert_allclose(out1["reco_std"], 0.0, atol=1e-6)
+    solo = eh.predict(
+        model, pop.member_params(0),
+        jax.tree.map(lambda a: a[0], pop.state), df,
+    )
+    np.testing.assert_allclose(out1["reco"], solo["reco"], atol=1e-5)
