@@ -725,7 +725,13 @@ def main():
 
     def entry(name, fw_fn, base_fn):
         t0 = time.perf_counter()
-        fw = fw_fn()
+        try:
+            fw = fw_fn()
+        except Exception as e:  # one broken config must not lose the run
+            print(f"# ERROR {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            return configs[name]
         if verbose:
             print(f"# {name}: fw bench {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
@@ -793,7 +799,7 @@ def main():
         json.dumps(
             {
                 "metric": "rbq10_grad_steps_per_sec",
-                "value": headline["steps_per_s"],
+                "value": headline.get("steps_per_s"),
                 "unit": "grad steps/s (batch 512, 20k rows, MLP[16,16]; "
                 "baseline: torch CPU 1 thread, median of "
                 f"{REPEATS})",
