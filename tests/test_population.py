@@ -237,3 +237,24 @@ def test_ensemble_predict_mean_and_spread():
         jax.tree.map(lambda a: a[0], pop.state), df,
     )
     np.testing.assert_allclose(out1["reco"], solo["reco"], atol=1e-5)
+
+
+def test_population_lstm_sequence_model():
+    """The population machinery composes with sequence/LSTM hybrids
+    (windowed tensors, scan recurrence) unchanged."""
+    df = eh.gen_rbq10_data(800, seed=3)
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=_rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers={"lstm": 8}, input_batchnorm="static",
+    )
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01, 0.003]},
+        nepochs=6, batchsize=64, eval_every=3,
+        sequence_kwargs=dict(input_window=6, output_window=2),
+        seed=1, data_seed=0,
+    )
+    assert np.isfinite(pop.best_losses).all()
+    assert pop.val_history["mse"].shape == (2, 2)
