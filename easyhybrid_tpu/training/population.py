@@ -106,6 +106,10 @@ def population_train(
     shuffle_each_epoch: bool = True,
     seed: int = 42,
     split_data_at: float = 0.8,
+    split_by_id=None,
+    folds=None,
+    val_fold: Optional[int] = None,
+    shuffleobs: bool = False,
     sequence_kwargs: Optional[dict] = None,
     data_seed: Optional[int] = None,
     mesh=None,
@@ -179,6 +183,8 @@ def population_train(
     # ---- data: ONE device copy shared by every member ---------------------
     train_data, val_data = split_data(
         data, model, split_data_at=split_data_at,
+        split_by_id=split_by_id, folds=folds, val_fold=val_fold,
+        shuffleobs=shuffleobs,
         sequence_kwargs=sequence_kwargs, seed=data_seed,
     )
     from .train import _full_batch, fit_input_norm

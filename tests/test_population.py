@@ -258,3 +258,25 @@ def test_population_lstm_sequence_model():
     )
     assert np.isfinite(pop.best_losses).all()
     assert pop.val_history["mse"].shape == (2, 2)
+
+
+def test_population_fold_split():
+    """The full split-config surface (folds/val_fold here) flows through
+    to split_data, so populations run per-fold like train() does."""
+    df = eh.gen_rbq10_data(400, seed=4)
+    model = _model()
+    folds = eh.make_folds(df, k=4, shuffle=True, seed=0)
+    pops = [
+        eh.population_train(
+            model, df, hyper={"learning_rate": [0.01]}, folds=folds,
+            val_fold=k, nepochs=4, batchsize=64, eval_every=2,
+            seed=1, data_seed=0,
+        )
+        for k in (1, 2)
+    ]
+    for p in pops:
+        assert np.isfinite(p.best_losses).all()
+    # different folds → different validation sets → different histories
+    assert not np.allclose(
+        pops[0].val_history["mse"], pops[1].val_history["mse"]
+    )
