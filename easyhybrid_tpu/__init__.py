@@ -105,7 +105,11 @@ from .training.tune import (
     grid_search,
     cross_validate,
 )
-from .training.population import PopulationResults, population_train
+from .training.population import (
+    PopulationResults,
+    population_cross_validate,
+    population_train,
+)
 
 # parallel
 from .parallel.mesh import make_mesh, shard_batch, replicate
@@ -215,6 +219,7 @@ __all__ = [
     "grid_search",
     "cross_validate",
     "population_train",
+    "population_cross_validate",
     "PopulationResults",
     "make_inference_fn",
     "predict",

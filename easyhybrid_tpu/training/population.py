@@ -43,7 +43,7 @@ from ..losses.specs import LoggingLoss, loss_name
 from .epoch import can_skip_empty_guard, make_dual_evaluator, make_train_epoch
 from .optimizers import OPTIMIZERS
 
-__all__ = ["population_train", "PopulationResults"]
+__all__ = ["population_train", "population_cross_validate", "PopulationResults"]
 
 log = logging.getLogger("easyhybrid_tpu")
 
@@ -263,6 +263,29 @@ def population_train(
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, None, None))
 
+    p, s, best_sc, best_p, best_ep, h_tr, h_va = _run_population(
+        vepoch, veval, _scalars, monitor, sign, K,
+        nepochs=nepochs, eval_every=eval_every, seed=seed,
+        pop_params=pop_params, pop_opt_state=pop_opt_state,
+        pop_state=pop_state, tensors=tensors,
+        tr_batch=tr_batch, va_batch=va_batch,
+    )
+    return _assemble_results(
+        hyper_arr, seeds_arr, monitor, sign, eval_every,
+        p, s, best_sc, best_p, best_ep, h_tr, h_va,
+    )
+
+
+def _run_population(
+    vepoch, veval, scalars_fn, monitor, sign, K, *,
+    nepochs, eval_every, seed,
+    pop_params, pop_opt_state, pop_state, tensors, tr_batch, va_batch,
+):
+    """The shared one-program population loop: scan over eval blocks, each
+    block = vmapped epoch(s) + vmapped dual eval + on-device best-member
+    tracking. ``tensors``/``tr_batch``/``va_batch`` may be shared across
+    members (vepoch/veval built with ``in_axes=None`` for them) or carry a
+    leading member axis (``in_axes=0`` — the CV case)."""
     # floor, matching train()'s eval grid range(eval_every, nepochs+1, ...):
     # a 10-epoch budget at eval_every=3 trains 9 epochs, never 12
     n_evals = int(nepochs) // int(eval_every)
@@ -272,11 +295,12 @@ def population_train(
             "fits the budget (train() would run zero evaluated epochs too)"
         )
 
-    def run(pop_params, pop_opt_state, pop_state, key):
+    def run(pop_params, pop_opt_state, pop_state, tensors,
+            tr_batch, va_batch, key):
         (m_tr0, _), (m_va0, _) = veval(
             pop_params, pop_state, tr_batch, va_batch
         )
-        best_score = sign * _scalars(m_va0)[monitor]
+        best_score = sign * scalars_fn(m_va0)[monitor]
         carry0 = (
             pop_params, pop_opt_state, pop_state,
             best_score, pop_params, jnp.zeros((K,), jnp.int32),
@@ -288,7 +312,7 @@ def population_train(
             p, o, s, best_sc, best_p, best_ep = carry
             p, o, s, _ = vepoch(p, o, s, tensors, ks)
             (m_tr, _), (m_va, _) = veval(p, s, tr_batch, va_batch)
-            m_tr, m_va = _scalars(m_tr), _scalars(m_va)
+            m_tr, m_va = scalars_fn(m_tr), scalars_fn(m_va)
             score = sign * m_va[monitor]
             better = score < best_sc
             best_sc = jnp.where(better, score, best_sc)
@@ -307,20 +331,28 @@ def population_train(
         p, o, s, best_sc, best_p, best_ep = carry
         return p, s, best_sc, best_p, best_ep, h_tr, h_va
 
-    p, s, best_sc, best_p, best_ep, h_tr, h_va = jax.jit(run)(
-        pop_params, pop_opt_state, pop_state, jax.random.PRNGKey(int(seed))
+    return jax.jit(run)(
+        pop_params, pop_opt_state, pop_state, tensors, tr_batch, va_batch,
+        jax.random.PRNGKey(int(seed)),
     )
 
+
+def _assemble_results(
+    hyper_arr, seeds_arr, monitor, sign, eval_every,
+    p, s, best_sc, best_p, best_ep, h_tr, h_va,
+    epoch_path: str = "population_vmap",
+) -> PopulationResults:
     best_losses = np.asarray(jax.device_get(sign * best_sc))
     h_tr = {k: np.asarray(v) for k, v in jax.device_get(h_tr).items()}
     h_va = {k: np.asarray(v) for k, v in jax.device_get(h_va).items()}
+    n_evals = next(iter(h_va.values())).shape[0]
     best_i = int(
         np.argmax(best_losses) if sign < 0 else np.argmin(best_losses)
     )
     log.info(
         "population: %d members, %d epochs (eval every %d); best member %d "
         "(%s) with val %s=%.6g at epoch %d",
-        K, n_evals * eval_every, eval_every, best_i,
+        len(best_losses), n_evals * eval_every, eval_every, best_i,
         {k: float(v[best_i]) for k, v in hyper_arr.items()},
         monitor, best_losses[best_i],
         int(np.asarray(best_ep)[best_i]),
@@ -338,4 +370,219 @@ def population_train(
         epochs=np.arange(1, n_evals + 1) * int(eval_every),
         best_member=best_i,
         monitor=monitor,
+        epoch_path=epoch_path,
+    )
+
+
+def _pad_epoch_tensors(t, nb: int, n_samples: int):
+    """Pad an EpochTensors' batch axis to ``nb`` with all-zero batches
+    (zero weight + zero masks → exact no-ops through the masked pipeline,
+    the same semantics as the standard partial-batch padding)."""
+    from ..data.loaders import EpochTensors
+
+    def pad(a):
+        a = np.asarray(a)
+        if a.shape[0] == nb:
+            return a
+        width = [(0, nb - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width)
+
+    return EpochTensors(
+        x=jax.tree.map(pad, t.x),
+        forcing={k: pad(v) for k, v in t.forcing.items()},
+        y={k: pad(v) for k, v in t.y.items()},
+        mask={k: pad(v) for k, v in t.mask.items()},
+        weight=pad(t.weight),
+        n_samples=n_samples,
+    )
+
+
+def _pad_batch_rows(batch, n: int):
+    """Pad a ((x, forcing), (y, mask)) eval batch to ``n`` rows with
+    zero-mask rows (metrics unaffected)."""
+
+    def pad(a):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width)
+
+    (x, forcing), (y, mask) = batch
+    return (
+        (jax.tree.map(pad, x), {k: pad(v) for k, v in forcing.items()}),
+        ({k: pad(v) for k, v in y.items()}, {k: pad(v) for k, v in mask.items()}),
+    )
+
+
+def population_cross_validate(
+    model,
+    data,
+    *,
+    k: int = 5,
+    optimizer: Any = ("adam", 0.01),
+    nepochs: int = 100,
+    batchsize: int = 32,
+    eval_every: int = 1,
+    training_loss: Any = "mse",
+    loss_types: Optional[Sequence[Any]] = None,
+    agg: Any = "sum",
+    shuffle_each_epoch: bool = True,
+    shuffle_folds: bool = True,
+    seed: int = 42,
+    sequence_kwargs: Optional[dict] = None,
+    data_seed: Optional[int] = None,
+    mesh=None,
+) -> PopulationResults:
+    """K-fold cross-validation as ONE compiled program: member i = fold
+    i+1, each with its OWN stacked train tensors / eval batches (folds of
+    unequal size are zero-mask padded to common shapes — exact no-ops
+    through the masked pipeline), its own fitted input-norm state, and the
+    same init. Replaces ``cross_validate``'s k sequential ``train()``
+    calls with one dispatch + one fetch; on a TPU the folds ride the
+    member axis like a sweep does, so CV costs roughly one fold's
+    wall-clock.
+
+    ``optimizer`` is any spec ``resolve_optimizer`` accepts (tuple/str/
+    per-branch dict/prebuilt transform) — all folds share it. ``mesh``
+    shards the FOLD axis across devices (k divisible by mesh size).
+
+    Returns :class:`PopulationResults` with ``seeds`` holding the fold
+    index per member and ``best_losses`` the per-fold best monitored
+    validation value — ``list(pop.best_losses)`` is the CV score vector
+    (the reference folds tutorial's output). Reference counterpart:
+    docs/literate/tutorials/folds.jl drives train() once per fold.
+    """
+    from ..utils.folds import make_folds
+    from .optimizers import resolve_optimizer
+    from .train import _full_batch, fit_input_norm
+
+    if loss_name(training_loss) in MAXIMIZE_METRICS:
+        raise ValueError(
+            f"training_loss {training_loss!r} is a maximize-direction "
+            "metric; pick a minimize-direction loss"
+        )
+    K = int(k)
+    lt = tuple(loss_types) if loss_types else (training_loss,)
+    logging_loss = LoggingLoss(
+        training_loss=training_loss, loss_types=lt, agg=agg
+    )
+    monitor = loss_name(lt[0])
+    sign = -1.0 if best_direction(monitor) == "max" else 1.0
+    agg_key = logging_loss.agg_name
+
+    def _scalars(metrics):
+        return {key: v[agg_key] for key, v in metrics.items()}
+
+    folds = make_folds(data, k=K, shuffle=shuffle_folds, seed=data_seed or 0)
+    splits = [
+        split_data(
+            data, model, folds=folds, val_fold=i,
+            sequence_kwargs=sequence_kwargs, seed=data_seed,
+        )
+        for i in range(1, K + 1)
+    ]
+    fold_tensors = [
+        build_epoch_tensors(tr, batchsize) for tr, _ in splits
+    ]
+    nb = max(t.weight.shape[0] for t in fold_tensors)
+    ns = max(t.n_samples for t in fold_tensors)
+    # padding may introduce fully-empty batches → the guard must stay on
+    # unless every fold proves it AND no batch padding was needed
+    skip_guard = all(
+        can_skip_empty_guard(t) and t.weight.shape[0] == nb
+        for t in fold_tensors
+    )
+    fold_tensors = [_pad_epoch_tensors(t, nb, ns) for t in fold_tensors]
+    tensors = jax.tree.map(lambda *ls: np.stack(ls), *fold_tensors)
+    from ..data.loaders import EpochTensors
+
+    tensors = EpochTensors(
+        x=tensors.x, forcing=tensors.forcing, y=tensors.y,
+        mask=tensors.mask, weight=tensors.weight, n_samples=ns,
+    )
+
+    tr_full = [_full_batch(tr) for tr, _ in splits]
+    va_full = [_full_batch(va) for _, va in splits]
+    n_tr = max(np.asarray(b[0][0] if not isinstance(b[0][0], Mapping)
+                          else next(iter(b[0][0].values()))).shape[0]
+               for b in tr_full)
+    n_va = max(np.asarray(b[0][0] if not isinstance(b[0][0], Mapping)
+                          else next(iter(b[0][0].values()))).shape[0]
+               for b in va_full)
+    tr_batch = jax.tree.map(
+        lambda *ls: np.stack(ls), *[_pad_batch_rows(b, n_tr) for b in tr_full]
+    )
+    va_batch = jax.tree.map(
+        lambda *ls: np.stack(ls), *[_pad_batch_rows(b, n_va) for b in va_full]
+    )
+    tensors, tr_batch, va_batch = jax.device_put(
+        (tensors, tr_batch, va_batch)
+    )
+
+    # same init every fold (cross_validate semantics: one model, k folds);
+    # per-fold input-norm state fitted on that fold's OWN train split
+    params0, state_init = model.init(jax.random.PRNGKey(int(seed)))
+    pop_params = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a), (K,) + jnp.shape(a)),
+        params0,
+    )
+    fold_states = [
+        fit_input_norm(model, state_init, tr) for tr, _ in splits
+    ]
+    pop_state = jax.tree.map(
+        lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *fold_states
+    )
+
+    opt = resolve_optimizer(optimizer, params0)
+    pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if K % n_dev:
+            raise ValueError(
+                f"fold count {K} not divisible by mesh size {n_dev}"
+            )
+        member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
+
+        def _member_put(tree):
+            return jax.tree.map(lambda a: jax.device_put(a, member_sh), tree)
+
+        pop_params = _member_put(pop_params)
+        pop_state = _member_put(pop_state)
+        pop_opt_state = _member_put(pop_opt_state)
+        tr_batch = _member_put(tr_batch)
+        va_batch = _member_put(va_batch)
+        tensors = EpochTensors(
+            x=_member_put(tensors.x), forcing=_member_put(tensors.forcing),
+            y=_member_put(tensors.y), mask=_member_put(tensors.mask),
+            weight=_member_put(tensors.weight), n_samples=ns,
+        )
+
+    epoch_fn = make_train_epoch(
+        model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
+        epochs_per_call=eval_every, skip_empty_guard=skip_guard,
+    )
+    # per-field axes: every array field carries the fold axis, but the
+    # static n_samples scalar is shared (rank 0 — not mappable)
+    t_axes = EpochTensors(
+        x=0, forcing=0, y=0, mask=0, weight=0, n_samples=None
+    )
+    vepoch = jax.vmap(epoch_fn, in_axes=(0, 0, 0, t_axes, 0))
+    eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
+    veval = jax.vmap(eval_fn, in_axes=(0, 0, 0, 0))
+
+    p, s, best_sc, best_p, best_ep, h_tr, h_va = _run_population(
+        vepoch, veval, _scalars, monitor, sign, K,
+        nepochs=nepochs, eval_every=eval_every, seed=seed,
+        pop_params=pop_params, pop_opt_state=pop_opt_state,
+        pop_state=pop_state, tensors=tensors,
+        tr_batch=tr_batch, va_batch=va_batch,
+    )
+    return _assemble_results(
+        {}, np.arange(1, K + 1, dtype=np.int64), monitor, sign, eval_every,
+        p, s, best_sc, best_p, best_ep, h_tr, h_va,
+        epoch_path="population_vmap_cv",
     )

@@ -280,3 +280,48 @@ def test_population_fold_split():
     assert not np.allclose(
         pops[0].val_history["mse"], pops[1].val_history["mse"]
     )
+
+
+def test_population_cross_validate_matches_sequential_quality():
+    """population_cross_validate: all k folds in ONE program. Scores are
+    finite, per-fold validation sets genuinely differ, unequal folds are
+    zero-mask padded exactly, and quality is in family with the
+    sequential cross_validate driver on the same data."""
+    from easyhybrid_tpu.training.tune import cross_validate
+
+    df = eh.gen_rbq10_data(700, seed=9)  # 700 % 4 != 0: unequal folds
+    model = _model()
+    pop = eh.population_cross_validate(
+        model, df, k=4, optimizer=("adam", 0.01),
+        nepochs=20, batchsize=64, eval_every=5, seed=2, data_seed=0,
+    )
+    assert pop.epoch_path == "population_vmap_cv"
+    assert pop.best_losses.shape == (4,)
+    assert np.isfinite(pop.best_losses).all()
+    assert list(pop.seeds) == [1, 2, 3, 4]
+    # folds see different validation data
+    finals = pop.val_history["mse"][-1]
+    assert len(np.unique(np.round(finals, 10))) > 1
+    # in family with the sequential driver (not bitwise: fold assignment
+    # and shuffle keys differ) — same order of magnitude of val MSE
+    scores, _ = cross_validate(
+        model, df, k=4, seed=0, nepochs=20, batchsize=64,
+        optimizer=("adam", 0.01), show_progress=False, patience=100,
+    )
+    assert np.isfinite(scores).all()
+    assert pop.best_losses.mean() < 10 * np.mean(scores) + 1.0
+
+
+def test_population_cross_validate_mesh():
+    """Fold axis sharded over the 8-device mesh; scores match the
+    unsharded CV run."""
+    df = eh.gen_rbq10_data(640, seed=2)
+    model = _model()
+    kw = dict(optimizer=("adam", 0.01), nepochs=6, batchsize=64,
+              eval_every=3, seed=3, data_seed=0)
+    pop = eh.population_cross_validate(model, df, k=8, **kw)
+    mesh = eh.make_mesh(8, axis_name="folds")
+    popm = eh.population_cross_validate(model, df, k=8, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        popm.val_history["mse"], pop.val_history["mse"], rtol=1e-5
+    )
