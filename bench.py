@@ -791,9 +791,10 @@ def main():
     entry("lstm", bench_lstm, baseline_lstm)
     entry("inference", bench_inference, baseline_inference)
 
-    configs["multisite"]["site_steps_per_s"] = round(
-        configs["multisite"]["steps_per_s"] * 10_000, 0
-    )
+    if "steps_per_s" in configs["multisite"]:  # absent on an error row
+        configs["multisite"]["site_steps_per_s"] = round(
+            configs["multisite"]["steps_per_s"] * 10_000, 0
+        )
 
     print(
         json.dumps(

@@ -19,7 +19,21 @@ import numpy as np
 
 from .prepare import HybridData
 
-__all__ = ["EpochTensors", "build_epoch_tensors", "batch_iterator"]
+__all__ = [
+    "EpochTensors", "build_epoch_tensors", "batch_iterator", "pad_axis0",
+]
+
+
+def pad_axis0(arr, n: int) -> np.ndarray:
+    """Zero-pad ``arr``'s leading axis to ``n`` rows (float32). The ONE
+    axis-0 padding helper shared by the inference chunker and the
+    population/CV stackers — padding rows ride the zero-weight/zero-mask
+    arithmetic everywhere downstream."""
+    arr = np.asarray(arr, np.float32)
+    if arr.shape[0] == n:
+        return arr
+    width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, width)
 
 
 class EpochTensors(NamedTuple):

@@ -75,6 +75,45 @@ class PopulationResults:
         return jax.tree.map(lambda a: a[i], tree)
 
 
+def _monitor_setup(training_loss, loss_types, agg):
+    """Shared loss/monitor plumbing: the LoggingLoss, the monitored metric
+    name, its direction sign, and the metrics→aggregated-scalar extractor
+    (keyed by the LoggingLoss's OWN agg_name derivation — callable aggs,
+    lstrip, fallbacks — the same scalar train()'s history tracks)."""
+    if loss_name(training_loss) in MAXIMIZE_METRICS:
+        raise ValueError(
+            f"training_loss {training_loss!r} is a maximize-direction "
+            "metric; pick a minimize-direction loss"
+        )
+    lt = tuple(loss_types) if loss_types else (training_loss,)
+    logging_loss = LoggingLoss(
+        training_loss=training_loss, loss_types=lt, agg=agg
+    )
+    monitor = loss_name(lt[0])
+    sign = -1.0 if best_direction(monitor) == "max" else 1.0
+    agg_key = logging_loss.agg_name
+
+    def scalars(metrics: Mapping[str, Mapping[str, Any]]):
+        return {k: v[agg_key] for k, v in metrics.items()}
+
+    return logging_loss, monitor, sign, scalars
+
+
+def _shard_members(mesh, K: int, trees, what: str):
+    """device_put every tree's leaves with the leading MEMBER axis sharded
+    over the 1-D mesh; K must divide evenly."""
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if K % n_dev:
+        raise ValueError(f"{what} {K} not divisible by mesh size {n_dev}")
+    member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
+    return tuple(
+        jax.tree.map(lambda a: jax.device_put(a, member_sh), t)
+        for t in trees
+    )
+
+
 def _member_count(hyper: Mapping[str, Sequence], seeds) -> int:
     sizes = {len(np.atleast_1d(np.asarray(v))) for v in hyper.values()}
     if seeds is not None:
@@ -147,11 +186,6 @@ def population_train(
         raise ValueError(
             f"unknown optimizer {optimizer!r}; known: {sorted(OPTIMIZERS)}"
         )
-    if loss_name(training_loss) in MAXIMIZE_METRICS:
-        raise ValueError(
-            f"training_loss {training_loss!r} is a maximize-direction "
-            "metric; pick a minimize-direction loss"
-        )
     K = _member_count(hyper, seeds)
     hyper_arr = {
         k: np.broadcast_to(
@@ -165,20 +199,9 @@ def population_train(
         else np.full((K,), int(seed), np.int64)
     )
 
-    lt = tuple(loss_types) if loss_types else (training_loss,)
-    logging_loss = LoggingLoss(
-        training_loss=training_loss, loss_types=lt, agg=agg
+    logging_loss, monitor, sign, _scalars = _monitor_setup(
+        training_loss, loss_types, agg
     )
-    monitor = loss_name(lt[0])
-    sign = -1.0 if best_direction(monitor) == "max" else 1.0
-    # the key compute_loss files the aggregated scalar under — reuse the
-    # LoggingLoss's own derivation (callable agg names, lstrip, fallbacks)
-    agg_key = logging_loss.agg_name
-
-    def _scalars(metrics: Mapping[str, Mapping[str, Any]]):
-        """metrics[loss_name][target|agg] → {loss_name: aggregated scalar}
-        (the same scalar train()'s history/early stopping track)."""
-        return {k: v[agg_key] for k, v in metrics.items()}
 
     # ---- data: ONE device copy shared by every member ---------------------
     train_data, val_data = split_data(
@@ -235,24 +258,13 @@ def population_train(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        if K % n_dev:
-            raise ValueError(
-                f"population size {K} not divisible by mesh size {n_dev}"
-            )
-        member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
-        repl_sh = NamedSharding(mesh, _P())
-
-        def _member_put(tree):
-            return jax.tree.map(
-                lambda a: jax.device_put(a, member_sh), tree
-            )
-
-        pop_params = _member_put(pop_params)
-        pop_state = _member_put(pop_state)
-        pop_opt_state = _member_put(pop_opt_state)
+        pop_params, pop_state, pop_opt_state = _shard_members(
+            mesh, K, (pop_params, pop_state, pop_opt_state),
+            "population size",
+        )
+        # the data is SHARED across members here: replicate it
         tensors, tr_batch, va_batch = jax.device_put(
-            (tensors, tr_batch, va_batch), repl_sh
+            (tensors, tr_batch, va_batch), NamedSharding(mesh, _P())
         )
 
     epoch_fn = make_train_epoch(
@@ -378,14 +390,10 @@ def _pad_epoch_tensors(t, nb: int, n_samples: int):
     """Pad an EpochTensors' batch axis to ``nb`` with all-zero batches
     (zero weight + zero masks → exact no-ops through the masked pipeline,
     the same semantics as the standard partial-batch padding)."""
-    from ..data.loaders import EpochTensors
+    from ..data.loaders import EpochTensors, pad_axis0
 
     def pad(a):
-        a = np.asarray(a)
-        if a.shape[0] == nb:
-            return a
-        width = [(0, nb - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, width)
+        return pad_axis0(a, nb)
 
     return EpochTensors(
         x=jax.tree.map(pad, t.x),
@@ -400,19 +408,9 @@ def _pad_epoch_tensors(t, nb: int, n_samples: int):
 def _pad_batch_rows(batch, n: int):
     """Pad a ((x, forcing), (y, mask)) eval batch to ``n`` rows with
     zero-mask rows (metrics unaffected)."""
+    from ..data.loaders import pad_axis0
 
-    def pad(a):
-        a = np.asarray(a)
-        if a.shape[0] == n:
-            return a
-        width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, width)
-
-    (x, forcing), (y, mask) = batch
-    return (
-        (jax.tree.map(pad, x), {k: pad(v) for k, v in forcing.items()}),
-        ({k: pad(v) for k, v in y.items()}, {k: pad(v) for k, v in mask.items()}),
-    )
+    return jax.tree.map(lambda a: pad_axis0(a, n), batch)
 
 
 def population_cross_validate(
@@ -453,32 +451,47 @@ def population_cross_validate(
     (the reference folds tutorial's output). Reference counterpart:
     docs/literate/tutorials/folds.jl drives train() once per fold.
     """
+    from ..data.prepare import prepare_data
     from ..utils.folds import make_folds
     from .optimizers import resolve_optimizer
     from .train import _full_batch, fit_input_norm
 
-    if loss_name(training_loss) in MAXIMIZE_METRICS:
-        raise ValueError(
-            f"training_loss {training_loss!r} is a maximize-direction "
-            "metric; pick a minimize-direction loss"
-        )
     K = int(k)
-    lt = tuple(loss_types) if loss_types else (training_loss,)
-    logging_loss = LoggingLoss(
-        training_loss=training_loss, loss_types=lt, agg=agg
+    logging_loss, monitor, sign, _scalars = _monitor_setup(
+        training_loss, loss_types, agg
     )
-    monitor = loss_name(lt[0])
-    sign = -1.0 if best_direction(monitor) == "max" else 1.0
-    agg_key = logging_loss.agg_name
 
-    def _scalars(metrics):
-        return {key: v[agg_key] for key, v in metrics.items()}
+    # prepare (and window) ONCE, then fold over the PREPARED samples — a
+    # single host-side ingestion instead of K, and fold counts that match
+    # the windowed sample count (per-row fold ids would mismatch after
+    # sequence windowing). With sequence_kwargs, folds partition WINDOWS:
+    # adjacent windows overlap in raw rows, so neighboring-fold leakage at
+    # window boundaries is inherent to windowed CV — same caveat as
+    # shuffling windowed samples into a validation split.
+    from ..data.xarray_io import is_xarray_like, xarray_to_dataframe
 
-    folds = make_folds(data, k=K, shuffle=shuffle_folds, seed=data_seed or 0)
+    if is_xarray_like(data):
+        data = xarray_to_dataframe(data)
+    prepared = prepare_data(
+        model, data, drop_missing_rows=(sequence_kwargs is None)
+    )
+    if sequence_kwargs is not None:
+        from ..data.sequences import filter_sequences, split_into_sequences
+
+        defaults = dict(
+            input_window=10, output_window=1, output_shift=1, lead_time=1
+        )
+        prepared = filter_sequences(
+            split_into_sequences(prepared, **{**defaults, **sequence_kwargs})
+        )
+    n = prepared.n_samples
+    fold_ids = make_folds(
+        range(n), k=K, shuffle=shuffle_folds, seed=data_seed or 0
+    )
     splits = [
-        split_data(
-            data, model, folds=folds, val_fold=i,
-            sequence_kwargs=sequence_kwargs, seed=data_seed,
+        (
+            prepared.take(np.nonzero(fold_ids != i)[0]),
+            prepared.take(np.nonzero(fold_ids == i)[0]),
         )
         for i in range(1, K + 1)
     ]
@@ -538,27 +551,18 @@ def population_cross_validate(
     pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        if K % n_dev:
-            raise ValueError(
-                f"fold count {K} not divisible by mesh size {n_dev}"
-            )
-        member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
-
-        def _member_put(tree):
-            return jax.tree.map(lambda a: jax.device_put(a, member_sh), tree)
-
-        pop_params = _member_put(pop_params)
-        pop_state = _member_put(pop_state)
-        pop_opt_state = _member_put(pop_opt_state)
-        tr_batch = _member_put(tr_batch)
-        va_batch = _member_put(va_batch)
+        # per-fold data rides the member axis here, so it shards too
+        (pop_params, pop_state, pop_opt_state, tr_batch, va_batch,
+         t_arrays) = _shard_members(
+            mesh, K,
+            (pop_params, pop_state, pop_opt_state, tr_batch, va_batch,
+             (tensors.x, tensors.forcing, tensors.y, tensors.mask,
+              tensors.weight)),
+            "fold count",
+        )
         tensors = EpochTensors(
-            x=_member_put(tensors.x), forcing=_member_put(tensors.forcing),
-            y=_member_put(tensors.y), mask=_member_put(tensors.mask),
-            weight=_member_put(tensors.weight), n_samples=ns,
+            x=t_arrays[0], forcing=t_arrays[1], y=t_arrays[2],
+            mask=t_arrays[3], weight=t_arrays[4], n_samples=ns,
         )
 
     epoch_fn = make_train_epoch(

@@ -325,3 +325,26 @@ def test_population_cross_validate_mesh():
     np.testing.assert_allclose(
         popm.val_history["mse"], pop.val_history["mse"], rtol=1e-5
     )
+
+
+def test_population_cross_validate_sequence_windows():
+    """Review fix pinned: CV folds are assigned over PREPARED samples, so
+    sequence windowing composes (per-row fold ids used to mismatch the
+    windowed count and raise). Data is prepared/windowed once, not k
+    times."""
+    df = eh.gen_rbq10_data(500, seed=6)
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=_rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers={"lstm": 8}, input_batchnorm="static",
+    )
+    pop = eh.population_cross_validate(
+        model, df, k=3, optimizer=("adam", 0.01),
+        nepochs=4, batchsize=64, eval_every=2,
+        sequence_kwargs=dict(input_window=5, output_window=1),
+        seed=1, data_seed=0,
+    )
+    assert pop.best_losses.shape == (3,)
+    assert np.isfinite(pop.best_losses).all()
