@@ -111,15 +111,13 @@ def ensemble_predict(
 
 def _run_chunked(model, forward, data, batch_size: int) -> Dict[str, np.ndarray]:
     """Shared pad/chunk/fetch driver around a compiled ``forward``."""
+    from ..data.loaders import pad_axis0
+
     hd = prepare_data(model, data, drop_missing_rows=False)
     n = hd.n_samples
 
     def pad_to(arr, m):
-        arr = np.asarray(arr, np.float32)
-        if arr.shape[0] == m:
-            return arr
-        pad = [(0, m - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, pad)
+        return pad_axis0(arr, m)
 
     chunks: Dict[str, list] = {}
     for start in range(0, max(n, 1), batch_size):
