@@ -550,7 +550,10 @@ def bench_multisite() -> float:
         y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
     )
     return _epoch_bench(
-        model, data, batch=S, epochs_per_call=256, e_small=8,
+        # 1024 epochs/program: no shuffle on the full-site batch, so the
+        # longer grid costs zero extra memory and sustained approaches
+        # marginal (the ~34 ms dispatch amortizes 4x further)
+        model, data, batch=S, epochs_per_call=1024, e_small=8,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, S * N),
     )
 
@@ -579,7 +582,7 @@ def bench_lstm() -> float:
     T, H, F, B = 10, 16, 2, 512
     lstm_flops = 6.0 * T * 4 * (F + H) * H * B  # 4 gates, fwd+bwd
     return _epoch_bench(
-        model, data, batch=B, epochs_per_call=256,
+        model, data, batch=B, epochs_per_call=1024,  # see bench_rbq10
         flops_per_step=lstm_flops,
     )
 
