@@ -127,6 +127,7 @@ from .io.paths import TrainingPaths, resolve_paths
 
 # utils
 from .plotting.theme import hybrid_colors, set_theme, theme_easy_hybrid, use_theme
+from .plotting.plots import plot_population
 from .utils.weights import extract_weights, weight_l2, l2_extra_loss
 from .utils.folds import make_folds
 from .utils.wrapped_tuples import WrappedTuples
@@ -244,6 +245,7 @@ __all__ = [
     "set_theme",
     "theme_easy_hybrid",
     "use_theme",
+    "plot_population",
     "l2_extra_loss",
     "make_folds",
     "WrappedTuples",

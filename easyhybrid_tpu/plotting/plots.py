@@ -18,6 +18,7 @@ log = logging.getLogger("easyhybrid_tpu")
 
 __all__ = [
     "poplot",
+    "plot_population",
     "plot_loss",
     "plot_parameters",
     "plot_training_summary",
@@ -280,4 +281,53 @@ def plot_training_summary(results, *, save: Optional[str] = None):
     fig.tight_layout()
     if save:
         fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_population(pop, *, metric: Optional[str] = None, yscale: str = "log",
+                    save: Optional[str] = None):
+    """Per-member validation trajectories of a population/CV run, the best
+    member highlighted with its best epoch marked. ``pop`` is a
+    :class:`~easyhybrid_tpu.training.population.PopulationResults`.
+    No reference analog (populations are a TPU-native addition)."""
+    plt = _plt()
+    metric = metric or pop.monitor
+    hist = pop.val_history[metric]  # (n_evals, K)
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    n_evals, K = hist.shape
+    for m in range(K):
+        is_best = m == pop.best_member
+        label = None
+        if is_best:
+            bits = [f"member {m}"]
+            if pop.hyper:
+                bits += [
+                    f"{k}={float(v[m]):.3g}" for k, v in pop.hyper.items()
+                ]
+            label = "best: " + ", ".join(bits)
+        ax.plot(
+            pop.epochs, hist[:, m],
+            lw=2.0 if is_best else 0.9,
+            alpha=1.0 if is_best else 0.45,
+            color="C1" if is_best else "C0",
+            label=label,
+            zorder=3 if is_best else 2,
+        )
+    ax.scatter(
+        [pop.best_epochs[pop.best_member]],
+        [pop.best_losses[pop.best_member]],
+        color="C1", marker="o", zorder=4,
+    )
+    try:
+        ax.set_yscale(yscale)
+    except ValueError:
+        pass
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(f"val {metric}")
+    ax.set_title(f"population ({K} members)")
+    if pop.hyper or True:
+        ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120)
     return fig

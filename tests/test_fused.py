@@ -1434,3 +1434,51 @@ def test_fused_lamb_matches_xla():
     from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
     ms = eh.MultiSiteHybridModel(model, n_sites=8, share_nn=True)
     assert not supports_fused_multisite(ms, ("lamb", 0.01), ll)
+
+
+@pytest.mark.parametrize("opt,loss", [
+    (("lion", 0.003), "nseLoss"),
+    (("adadelta", 0.5), "kgeLoss"),
+    (("radam", 0.02), None),  # None → pinball(0.7) ElementwiseLoss
+    (("lamb", 0.01), "mae"),
+])
+def test_fused_cross_optimizer_loss_combos(opt, loss):
+    """Cross combinations of the widened optimizer and loss envelopes —
+    each was validated against adam (losses) or mse (optimizers)
+    individually; these pin the off-diagonal pairings."""
+    training_loss = loss if loss is not None else eh.pinball(0.7)
+    model, params, state, tensors = _setup(n=6 * 64, batch=64)
+    ll = eh.LoggingLoss(
+        training_loss=training_loss,
+        loss_types=(training_loss if loss is not None else "mse",),
+    )
+    assert supports_fused_epoch(model, opt, ll)
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    fused = make_fused_epoch(model, state, opt, ll, shuffle=True,
+                             epochs_per_call=2)
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params, opt),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(3),
+    )
+    optimizer = resolve_optimizer(opt, params)
+    from easyhybrid_tpu.training.train import _flatten_safe
+
+    if _flatten_safe(opt):
+        optimizer = optax.flatten(optimizer)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=True,
+                           epochs_per_call=2)
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.array, params), optimizer.init(params),
+        jax.tree.map(jnp.array, state), tensors, jax.random.PRNGKey(3),
+    )
+    # 5e-5: radam's rectification chain ×  the pinball jvp compounds
+    # f32 rounding a touch past the usual 2e-5 after 12 steps
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5,
+            err_msg=f"{opt} × {training_loss}",
+        )
+    # pinball's hinge flips subgradient terms under ulp-level param
+    # divergence, amplifying the LOSS difference past the param one
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-3)

@@ -348,3 +348,19 @@ def test_population_cross_validate_sequence_windows():
     )
     assert pop.best_losses.shape == (3,)
     assert np.isfinite(pop.best_losses).all()
+
+
+def test_plot_population_renders(tmp_path):
+    """plot_population renders headless and saves a file."""
+    df = eh.gen_rbq10_data(300, seed=1)
+    model = _model()
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.02, 0.005]},
+        nepochs=4, batchsize=64, eval_every=2, seed=1, data_seed=0,
+    )
+    out = tmp_path / "pop.png"
+    fig = eh.plot_population(pop, save=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
