@@ -74,6 +74,26 @@ class PopulationResults:
         tree = self.best_params if best else self.params
         return jax.tree.map(lambda a: a[i], tree)
 
+    def param_spread(self, model=None, *, best: bool = True):
+        """Across-member mean ± std of every GLOBAL parameter — physical-
+        parameter uncertainty from a seed/hyper ensemble. With ``model``
+        given, values are reported in PHYSICAL units (the bounded
+        ``scale_param`` transform applied per parameter); otherwise raw.
+        Returns ``{name: (mean, std)}``."""
+        tree = self.best_params if best else self.params
+        out = {}
+        for name, raw in tree.get("globals", {}).items():
+            vals = np.asarray(raw, np.float32).reshape(len(self.seeds), -1)
+            if model is not None:
+                from ..params import scale_param
+
+                i = model.parameters.index(name)
+                lo = float(model.parameters.lower[i])
+                up = float(model.parameters.upper[i])
+                vals = np.asarray(scale_param(vals, lo, up))
+            out[name] = (vals.mean(axis=0).squeeze(), vals.std(axis=0).squeeze())
+        return out
+
 
 def _monitor_setup(training_loss, loss_types, agg):
     """Shared loss/monitor plumbing: the LoggingLoss, the monitored metric

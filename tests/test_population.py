@@ -364,3 +364,22 @@ def test_plot_population_renders(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_param_spread_physical_units():
+    """param_spread reports global-parameter mean±std across members, in
+    physical units when the model is given (Q10 near the true 2.0 with a
+    nonzero seed-ensemble spread)."""
+    df = eh.gen_rbq10_data(2000, seed=42)
+    model = _model((16, 16))
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01]}, seeds=[0, 1, 2],
+        nepochs=40, batchsize=512, eval_every=5, seed=7, data_seed=0,
+    )
+    spread = pop.param_spread(model)
+    mean, std = spread["Q10"]
+    assert abs(float(mean) - 2.0) < 0.3
+    assert float(std) >= 0.0
+    raw_mean, _ = pop.param_spread()["Q10"]
+    # raw (pre-sigmoid) values are NOT in physical units
+    assert abs(float(raw_mean) - float(mean)) > 1e-6
