@@ -313,11 +313,21 @@ def plot_population(pop, *, metric: Optional[str] = None, yscale: str = "log",
             label=label,
             zorder=3 if is_best else 2,
         )
-    ax.scatter(
-        [pop.best_epochs[pop.best_member]],
-        [pop.best_losses[pop.best_member]],
-        color="C1", marker="o", zorder=4,
-    )
+    # the best marker must live ON the plotted metric's curve: best_epochs
+    # tracks the MONITOR, so place the marker at that epoch's row of the
+    # displayed metric; a best at the (unplotted) epoch-0 baseline gets no
+    # marker rather than a point detached from every curve
+    best_ep = int(pop.best_epochs[pop.best_member])
+    row = np.searchsorted(pop.epochs, best_ep)
+    if best_ep > 0 and row < n_evals and pop.epochs[row] == best_ep:
+        ax.scatter(
+            [best_ep], [hist[row, pop.best_member]],
+            color="C1", marker="o", zorder=4,
+        )
+    # log is unusable for non-positive metrics (matplotlib silently masks
+    # the points away); fall back to linear for those
+    if yscale == "log" and np.nanmin(hist) <= 0:
+        yscale = "linear"
     try:
         ax.set_yscale(yscale)
     except ValueError:
@@ -325,9 +335,8 @@ def plot_population(pop, *, metric: Optional[str] = None, yscale: str = "log",
     ax.set_xlabel("epoch")
     ax.set_ylabel(f"val {metric}")
     ax.set_title(f"population ({K} members)")
-    if pop.hyper or True:
-        ax.legend(loc="best", fontsize=8)
+    ax.legend(loc="best", fontsize=8)
     fig.tight_layout()
     if save:
-        fig.savefig(save, dpi=120)
+        fig.savefig(save, dpi=120, bbox_inches="tight")
     return fig

@@ -116,22 +116,19 @@ def _run_chunked(model, forward, data, batch_size: int) -> Dict[str, np.ndarray]
     hd = prepare_data(model, data, drop_missing_rows=False)
     n = hd.n_samples
 
-    def pad_to(arr, m):
-        return pad_axis0(arr, m)
-
     chunks: Dict[str, list] = {}
     for start in range(0, max(n, 1), batch_size):
         end = min(start + batch_size, n)
         take = end - start
         if isinstance(hd.x, Mapping):
             x = {
-                k: pad_to(np.asarray(v)[start:end], batch_size)
+                k: pad_axis0(np.asarray(v)[start:end], batch_size)
                 for k, v in hd.x.items()
             }
         else:
-            x = pad_to(np.asarray(hd.x)[start:end], batch_size)
+            x = pad_axis0(np.asarray(hd.x)[start:end], batch_size)
         forcing = {
-            k: pad_to(np.asarray(v)[start:end], batch_size)
+            k: pad_axis0(np.asarray(v)[start:end], batch_size)
             for k, v in hd.forcing.items()
         }
         out = forward(x, forcing)

@@ -87,9 +87,8 @@ class PopulationResults:
             if model is not None:
                 from ..params import scale_param
 
-                i = model.parameters.index(name)
-                lo = float(model.parameters.lower[i])
-                up = float(model.parameters.upper[i])
+                lo = model.parameters.lower_of(name)
+                up = model.parameters.upper_of(name)
                 vals = np.asarray(scale_param(vals, lo, up))
             out[name] = (vals.mean(axis=0).squeeze(), vals.std(axis=0).squeeze())
         return out
