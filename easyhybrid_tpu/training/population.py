@@ -199,6 +199,13 @@ def population_train(
     once per configuration (docs tutorials; tune.jl:27-44); there is no
     batched-population analog — this is TPU-native surplus.
     """
+    # same persistent-cache policy as train(): each call builds fresh jit
+    # closures (new cache keys), so without the HLO-level cache a repeat
+    # population pays full recompilation — measured 7.9 s of a 9.9 s
+    # repeat call on CPU (tune loops call this repeatedly)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     hyper = dict(hyper or {})
     static_hyper = dict(static_hyper or {})
     if optimizer not in OPTIMIZERS:
@@ -471,10 +478,12 @@ def population_cross_validate(
     docs/literate/tutorials/folds.jl drives train() once per fold.
     """
     from ..data.prepare import prepare_data
+    from ..utils.cache import enable_compilation_cache
     from ..utils.folds import make_folds
     from .optimizers import resolve_optimizer
     from .train import _full_batch, fit_input_norm
 
+    enable_compilation_cache()  # see population_train
     K = int(k)
     logging_loss, monitor, sign, _scalars = _monitor_setup(
         training_loss, loss_types, agg
