@@ -120,12 +120,17 @@ def _monitor_setup(training_loss, loss_types, agg):
 
 def _shard_members(mesh, K: int, trees, what: str):
     """device_put every tree's leaves with the leading MEMBER axis sharded
-    over the 1-D mesh; K must divide evenly."""
+    over the mesh's FIRST axis (other mesh axes replicate — on a 2-D
+    members×data mesh that replication across the data axis is what makes
+    XLA psum per-member gradients over it); K must divide evenly by the
+    member-axis size."""
     from jax.sharding import NamedSharding, PartitionSpec as _P
 
-    n_dev = int(np.prod(list(mesh.shape.values())))
-    if K % n_dev:
-        raise ValueError(f"{what} {K} not divisible by mesh size {n_dev}")
+    n_member = int(mesh.shape[mesh.axis_names[0]])
+    if K % n_member:
+        raise ValueError(
+            f"{what} {K} not divisible by member-axis size {n_member}"
+        )
     member_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
     return tuple(
         jax.tree.map(lambda a: jax.device_put(a, member_sh), t)
@@ -288,10 +293,33 @@ def population_train(
             mesh, K, (pop_params, pop_state, pop_opt_state),
             "population size",
         )
-        # the data is SHARED across members here: replicate it
-        tensors, tr_batch, va_batch = jax.device_put(
-            (tensors, tr_batch, va_batch), NamedSharding(mesh, _P())
-        )
+        if len(mesh.axis_names) > 1:
+            # 2-D composed parallelism (the scaling-book pattern): axis 0
+            # shards MEMBERS (embarrassingly parallel), axis 1 shards the
+            # in-batch SAMPLE axis within each member — params stay
+            # replicated across the data axis, so XLA inserts the
+            # per-member gradient psum over it automatically. Member
+            # trees above already carry P(member_axis) with every other
+            # axis replicated, which is exactly right here too.
+            from ..data.loaders import EpochTensors as _ET
+
+            data_ax = mesh.axis_names[1]
+            batch_sh = NamedSharding(mesh, _P(None, data_ax))
+            arrays = jax.device_put(
+                (tensors.x, tensors.forcing, tensors.y, tensors.mask,
+                 tensors.weight),
+                batch_sh,
+            )  # (num_batches, batch, ...) → batch axis sharded; the
+            # static int n_samples cannot take a rank-2 spec
+            tensors = _ET(*arrays, n_samples=tensors.n_samples)
+            tr_batch, va_batch = jax.device_put(
+                (tr_batch, va_batch), NamedSharding(mesh, _P(data_ax))
+            )  # (n, ...) eval batches → sample axis sharded
+        else:
+            # 1-D: the data is SHARED across members — replicate it
+            tensors, tr_batch, va_batch = jax.device_put(
+                (tensors, tr_batch, va_batch), NamedSharding(mesh, _P())
+            )
 
     epoch_fn = make_train_epoch(
         model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,

@@ -383,3 +383,28 @@ def test_param_spread_physical_units():
     raw_mean, _ = pop.param_spread()["Q10"]
     # raw (pre-sigmoid) values are NOT in physical units
     assert abs(float(raw_mean) - float(mean)) > 1e-6
+
+
+def test_population_2d_mesh_members_by_data():
+    """Composed 2-D parallelism: a (members=2, data=4) mesh shards the
+    member axis AND the in-batch sample axis; params replicate across the
+    data axis so XLA psums per-member gradients over it. Numerics match
+    the unsharded run."""
+    from jax.sharding import Mesh
+    import numpy as _np
+
+    df = eh.gen_rbq10_data(600, seed=2)
+    model = _model()
+    kw = dict(
+        hyper={"learning_rate": [0.01, 0.003]},
+        optimizer="adam", nepochs=10, batchsize=128, eval_every=5,
+        seed=4, data_seed=0,
+    )
+    pop = eh.population_train(model, df, **kw)
+    devs = _np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("members", "data"))
+    popm = eh.population_train(model, df, mesh=mesh2, **kw)
+    np.testing.assert_allclose(
+        popm.val_history["mse"], pop.val_history["mse"], rtol=2e-5
+    )
+    assert popm.best_member == pop.best_member
