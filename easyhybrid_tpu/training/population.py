@@ -260,31 +260,77 @@ def population_train(
         lambda a: jnp.broadcast_to(a, (K,) + jnp.shape(a)), state0
     )
 
+    # ---- engine selection: the fused Pallas epoch can serve the whole
+    # population when every member shares ONE optimizer configuration
+    # (seed ensembles) — the kernel bakes hyperparams statically, and
+    # jax.vmap of the kernel is exact on-chip (probed + member-parity
+    # checked 2026-08-18). Hyper SWEEPS need per-member traced
+    # hyperparams, which only the inject_hyperparams XLA path carries.
+    import os
+
+    from .optimizers import _DEFAULT_LR
+
+    single_config = all(
+        np.unique(v).size == 1 for v in hyper_arr.values()
+    )
+    merged_hyper = {
+        **static_hyper, **{k: float(v[0]) for k, v in hyper_arr.items()}
+    }
+    fused_spec = (
+        (optimizer, merged_hyper) if merged_hyper
+        else (optimizer, _DEFAULT_LR)
+    )
+    use_fused = False
+    if (
+        single_config
+        and mesh is None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("EASYHYBRID_PALLAS") != "0"
+    ):
+        from ..ops.fused_epoch import (
+            fused_exactness_check,
+            init_fused_opt_state,
+            make_fused_epoch,
+            supports_fused_epoch,
+        )
+
+        if supports_fused_epoch(model, fused_spec, logging_loss,
+                                host_tensors):
+            use_fused = fused_exactness_check(
+                model, jax.tree.map(lambda a: a[0], pop_params), state0,
+                fused_spec, logging_loss, tensors,
+                epochs_per_call=eval_every, shuffle=shuffle_each_epoch,
+            )[0]
+
     # ---- one optimizer, per-member hyperparams in the STATE ---------------
     import optax
 
-    if hyper_arr:
+    if use_fused:
+        opt = None
+        pop_opt_state = jax.jit(jax.vmap(
+            lambda p: init_fused_opt_state(p, fused_spec)
+        ))(pop_params)
+    elif hyper_arr:
         opt = optax.inject_hyperparams(OPTIMIZERS[optimizer])(
             **{k: float(v[0]) for k, v in hyper_arr.items()}, **static_hyper
         )
     else:
         # seed-only ensembles: the library default lr (resolve_optimizer's
         # _DEFAULT_LR), same as train(model, df, optimizer="adam")
-        from .optimizers import _DEFAULT_LR
-
         opt = (
             OPTIMIZERS[optimizer](**static_hyper)
             if static_hyper
             else OPTIMIZERS[optimizer](_DEFAULT_LR)
         )
-    pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
-    if hyper_arr:
-        pop_opt_state = pop_opt_state._replace(
-            hyperparams={
-                **pop_opt_state.hyperparams,
-                **{k: jnp.asarray(v) for k, v in hyper_arr.items()},
-            }
-        )
+    if opt is not None:
+        pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
+        if hyper_arr:
+            pop_opt_state = pop_opt_state._replace(
+                hyperparams={
+                    **pop_opt_state.hyperparams,
+                    **{k: jnp.asarray(v) for k, v in hyper_arr.items()},
+                }
+            )
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -321,10 +367,19 @@ def population_train(
                 (tensors, tr_batch, va_batch), NamedSharding(mesh, _P())
             )
 
-    epoch_fn = make_train_epoch(
-        model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
-        epochs_per_call=eval_every, skip_empty_guard=skip_guard,
-    )
+    if use_fused:
+        from ..ops.fused_epoch import make_fused_epoch
+
+        epoch_fn = make_fused_epoch(
+            model, state0, fused_spec, logging_loss,
+            shuffle=shuffle_each_epoch, epochs_per_call=eval_every,
+        )
+        log.info("population: fused Pallas epoch engine (gate passed)")
+    else:
+        epoch_fn = make_train_epoch(
+            model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
+            epochs_per_call=eval_every, skip_empty_guard=skip_guard,
+        )
     vepoch = jax.vmap(epoch_fn, in_axes=(0, 0, 0, None, 0))
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, None, None))
@@ -339,6 +394,9 @@ def population_train(
     return _assemble_results(
         hyper_arr, seeds_arr, monitor, sign, eval_every,
         p, s, best_sc, best_p, best_ep, h_tr, h_va,
+        epoch_path=(
+            "population_vmap_fused" if use_fused else "population_vmap"
+        ),
     )
 
 
