@@ -661,8 +661,39 @@ def population_cross_validate(
         lambda *ls: jnp.stack([jnp.asarray(x) for x in ls]), *fold_states
     )
 
-    opt = resolve_optimizer(optimizer, params0)
-    pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
+    # engine: the fused Pallas epoch vmaps over per-fold DATA too (the
+    # data arrays become leading-axis operands → extra grid dim; probed
+    # exact on-chip 2026-08-18, fold-0 bitwise vs a single fused run)
+    import os
+
+    use_fused = False
+    if (
+        mesh is None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("EASYHYBRID_PALLAS") != "0"
+    ):
+        from ..ops.fused_epoch import (
+            fused_exactness_check,
+            init_fused_opt_state,
+            supports_fused_epoch,
+        )
+
+        if supports_fused_epoch(model, optimizer, logging_loss,
+                                fold_tensors[0]):
+            use_fused = fused_exactness_check(
+                model, params0, fold_states[0], optimizer, logging_loss,
+                jax.device_put(fold_tensors[0]),
+                epochs_per_call=eval_every, shuffle=shuffle_each_epoch,
+            )[0]
+
+    if use_fused:
+        opt = None
+        pop_opt_state = jax.jit(jax.vmap(
+            lambda p: init_fused_opt_state(p, optimizer)
+        ))(pop_params)
+    else:
+        opt = resolve_optimizer(optimizer, params0)
+        pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
 
     if mesh is not None:
         # per-fold data rides the member axis here, so it shards too
@@ -679,10 +710,19 @@ def population_cross_validate(
             mask=t_arrays[3], weight=t_arrays[4], n_samples=ns,
         )
 
-    epoch_fn = make_train_epoch(
-        model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
-        epochs_per_call=eval_every, skip_empty_guard=skip_guard,
-    )
+    if use_fused:
+        from ..ops.fused_epoch import make_fused_epoch
+
+        epoch_fn = make_fused_epoch(
+            model, fold_states[0], optimizer, logging_loss,
+            shuffle=shuffle_each_epoch, epochs_per_call=eval_every,
+        )
+        log.info("population CV: fused Pallas epoch engine (gate passed)")
+    else:
+        epoch_fn = make_train_epoch(
+            model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
+            epochs_per_call=eval_every, skip_empty_guard=skip_guard,
+        )
     # per-field axes: every array field carries the fold axis, but the
     # static n_samples scalar is shared (rank 0 — not mappable)
     t_axes = EpochTensors(
@@ -702,5 +742,8 @@ def population_cross_validate(
     return _assemble_results(
         {}, np.arange(1, K + 1, dtype=np.int64), monitor, sign, eval_every,
         p, s, best_sc, best_p, best_ep, h_tr, h_va,
-        epoch_path="population_vmap_cv",
+        epoch_path=(
+            "population_vmap_cv_fused" if use_fused
+            else "population_vmap_cv"
+        ),
     )
