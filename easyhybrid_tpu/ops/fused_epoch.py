@@ -211,6 +211,11 @@ def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
         kw = dict(rest[0])
         if not set(kw) <= set(hyper):
             return None  # e.g. rmsprop centered: not fused
+        if not all(isinstance(v, (int, float)) for v in kw.values()):
+            # same numeric check as the positional branch: a non-numeric
+            # value (e.g. momentum=None, valid for optax.sgd) means
+            # "not fusable", not a TypeError from float(None)
+            return None
         hyper.update({k: float(v) for k, v in kw.items()})
     else:
         names = _OPT_POSITIONAL[name]

@@ -138,6 +138,122 @@ def _shard_members(mesh, K: int, trees, what: str):
     )
 
 
+def _select_fused_engine(model, spec, logging_loss, host_tensors,
+                         gate_params, gate_state, gate_tensors, *,
+                         eval_every, shuffle, t_axes=None, what=""):
+    """Shared fused-engine gate for BOTH population entry points. Mirrors
+    train()'s env contract (``EASYHYBRID_PALLAS=1`` skips the backend gate
+    but NOT the exactness gate — enabling interpret-mode runs off-TPU;
+    ``=0`` disables), runs the standard runtime exactness check, then
+    additionally SELF-CHECKS the VMAPPED kernel: the production program
+    carries an extra batching grid dim the element gate never compiles,
+    and this toolchain's failure mode is silent (fused_epoch docstring).
+    Returns ``(epoch_fn, opt_state_init)`` or ``(None, None)``."""
+    import os
+
+    env = os.environ.get("EASYHYBRID_PALLAS")
+    if env == "0":
+        return None, None
+    if jax.default_backend() != "tpu" and env != "1":
+        return None, None
+    from ..ops.fused_epoch import (
+        fused_exactness_check,
+        init_fused_opt_state,
+        make_fused_epoch,
+        supports_fused_epoch,
+    )
+
+    if not supports_fused_epoch(model, spec, logging_loss, host_tensors):
+        return None, None
+    ok = fused_exactness_check(
+        model, gate_params, gate_state, spec, logging_loss, gate_tensors,
+        epochs_per_call=eval_every, shuffle=shuffle,
+    )[0]
+    if not ok:
+        return None, None
+    epoch_fn = make_fused_epoch(
+        model, gate_state, spec, logging_loss,
+        shuffle=shuffle, epochs_per_call=eval_every,
+    )
+    if not _vmapped_kernel_selfcheck(
+        epoch_fn, spec, gate_params, gate_state, gate_tensors, t_axes
+    ):
+        log.warning(
+            "population%s: vmapped fused kernel failed the self-check; "
+            "falling back to the XLA engine", what,
+        )
+        return None, None
+    log.info("population%s: fused Pallas epoch engine (gates passed)", what)
+    return epoch_fn, (lambda p: init_fused_opt_state(p, spec))
+
+
+def _vmapped_kernel_selfcheck(epoch_fn, spec, params, state, tensors,
+                              t_axes) -> bool:
+    """Run the PRODUCTION vmapped program once with two IDENTICAL members
+    on a 2-batch data slice: the members must match each other EXACTLY
+    (same data, same program — any divergence is a batching-grid
+    miscompile) and the unvmapped kernel closely. Runs once per process
+    per configuration (one tiny extra launch; not disk-cached — the
+    exactness gate's cache already bounds the expensive part)."""
+    from ..data.loaders import EpochTensors
+    from ..ops.fused_epoch import init_fused_opt_state
+
+    try:
+        nb = min(2, int(tensors.weight.shape[0]))
+        sub = EpochTensors(
+            x=jax.tree.map(lambda a: a[:nb], tensors.x),
+            forcing={k: v[:nb] for k, v in tensors.forcing.items()},
+            y={k: v[:nb] for k, v in tensors.y.items()},
+            mask={k: v[:nb] for k, v in tensors.mask.items()},
+            weight=tensors.weight[:nb],
+            n_samples=tensors.n_samples,
+        )
+
+        def dup(t):
+            return jax.tree.map(
+                lambda a: jnp.stack([jnp.asarray(a), jnp.asarray(a)]), t
+            )
+
+        if t_axes is None:
+            in_axes = (0, 0, 0, None, 0)
+            data = sub
+        else:
+            in_axes = (0, 0, 0, t_axes, 0)
+            data = EpochTensors(
+                x=dup(sub.x), forcing=dup(sub.forcing), y=dup(sub.y),
+                mask=dup(sub.mask), weight=dup(sub.weight),
+                n_samples=sub.n_samples,
+            )
+        vf = jax.vmap(epoch_fn, in_axes=in_axes)
+        key = jax.random.PRNGKey(0)
+        ks = jnp.stack([key, key])
+        p2, _, _, l2 = vf(
+            dup(params), dup(init_fused_opt_state(params, spec)),
+            dup(state), data, ks,
+        )
+        copy = lambda t: jax.tree.map(lambda a: jnp.array(a), t)  # noqa: E731
+        p1, _, _, l1 = epoch_fn(
+            copy(params), init_fused_opt_state(params, spec), copy(state),
+            sub, key,
+        )
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+            a = np.asarray(a)
+            if not np.array_equal(a[0], a[1]):
+                return False  # identical members diverged: miscompile
+            if not np.allclose(a[0], np.asarray(b), atol=1e-5):
+                return False
+        l2 = np.asarray(l2)
+        return bool(
+            np.array_equal(l2[0], l2[1])
+            and np.allclose(l2[0], float(l1), rtol=1e-4)
+        )
+    except Exception as e:  # build/launch failure → XLA fallback
+        log.info(
+            "vmapped fused self-check raised %s: %s", type(e).__name__, e
+        )
+        return False
+
+
 def _member_count(hyper: Mapping[str, Sequence], seeds) -> int:
     sizes = {len(np.atleast_1d(np.asarray(v))) for v in hyper.values()}
     if seeds is not None:
@@ -191,11 +307,15 @@ def population_train(
     applies. Epoch budget matches ``train()``'s eval grid: exactly
     ``(nepochs // eval_every) * eval_every`` epochs run — never more.
 
-    ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards the MEMBER axis across
-    devices — members are embarrassingly parallel (shared read-only data,
-    zero inter-member collectives), so a K-member population on D chips is
-    K/D members per chip: population size scales linearly with the slice.
-    K must be divisible by the mesh size.
+    ``mesh`` shards the MEMBER axis across the mesh's FIRST axis — members
+    are embarrassingly parallel (shared read-only data, zero inter-member
+    collectives), so population size scales linearly with the slice; K
+    must be divisible by the member-axis size. A 2-D mesh (e.g.
+    ``Mesh(devs.reshape(M, D), ("members", "data"))``) ADDITIONALLY shards
+    each member's in-batch sample axis over the second axis, with member
+    params replicated across it so XLA inserts the per-member gradient
+    ``psum`` automatically (``batchsize`` must divide by the data-axis
+    size; eval batches are zero-mask padded to it).
 
     Returns :class:`PopulationResults` with per-member best-epoch tracking
     done ON DEVICE — one dispatch, one final fetch.
@@ -263,11 +383,9 @@ def population_train(
     # ---- engine selection: the fused Pallas epoch can serve the whole
     # population when every member shares ONE optimizer configuration
     # (seed ensembles) — the kernel bakes hyperparams statically, and
-    # jax.vmap of the kernel is exact on-chip (probed + member-parity
-    # checked 2026-08-18). Hyper SWEEPS need per-member traced
+    # jax.vmap of the kernel is exact on-chip (gated + self-checked in
+    # _select_fused_engine). Hyper SWEEPS need per-member traced
     # hyperparams, which only the inject_hyperparams XLA path carries.
-    import os
-
     from .optimizers import _DEFAULT_LR
 
     single_config = all(
@@ -280,36 +398,21 @@ def population_train(
         (optimizer, merged_hyper) if merged_hyper
         else (optimizer, _DEFAULT_LR)
     )
-    use_fused = False
-    if (
-        single_config
-        and mesh is None
-        and jax.default_backend() == "tpu"
-        and os.environ.get("EASYHYBRID_PALLAS") != "0"
-    ):
-        from ..ops.fused_epoch import (
-            fused_exactness_check,
-            init_fused_opt_state,
-            make_fused_epoch,
-            supports_fused_epoch,
+    fused_epoch_fn = fused_opt_init = None
+    if single_config and mesh is None:
+        fused_epoch_fn, fused_opt_init = _select_fused_engine(
+            model, fused_spec, logging_loss, host_tensors,
+            jax.tree.map(lambda a: a[0], pop_params), state0, tensors,
+            eval_every=eval_every, shuffle=shuffle_each_epoch,
         )
-
-        if supports_fused_epoch(model, fused_spec, logging_loss,
-                                host_tensors):
-            use_fused = fused_exactness_check(
-                model, jax.tree.map(lambda a: a[0], pop_params), state0,
-                fused_spec, logging_loss, tensors,
-                epochs_per_call=eval_every, shuffle=shuffle_each_epoch,
-            )[0]
+    use_fused = fused_epoch_fn is not None
 
     # ---- one optimizer, per-member hyperparams in the STATE ---------------
     import optax
 
     if use_fused:
         opt = None
-        pop_opt_state = jax.jit(jax.vmap(
-            lambda p: init_fused_opt_state(p, fused_spec)
-        ))(pop_params)
+        pop_opt_state = jax.jit(jax.vmap(fused_opt_init))(pop_params)
     elif hyper_arr:
         opt = optax.inject_hyperparams(OPTIMIZERS[optimizer])(
             **{k: float(v[0]) for k, v in hyper_arr.items()}, **static_hyper
@@ -350,6 +453,22 @@ def population_train(
             from ..data.loaders import EpochTensors as _ET
 
             data_ax = mesh.axis_names[1]
+            n_data = int(mesh.shape[data_ax])
+            if batchsize % n_data:
+                raise ValueError(
+                    f"batchsize {batchsize} not divisible by the data-axis "
+                    f"size {n_data} of mesh {dict(mesh.shape)}"
+                )
+            # eval batches must also split evenly over the data axis:
+            # zero-mask pad to the next multiple (exact no-op rows)
+            def _ceil_rows(batch_tree):
+                n = int(jax.tree.leaves(batch_tree)[0].shape[0])
+                return _pad_batch_rows(
+                    batch_tree, -(-n // n_data) * n_data
+                )
+
+            tr_batch = _ceil_rows(tr_batch)
+            va_batch = _ceil_rows(va_batch)
             batch_sh = NamedSharding(mesh, _P(None, data_ax))
             arrays = jax.device_put(
                 (tensors.x, tensors.forcing, tensors.y, tensors.mask,
@@ -368,13 +487,7 @@ def population_train(
             )
 
     if use_fused:
-        from ..ops.fused_epoch import make_fused_epoch
-
-        epoch_fn = make_fused_epoch(
-            model, state0, fused_spec, logging_loss,
-            shuffle=shuffle_each_epoch, epochs_per_call=eval_every,
-        )
-        log.info("population: fused Pallas epoch engine (gate passed)")
+        epoch_fn = fused_epoch_fn
     else:
         epoch_fn = make_train_epoch(
             model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
@@ -555,7 +668,10 @@ def population_cross_validate(
 
     ``optimizer`` is any spec ``resolve_optimizer`` accepts (tuple/str/
     per-branch dict/prebuilt transform) — all folds share it. ``mesh``
-    shards the FOLD axis across devices (k divisible by mesh size).
+    shards the FOLD axis across the mesh's first axis (k divisible by the
+    member-axis size). Fusable configs run the fused Pallas epoch kernel
+    (the per-fold data vmaps along with the fold axis; gated + vmapped
+    self-check, see ``_select_fused_engine``).
 
     Returns :class:`PopulationResults` with ``seeds`` holding the fold
     index per member and ``best_losses`` the per-fold best monitored
@@ -662,35 +778,34 @@ def population_cross_validate(
     )
 
     # engine: the fused Pallas epoch vmaps over per-fold DATA too (the
-    # data arrays become leading-axis operands → extra grid dim; probed
-    # exact on-chip 2026-08-18, fold-0 bitwise vs a single fused run)
-    import os
-
-    use_fused = False
-    if (
-        mesh is None
-        and jax.default_backend() == "tpu"
-        and os.environ.get("EASYHYBRID_PALLAS") != "0"
-    ):
-        from ..ops.fused_epoch import (
-            fused_exactness_check,
-            init_fused_opt_state,
-            supports_fused_epoch,
+    # data arrays become leading-axis operands → extra grid dim; the
+    # vmapped self-check inside _select_fused_engine validates exactly
+    # that program). Gate data = a device-side slice of the already-
+    # uploaded stack (no second host→device transfer of fold 0).
+    t_axes = EpochTensors(
+        x=0, forcing=0, y=0, mask=0, weight=0, n_samples=None
+    )
+    fold0_dev = EpochTensors(
+        x=jax.tree.map(lambda a: a[0], tensors.x),
+        forcing={k: v[0] for k, v in tensors.forcing.items()},
+        y={k: v[0] for k, v in tensors.y.items()},
+        mask={k: v[0] for k, v in tensors.mask.items()},
+        weight=tensors.weight[0],
+        n_samples=ns,
+    )
+    fused_epoch_fn = fused_opt_init = None
+    if mesh is None:
+        fused_epoch_fn, fused_opt_init = _select_fused_engine(
+            model, optimizer, logging_loss, fold_tensors[0],
+            params0, fold_states[0], fold0_dev,
+            eval_every=eval_every, shuffle=shuffle_each_epoch,
+            t_axes=t_axes, what=" CV",
         )
-
-        if supports_fused_epoch(model, optimizer, logging_loss,
-                                fold_tensors[0]):
-            use_fused = fused_exactness_check(
-                model, params0, fold_states[0], optimizer, logging_loss,
-                jax.device_put(fold_tensors[0]),
-                epochs_per_call=eval_every, shuffle=shuffle_each_epoch,
-            )[0]
+    use_fused = fused_epoch_fn is not None
 
     if use_fused:
         opt = None
-        pop_opt_state = jax.jit(jax.vmap(
-            lambda p: init_fused_opt_state(p, optimizer)
-        ))(pop_params)
+        pop_opt_state = jax.jit(jax.vmap(fused_opt_init))(pop_params)
     else:
         opt = resolve_optimizer(optimizer, params0)
         pop_opt_state = jax.jit(jax.vmap(opt.init))(pop_params)
@@ -711,23 +826,14 @@ def population_cross_validate(
         )
 
     if use_fused:
-        from ..ops.fused_epoch import make_fused_epoch
-
-        epoch_fn = make_fused_epoch(
-            model, fold_states[0], optimizer, logging_loss,
-            shuffle=shuffle_each_epoch, epochs_per_call=eval_every,
-        )
-        log.info("population CV: fused Pallas epoch engine (gate passed)")
+        epoch_fn = fused_epoch_fn
     else:
         epoch_fn = make_train_epoch(
             model, logging_loss, opt, shuffle=shuffle_each_epoch, jit=False,
             epochs_per_call=eval_every, skip_empty_guard=skip_guard,
         )
-    # per-field axes: every array field carries the fold axis, but the
-    # static n_samples scalar is shared (rank 0 — not mappable)
-    t_axes = EpochTensors(
-        x=0, forcing=0, y=0, mask=0, weight=0, n_samples=None
-    )
+    # t_axes (defined above): every array field carries the fold axis,
+    # but the static n_samples scalar is shared (rank 0 — not mappable)
     vepoch = jax.vmap(epoch_fn, in_axes=(0, 0, 0, t_axes, 0))
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, 0, 0))

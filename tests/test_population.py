@@ -408,3 +408,30 @@ def test_population_2d_mesh_members_by_data():
         popm.val_history["mse"], pop.val_history["mse"], rtol=2e-5
     )
     assert popm.best_member == pop.best_member
+
+
+def test_population_fused_engine_interpret_mode(monkeypatch):
+    """EASYHYBRID_PALLAS=1 honors train()'s env contract in the population
+    paths too (backend gate skipped, exactness gate + vmapped self-check
+    still run) — exercising the fused wiring off-TPU via the interpret
+    kernel. Seed-ensemble trajectories match the XLA engine."""
+    df = eh.gen_rbq10_data(300, seed=3)
+    model = _model()
+    kw = dict(seeds=[0, 1], nepochs=4, batchsize=64, eval_every=2,
+              seed=2, data_seed=0)
+    pop_xla = eh.population_train(model, df, **kw)
+    assert pop_xla.epoch_path == "population_vmap"
+    monkeypatch.setenv("EASYHYBRID_PALLAS", "1")
+    monkeypatch.setenv("EASYHYBRID_GATE_CACHE", "0")
+    pop_f = eh.population_train(model, df, **kw)
+    assert pop_f.epoch_path == "population_vmap_fused", pop_f.epoch_path
+    np.testing.assert_allclose(
+        pop_f.val_history["mse"], pop_xla.val_history["mse"], rtol=2e-4
+    )
+    # CV variant: per-fold data vmaps through the same fused engine
+    cv_f = eh.population_cross_validate(
+        model, df, k=2, optimizer=("adam", 0.01),
+        nepochs=4, batchsize=64, eval_every=2, seed=2, data_seed=0,
+    )
+    assert cv_f.epoch_path == "population_vmap_cv_fused", cv_f.epoch_path
+    assert np.isfinite(cv_f.best_losses).all()
