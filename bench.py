@@ -481,9 +481,14 @@ def bench_inference() -> float:
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t_small, t_big = timed(4), timed(64)
+    # the forward is ~20 us/pass: a 4-vs-64 pass delta (~1 ms) sits inside
+    # the ~30 ms tunnel dispatch noise and once produced a nonsense 7.9e15
+    # rows/s marginal — the pass counts must make the compute delta
+    # UNMISSABLE relative to dispatch jitter (3840 passes ~ 80 ms)
+    e_small_p, e_big_p = 256, 4096
+    t_small, t_big = timed(e_small_p), timed(e_big_p)
     dd = max(t_big - t_small, 1e-9)
-    marginal = (64 - 4) * n / dd
+    marginal = (e_big_p - e_small_p) * n / dd
 
     # end-to-end through the tunnel: DataFrame in, numpy predictions out
     predict = eh.make_inference_fn(model, params, state, batch_size=65_536)
