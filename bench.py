@@ -105,9 +105,11 @@ _PINNED_BASELINES = {
     # bf16 would be slower, so the f32 pin is the conservative denominator)
     "large_mlp_bf16": 175.0,
     "lstm": 285.0,
-    # forward-only ROWS/s (the inference row's unit), max of 3 measurements
-    # 2026-08-17
-    "inference": 8_845_757.0,
+    # forward-only ROWS/s (the inference row's unit), max of 7 clean
+    # measurements 2026-08-17/18 (8.45-9.25M). One in-bench drift reading
+    # of 17.5M was observed once and is unreproducible across 4 fresh
+    # runs; if the drift check flags ~2x again, re-pin upward.
+    "inference": 9_247_757.0,
 }
 
 
