@@ -806,16 +806,34 @@ def main():
             configs["multisite"]["steps_per_s"] * 10_000, 0
         )
 
+    # Full per-config detail goes to a local file + stderr; stdout's FINAL
+    # line stays a compact headline so the driver's tail buffer can always
+    # parse it (round-3 lesson: the all-in-one line outgrew the buffer and
+    # BENCH_r03.json recorded "parsed": null).
+    full = {
+        "metric": "rbq10_grad_steps_per_sec",
+        "value": headline.get("steps_per_s"),
+        "unit": "grad steps/s (batch 512, 20k rows, MLP[16,16]; "
+        f"baseline: torch CPU 1 thread, median of {REPEATS})",
+        "vs_baseline": headline.get("vs_baseline"),
+        "configs": configs,
+    }
+    try:
+        results_path = os.path.join(os.path.dirname(__file__), "bench_results.json")
+        with open(results_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(f"# full per-config results: {results_path}", file=sys.stderr)
+    except OSError:
+        pass
+    print("# configs: " + json.dumps(configs), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "rbq10_grad_steps_per_sec",
                 "value": headline.get("steps_per_s"),
-                "unit": "grad steps/s (batch 512, 20k rows, MLP[16,16]; "
-                "baseline: torch CPU 1 thread, median of "
-                f"{REPEATS})",
+                "unit": "grad steps/s (batch 512, MLP[16,16], vs torch CPU)",
                 "vs_baseline": headline.get("vs_baseline"),
-                "configs": configs,
+                "mfu_pct": headline.get("mfu_pct"),
             }
         )
     )

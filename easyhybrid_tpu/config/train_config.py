@@ -165,6 +165,9 @@ class TrainResults:
                                    # "fused_pallas" | "fused_pallas_multisite"
                                    # | "xla_scan" | "second_order"
     loop_mode: Any = None          # "deferred" (zero-readback) | "eager"
+    engine_reason: Any = None      # WHY that engine/loop was selected (the
+                                   # disqualifying config flag when a faster
+                                   # path was skipped) — one short string
     final_grads: Any = None        # final full-train-batch grads pytree
                                    # when return_gradients
 

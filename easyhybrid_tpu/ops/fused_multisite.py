@@ -38,13 +38,19 @@ build — tools/probe_multisite_primitives{,2}.py, 2026-08-17 on-chip runs):
 
 Envelope (``supports_fused_multisite``): ``share_nn=True``,
 ``SingleNNHybridModel`` base with an MLP (input_batchnorm in
-{False, "static"}), scalar per-site globals, training loss in {mse, mae,
-nseLoss} or a declarative ``ElementwiseLoss`` (pinball/huber/…), agg in
-{sum, mean}, optimizer in {adam, adamw, sgd, rmsprop}, no ``extra_loss``,
-and ONE site batch per epoch (``batchsize >= n_sites`` — the standard
-full-batch multisite setup; minibatched sites fall back to the XLA epoch
-because optax decays moments of out-of-batch parameters every step, which
-chunk-local updates cannot reproduce).
+{False, "static"}, f32 — no compute_dtype), scalar per-site globals,
+training loss in {mse, mae, nseLoss} or a declarative ``ElementwiseLoss``
+(pinball/huber/…), agg in {sum, mean}, no ``extra_loss``. Optimizers:
+every ELEMENTWISE rule ``parse_opt_spec`` accepts — adam, adamw, sgd,
+rmsprop, adagrad, lion, adamax, nadam, adadelta, radam (the update
+delegates to the generic kernel's ``make_update_leaf``) — excluding lamb
+(``_WHOLELEAF_OPTS``: its trust ratio needs whole-leaf norms, but per-site
+leaves are split across grid chunks here) and amsgrad (``_SLOT3_OPTS``: no
+third per-site state tile). Site batching: ONE site batch per epoch
+(``batchsize >= n_sites``, the standard full-batch multisite setup);
+minibatched sites fall back to the XLA epoch because optax decays moments
+of out-of-batch parameters every step, which chunk-local updates cannot
+reproduce.
 
 The loss envelope is exactly the CHUNK-LOCAL subset of the generic
 kernel's losses: per-element terms whose scale depends only on the static

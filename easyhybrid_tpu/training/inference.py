@@ -10,6 +10,7 @@ arbitrarily large inputs.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -47,16 +48,29 @@ def make_inference_fn(model, params, state, *, batch_size: int = 1024):
     """
     params = jax.tree.map(jnp.asarray, params)
     state = jax.tree.map(jnp.asarray, state)
+    fwd = _single_forward(model)
+
+    def predict_fn(data) -> Dict[str, np.ndarray]:
+        return _run_chunked(
+            model, functools.partial(fwd, params, state), data, batch_size
+        )
+
+    return predict_fn
+
+
+@functools.lru_cache(maxsize=32)
+def _single_forward(model):
+    """One jitted single-model forward per MODEL, parameters as explicit
+    arguments: repeated ``make_inference_fn``/``predict`` calls (e.g. after
+    each retrain) reuse the compilation instead of re-tracing with the new
+    parameters baked in as program constants."""
 
     @jax.jit
-    def forward(x, forcing):
+    def forward(params, state, x, forcing):
         outputs, _ = model.apply(params, state, (x, forcing), training=False)
         return _flatten_outputs(outputs)
 
-    def predict_fn(data) -> Dict[str, np.ndarray]:
-        return _run_chunked(model, forward, data, batch_size)
-
-    return predict_fn
+    return forward
 
 
 def predict(model, params, state, data, *, batch_size: int = 1024):
@@ -92,9 +106,24 @@ def ensemble_predict(
         stacked_state = population.state
     stacked_params = jax.tree.map(jnp.asarray, stacked_params)
     stacked_state = jax.tree.map(jnp.asarray, stacked_state)
+    # one jitted program per MODEL, member parameters as explicit arguments
+    # (a closure capture would embed all K members' parameters as program
+    # constants and re-trace on every ensemble_predict call)
+    fwd = _ensemble_forward(model)
+    return _run_chunked(
+        model, functools.partial(fwd, stacked_params, stacked_state),
+        data, batch_size,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _ensemble_forward(model):
+    """One jitted ensemble forward per MODEL: repeat ``ensemble_predict``
+    calls reuse the compilation; compile time and program size no longer
+    grow with the member count K (parameters ride as arguments)."""
 
     @jax.jit
-    def forward(x, forcing):
+    def forward(stacked_params, stacked_state, x, forcing):
         def one(p, s):
             out, _ = model.apply(p, s, (x, forcing), training=False)
             return _flatten_outputs(out)
@@ -106,7 +135,7 @@ def ensemble_predict(
             flat[k + "_std"] = jnp.std(v, axis=0)
         return flat
 
-    return _run_chunked(model, forward, data, batch_size)
+    return forward
 
 
 def _run_chunked(model, forward, data, batch_size: int) -> Dict[str, np.ndarray]:

@@ -47,6 +47,10 @@ __all__ = ["population_train", "population_cross_validate", "PopulationResults"]
 
 log = logging.getLogger("easyhybrid_tpu")
 
+# per-process vmapped-self-check verdicts, keyed like the exactness-gate
+# disk cache (see _select_fused_engine)
+_SELFCHECK_VERDICTS: Dict[Any, bool] = {}
+
 
 @dataclasses.dataclass
 class PopulationResults:
@@ -66,6 +70,7 @@ class PopulationResults:
     best_member: int                      #: argbest of best_losses
     monitor: str                          #: metric best_losses tracks
     epoch_path: str = "population_vmap"
+    engine_reason: Optional[str] = None   #: why that engine was selected
 
     def member_params(self, i: int, *, best: bool = True):
         """Unstack member ``i``'s (best) parameter tree — shaped exactly
@@ -148,14 +153,19 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
     additionally SELF-CHECKS the VMAPPED kernel: the production program
     carries an extra batching grid dim the element gate never compiles,
     and this toolchain's failure mode is silent (fused_epoch docstring).
-    Returns ``(epoch_fn, opt_state_init)`` or ``(None, None)``."""
+    Returns ``(epoch_fn, opt_state_init, reason)``; the first two are None
+    on fallback and ``reason`` says why (recorded in
+    ``PopulationResults.engine_reason``)."""
     import os
 
     env = os.environ.get("EASYHYBRID_PALLAS")
     if env == "0":
-        return None, None
+        return None, None, "EASYHYBRID_PALLAS=0"
     if jax.default_backend() != "tpu" and env != "1":
-        return None, None
+        return None, None, (
+            f"backend is {jax.default_backend()!r}, not tpu "
+            "(EASYHYBRID_PALLAS=1 overrides)"
+        )
     from ..ops.fused_epoch import (
         fused_exactness_check,
         init_fused_opt_state,
@@ -164,27 +174,51 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
     )
 
     if not supports_fused_epoch(model, spec, logging_loss, host_tensors):
-        return None, None
+        return None, None, (
+            "model/optimizer/loss outside the fused-kernel envelope"
+        )
     ok = fused_exactness_check(
         model, gate_params, gate_state, spec, logging_loss, gate_tensors,
         epochs_per_call=eval_every, shuffle=shuffle,
     )[0]
     if not ok:
-        return None, None
+        return None, None, "runtime exactness gate failed"
     epoch_fn = make_fused_epoch(
         model, gate_state, spec, logging_loss,
         shuffle=shuffle, epochs_per_call=eval_every,
     )
-    if not _vmapped_kernel_selfcheck(
-        epoch_fn, spec, gate_params, gate_state, gate_tensors, t_axes
-    ):
+    # memoize the vmapped self-check per process per configuration (same
+    # structural key as the exactness-gate cache + the vmap layout): repeat
+    # population calls — tune loops — skip the extra launches
+    from ..ops.fused_epoch import _gate_cache_key
+
+    try:
+        sc_key = (
+            _gate_cache_key(
+                model, gate_params, spec, logging_loss, gate_tensors,
+                epochs_per_call=eval_every, shuffle=shuffle,
+            ),
+            t_axes is not None,
+        )
+    except Exception:
+        sc_key = None
+    verdict = _SELFCHECK_VERDICTS.get(sc_key) if sc_key is not None else None
+    if verdict is None:
+        verdict = _vmapped_kernel_selfcheck(
+            epoch_fn, spec, gate_params, gate_state, gate_tensors, t_axes
+        )
+        if sc_key is not None:
+            _SELFCHECK_VERDICTS[sc_key] = verdict
+    if not verdict:
         log.warning(
             "population%s: vmapped fused kernel failed the self-check; "
             "falling back to the XLA engine", what,
         )
-        return None, None
+        return None, None, "vmapped-kernel self-check failed"
     log.info("population%s: fused Pallas epoch engine (gates passed)", what)
-    return epoch_fn, (lambda p: init_fused_opt_state(p, spec))
+    return epoch_fn, (lambda p: init_fused_opt_state(p, spec)), (
+        "exactness gate + vmapped self-check passed"
+    )
 
 
 def _vmapped_kernel_selfcheck(epoch_fn, spec, params, state, tensors,
@@ -192,9 +226,10 @@ def _vmapped_kernel_selfcheck(epoch_fn, spec, params, state, tensors,
     """Run the PRODUCTION vmapped program once with two IDENTICAL members
     on a 2-batch data slice: the members must match each other EXACTLY
     (same data, same program — any divergence is a batching-grid
-    miscompile) and the unvmapped kernel closely. Runs once per process
-    per configuration (one tiny extra launch; not disk-cached — the
-    exactness gate's cache already bounds the expensive part)."""
+    miscompile) and the unvmapped kernel closely. The verdict is memoized
+    per process per configuration by the caller (``_select_fused_engine``
+    keys it like the exactness-gate cache); not disk-cached — the
+    exactness gate's cache already bounds the expensive part."""
     from ..data.loaders import EpochTensors
     from ..ops.fused_epoch import init_fused_opt_state
 
@@ -365,9 +400,11 @@ def population_train(
 
     host_tensors = build_epoch_tensors(train_data, batchsize)
     skip_guard = can_skip_empty_guard(host_tensors)
-    tensors, tr_batch, va_batch = jax.device_put(
-        (host_tensors, _full_batch(train_data), _full_batch(val_data))
-    )
+    # eval batches stay on HOST until the final sharding is known (the 2-D
+    # mesh path pads them with the numpy pad helper — padding device arrays
+    # would force a device→host→device round trip of both full splits)
+    host_tr, host_va = _full_batch(train_data), _full_batch(val_data)
+    tensors = jax.device_put(host_tensors)
 
     # ---- per-member params / shared fitted state --------------------------
     init_keys = jnp.stack(
@@ -399,13 +436,22 @@ def population_train(
         else (optimizer, _DEFAULT_LR)
     )
     fused_epoch_fn = fused_opt_init = None
-    if single_config and mesh is None:
-        fused_epoch_fn, fused_opt_init = _select_fused_engine(
+    if not single_config:
+        engine_reason = (
+            "hyperparameter sweep needs per-member traced hyperparams → "
+            "XLA engine (inject_hyperparams)"
+        )
+    elif mesh is not None:
+        engine_reason = "mesh population runs the sharded XLA engine"
+    else:
+        fused_epoch_fn, fused_opt_init, engine_reason = _select_fused_engine(
             model, fused_spec, logging_loss, host_tensors,
             jax.tree.map(lambda a: a[0], pop_params), state0, tensors,
             eval_every=eval_every, shuffle=shuffle_each_epoch,
         )
     use_fused = fused_epoch_fn is not None
+    if not use_fused:
+        log.info("population engine: XLA (vmap) — %s", engine_reason)
 
     # ---- one optimizer, per-member hyperparams in the STATE ---------------
     import optax
@@ -460,15 +506,20 @@ def population_train(
                     f"size {n_data} of mesh {dict(mesh.shape)}"
                 )
             # eval batches must also split evenly over the data axis:
-            # zero-mask pad to the next multiple (exact no-op rows)
+            # zero-mask pad to the next multiple (exact no-op rows) — on
+            # HOST, before the one device_put below
             def _ceil_rows(batch_tree):
-                n = int(jax.tree.leaves(batch_tree)[0].shape[0])
+                n = int(np.asarray(jax.tree.leaves(batch_tree)[0]).shape[0])
                 return _pad_batch_rows(
                     batch_tree, -(-n // n_data) * n_data
                 )
 
-            tr_batch = _ceil_rows(tr_batch)
-            va_batch = _ceil_rows(va_batch)
+            tr_batch = jax.device_put(
+                _ceil_rows(host_tr), NamedSharding(mesh, _P(data_ax))
+            )
+            va_batch = jax.device_put(
+                _ceil_rows(host_va), NamedSharding(mesh, _P(data_ax))
+            )
             batch_sh = NamedSharding(mesh, _P(None, data_ax))
             arrays = jax.device_put(
                 (tensors.x, tensors.forcing, tensors.y, tensors.mask,
@@ -477,14 +528,13 @@ def population_train(
             )  # (num_batches, batch, ...) → batch axis sharded; the
             # static int n_samples cannot take a rank-2 spec
             tensors = _ET(*arrays, n_samples=tensors.n_samples)
-            tr_batch, va_batch = jax.device_put(
-                (tr_batch, va_batch), NamedSharding(mesh, _P(data_ax))
-            )  # (n, ...) eval batches → sample axis sharded
         else:
             # 1-D: the data is SHARED across members — replicate it
             tensors, tr_batch, va_batch = jax.device_put(
-                (tensors, tr_batch, va_batch), NamedSharding(mesh, _P())
+                (tensors, host_tr, host_va), NamedSharding(mesh, _P())
             )
+    else:
+        tr_batch, va_batch = jax.device_put((host_tr, host_va))
 
     if use_fused:
         epoch_fn = fused_epoch_fn
@@ -503,6 +553,11 @@ def population_train(
         pop_params=pop_params, pop_opt_state=pop_opt_state,
         pop_state=pop_state, tensors=tensors,
         tr_batch=tr_batch, va_batch=va_batch,
+        # pure hyper sweep (uniform seeds): members must see IDENTICAL
+        # data order so the sweep comparison is not confounded by
+        # shuffle noise (reference tune loops train each config with the
+        # same seed); seed ensembles keep per-member shuffle streams
+        shared_shuffle=(seeds is None),
     )
     return _assemble_results(
         hyper_arr, seeds_arr, monitor, sign, eval_every,
@@ -510,6 +565,7 @@ def population_train(
         epoch_path=(
             "population_vmap_fused" if use_fused else "population_vmap"
         ),
+        engine_reason=engine_reason,
     )
 
 
@@ -517,12 +573,19 @@ def _run_population(
     vepoch, veval, scalars_fn, monitor, sign, K, *,
     nepochs, eval_every, seed,
     pop_params, pop_opt_state, pop_state, tensors, tr_batch, va_batch,
+    shared_shuffle: bool = False,
 ):
     """The shared one-program population loop: scan over eval blocks, each
     block = vmapped epoch(s) + vmapped dual eval + on-device best-member
     tracking. ``tensors``/``tr_batch``/``va_batch`` may be shared across
     members (vepoch/veval built with ``in_axes=None`` for them) or carry a
-    leading member axis (``in_axes=0`` — the CV case)."""
+    leading member axis (``in_axes=0`` — the CV case).
+
+    ``shared_shuffle=True`` gives every member the SAME shuffle key per
+    eval block (identical data order): in a pure hyperparameter sweep the
+    members must differ ONLY by hyperparameter, not by batch order —
+    matching the reference's sequential tune loop, where every config
+    trains with the same seed. Seed ensembles keep per-member keys."""
     # floor, matching train()'s eval grid range(eval_every, nepochs+1, ...):
     # a 10-epoch budget at eval_every=3 trains 9 epochs, never 12
     n_evals = int(nepochs) // int(eval_every)
@@ -542,7 +605,15 @@ def _run_population(
             pop_params, pop_opt_state, pop_state,
             best_score, pop_params, jnp.zeros((K,), jnp.int32),
         )
-        step_keys = jax.random.split(key, n_evals * K).reshape(n_evals, K, -1)
+        if shared_shuffle:
+            blk = jax.random.split(key, n_evals)
+            step_keys = jnp.broadcast_to(
+                blk[:, None, :], (n_evals, K, blk.shape[-1])
+            )
+        else:
+            step_keys = jax.random.split(key, n_evals * K).reshape(
+                n_evals, K, -1
+            )
 
         def step(carry, inp):
             i, ks = inp
@@ -578,6 +649,7 @@ def _assemble_results(
     hyper_arr, seeds_arr, monitor, sign, eval_every,
     p, s, best_sc, best_p, best_ep, h_tr, h_va,
     epoch_path: str = "population_vmap",
+    engine_reason: Optional[str] = None,
 ) -> PopulationResults:
     best_losses = np.asarray(jax.device_get(sign * best_sc))
     h_tr = {k: np.asarray(v) for k, v in jax.device_get(h_tr).items()}
@@ -608,6 +680,7 @@ def _assemble_results(
         best_member=best_i,
         monitor=monitor,
         epoch_path=epoch_path,
+        engine_reason=engine_reason,
     )
 
 
@@ -794,14 +867,18 @@ def population_cross_validate(
         n_samples=ns,
     )
     fused_epoch_fn = fused_opt_init = None
-    if mesh is None:
-        fused_epoch_fn, fused_opt_init = _select_fused_engine(
+    if mesh is not None:
+        engine_reason = "mesh CV runs the sharded XLA engine"
+    else:
+        fused_epoch_fn, fused_opt_init, engine_reason = _select_fused_engine(
             model, optimizer, logging_loss, fold_tensors[0],
             params0, fold_states[0], fold0_dev,
             eval_every=eval_every, shuffle=shuffle_each_epoch,
             t_axes=t_axes, what=" CV",
         )
     use_fused = fused_epoch_fn is not None
+    if not use_fused:
+        log.info("population CV engine: XLA (vmap) — %s", engine_reason)
 
     if use_fused:
         opt = None
@@ -852,4 +929,5 @@ def population_cross_validate(
             "population_vmap_cv_fused" if use_fused
             else "population_vmap_cv"
         ),
+        engine_reason=engine_reason,
     )

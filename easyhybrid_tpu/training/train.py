@@ -414,6 +414,9 @@ def train(
         use_pallas = False
     eval_every = max(1, int(cfg.eval_every))
 
+    # why the epoch engine was (not) the fused kernel — surfaced to users
+    # via one info line + TrainResults.engine_reason (VERDICT r3 item 8)
+    engine_reason = None
     if use_pallas in ("auto", None, True):
         from ..ops.fused_epoch import fused_exactness_check, supports_fused_epoch
         from ..ops.fused_multisite import supports_fused_multisite
@@ -422,19 +425,35 @@ def train(
         is_multisite_fused = supports_fused_multisite(
             model, cfg.optimizer, logging_loss, train_tensors
         )
-        candidate = (
-            (forced or jax.default_backend() == "tpu")
-            and not cfg.multi_device
-            and cfg.jit
-            and cfg.opt_state is None  # fused kernel has its own opt state
-            and cfg.shuffle_each_epoch in (True, False, "batches")
-            and (
-                supports_fused_epoch(
-                    model, cfg.optimizer, logging_loss, train_tensors
-                )
-                or is_multisite_fused
+        if not (forced or jax.default_backend() == "tpu"):
+            engine_reason = (
+                f"backend is {jax.default_backend()!r}, not tpu "
+                "(use_pallas=True or EASYHYBRID_PALLAS=1 overrides)"
             )
-        )
+        elif cfg.multi_device:
+            engine_reason = "multi_device=True (fused kernel is single-chip)"
+        elif not cfg.jit:
+            engine_reason = "jit=False"
+        elif cfg.opt_state is not None:
+            engine_reason = (
+                "prebuilt opt_state (the fused kernel carries its own)"
+            )
+        elif cfg.shuffle_each_epoch not in (True, False, "batches"):
+            engine_reason = (
+                f"shuffle_each_epoch={cfg.shuffle_each_epoch!r} outside the "
+                "fused envelope"
+            )
+        elif not (
+            supports_fused_epoch(
+                model, cfg.optimizer, logging_loss, train_tensors
+            )
+            or is_multisite_fused
+        ):
+            engine_reason = (
+                "model/optimizer/loss outside the fused-kernel envelope "
+                "(supports_fused_epoch)"
+            )
+        candidate = engine_reason is None
         if candidate:
             ok, gdiff = fused_exactness_check(
                 model, params, state, cfg.optimizer, logging_loss,
@@ -443,11 +462,17 @@ def train(
             )
             if ok:
                 use_pallas = True
+                engine_reason = (
+                    f"exactness gate passed (max grad diff {gdiff:.2e})"
+                )
                 log.info(
                     "fused Pallas epoch kernel enabled (exactness gate: "
                     "max grad diff %.2e)", gdiff,
                 )
             else:
+                engine_reason = (
+                    f"runtime exactness gate FAILED (max grad diff {gdiff:.2e})"
+                )
                 if forced:
                     log.warning(
                         "use_pallas was requested but the runtime exactness "
@@ -463,6 +488,10 @@ def train(
                     "fused kernel envelope — using the XLA scan epoch"
                 )
             use_pallas = False
+    else:
+        engine_reason = (
+            "use_pallas disabled (use_pallas=False or EASYHYBRID_PALLAS=0)"
+        )
 
     def build_fused_epoch():
         from ..ops.fused_epoch import _fused_builder, init_fused_opt_state
@@ -622,14 +651,28 @@ def train(
 
         return jax.jit(fn)
 
-    from .deferred import can_defer, run_deferred_loop
+    from .deferred import defer_blockers, run_deferred_loop
 
     paths = writer = stream = live = None
     monitored: Dict[str, list] = {}
     grad_history: list = []
-    deferred = can_defer(cfg)
-    log.info("epoch engine: %s (%s loop)", epoch_path,
-             "deferred" if deferred else "eager")
+    blockers = defer_blockers(cfg)
+    deferred = not blockers
+    loop_reason = (
+        "zero-readback" if deferred
+        else "eager loop forced by " + ", ".join(blockers)
+    )
+    engine_reason = f"{epoch_path}: {engine_reason}; {loop_reason}"
+    if deferred:
+        log.info("epoch engine: %s (deferred loop)", epoch_path)
+    else:
+        # one user-visible line naming the disqualifying flags: the eager
+        # loop pays the ~25x readback dispatch regime on the target rig
+        log.info(
+            "epoch engine: %s (eager loop — %s need mid-run host values; "
+            "unset for the zero-readback fast path)",
+            epoch_path, ", ".join(blockers),
+        )
     if deferred:
         # zero-readback dispatch with on-device early stopping: any
         # device->host readback permanently degrades this deployment's async
@@ -888,6 +931,7 @@ def train(
         ),
         epoch_path=epoch_path,
         loop_mode="deferred" if deferred else "eager",
+        engine_reason=engine_reason,
     )
 
     if writer is not None:

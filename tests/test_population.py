@@ -435,3 +435,40 @@ def test_population_fused_engine_interpret_mode(monkeypatch):
     )
     assert cv_f.epoch_path == "population_vmap_cv_fused", cv_f.epoch_path
     assert np.isfinite(cv_f.best_losses).all()
+
+
+def test_population_pure_sweep_shared_shuffle_order():
+    """A PURE hyper sweep (uniform seeds) gives every member the SAME
+    per-block shuffle key: members differ only by hyperparameter, never by
+    batch order (reference tune loops train each config with one seed).
+    Duplicate-lr members are bit-identical (same program, same data
+    order), and a K=1 run with the same lr reproduces the matching member
+    to float noise (different K → different vmap lowering, so cross-
+    program bitwise equality is not guaranteed)."""
+    df = eh.gen_rbq10_data(400, seed=1)
+    model = _model()
+    common = dict(
+        optimizer="adam", nepochs=10, batchsize=64, eval_every=5,
+        seed=3, data_seed=0,
+    )
+    pop = eh.population_train(
+        model, df, hyper={"learning_rate": [0.01, 0.01, 0.002]}, **common
+    )
+    for a in jax.tree.leaves(pop.params):
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(a)[1])
+    solo = eh.population_train(
+        model, df, hyper={"learning_rate": [0.002]}, **common
+    )
+    for a, b in zip(jax.tree.leaves(pop.params), jax.tree.leaves(solo.params)):
+        np.testing.assert_allclose(
+            np.asarray(a)[2], np.asarray(b)[0], rtol=2e-4, atol=2e-5
+        )
+    # engine provenance: sweeps record why the XLA engine ran
+    assert pop.engine_reason is not None
+    # seed ENSEMBLES keep per-member shuffle streams (diversity):
+    ens = eh.population_train(model, df, seeds=[3, 3], **common)
+    leaves = jax.tree.leaves(ens.params)
+    same = all(
+        np.array_equal(np.asarray(a)[0], np.asarray(a)[1]) for a in leaves
+    )
+    assert not same or jax.default_backend() == "tpu"  # fused path may share

@@ -545,3 +545,15 @@ def test_deferred_save_training_posthoc(tmp_path, rbq10_model, rbq10_df):
     )
     ckpts = os.listdir(res.paths.checkpoint_dir)
     assert len(ckpts) >= 1
+
+
+def test_engine_reason_surfaced(rbq10_model, rbq10_df):
+    """train() records WHY the engine/loop was selected (VERDICT r4 item
+    8): the deferred fast path when nothing blocks it, and the eager loop
+    naming the disqualifying flag otherwise."""
+    res = _quick(rbq10_model, rbq10_df, nepochs=1)
+    assert res.engine_reason and res.engine_reason.startswith(res.epoch_path)
+    assert "zero-readback" in res.engine_reason
+    res2 = _quick(rbq10_model, rbq10_df, nepochs=1, keep_history=True)
+    assert res2.loop_mode == "eager"
+    assert "keep_history=True" in res2.engine_reason
