@@ -618,24 +618,51 @@ def backward_mlp(mlp: MLP, pnn, D, residuals, ones_b1):
     return grads
 
 
+def _is_static_hyper(v) -> bool:
+    """Whether a hyperparameter value is a compile-time Python number (vs a
+    traced scalar streamed in per population member)."""
+    return isinstance(v, (int, float, np.floating, np.integer))
+
+
+def _hlog(b):
+    """log of a hyperparameter that may be static or traced. The static
+    form keeps the validated constant-folding path (np.log embedded as a
+    scalar constant); the traced form computes it in-kernel — rank-0
+    elementwise, the splat-safe pattern."""
+    if _is_static_hyper(b):
+        return np.log(b).astype(np.float32)
+    return jnp.log(b)
+
+
 def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
     """Per-leaf optimizer update matching the optax formulas exactly.
     Returns ``update_leaf(pv, mv, vv, g, valid, t_new) -> (p', m', v')``;
     ``valid`` ∈ {0,1} gates the whole update arithmetically (discarded
     batches leave params/moments/counter bit-identical, like the XLA
-    path's tree-select guard)."""
+    path's tree-select guard).
+
+    Hyperparameter values may be Python floats (compile-time constants,
+    the standard path) or traced rank-0 scalars (population sweeps stream
+    per-member values into the kernel); every formula below is pure
+    arithmetic in them except the two ``sgd`` control-flow branches, which
+    fall back to arithmetic selects when the value is traced."""
     lr = hyper["learning_rate"]
 
     def update_leaf(pv, mv, vv, g, valid, t_new):
         if opt_name == "sgd":
             mom = hyper.get("momentum", 0.0)
-            if mom == 0.0:
+            if _is_static_hyper(mom) and mom == 0.0:
                 return pv - (valid * lr) * g, mv, vv
             # optax.trace: m' = g + mom·m; update = g + mom·m' (nesterov)
             # or m' (heavy-ball)
             m_new = g + mom * mv
             m_sel = mv + valid * (m_new - mv)
-            upd = g + mom * m_sel if hyper.get("nesterov", 0.0) else m_sel
+            nes = hyper.get("nesterov", 0.0)
+            if _is_static_hyper(nes):
+                upd = g + mom * m_sel if nes else m_sel
+            else:  # traced: arithmetic select between the two forms
+                nflag = (nes != 0.0).astype(jnp.float32)
+                upd = m_sel + nflag * (g + mom * m_sel - m_sel)
             return pv - (valid * lr) * upd, m_sel, vv
         if opt_name == "rmsprop":
             decay, eps = hyper["decay"], hyper["eps"]
@@ -672,7 +699,7 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             m_sel = mv + valid * (m_new - mv)
             v_sel = vv + valid * (u_new - vv)
             t_safe = jnp.maximum(t_new, 1.0)  # see the adam note below
-            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
+            b1_t = jnp.exp(t_safe * _hlog(b1))
             m_hat = m_sel / (1.0 - b1_t)
             # guard ONLY the no-valid-step-yet u==0 read (0/0 would leak
             # through the arithmetic valid-gate as NaN); any valid step
@@ -709,8 +736,8 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             m_sel = mv + valid * (m_new - mv)
             v_sel = vv + valid * (v_new - vv)
             t_safe = jnp.maximum(t_new, 1.0)
-            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
-            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            b1_t = jnp.exp(t_safe * _hlog(b1))
+            b2_t = jnp.exp(t_safe * _hlog(b2))
             ro = ro_inf - 2.0 * t_safe * b2_t / (1.0 - b2_t)
             m_hat = m_sel / (1.0 - b1_t)
             v_hat = v_sel / (1.0 - b2_t)
@@ -733,10 +760,10 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             m_sel = mv + valid * (m_new - mv)
             v_sel = vv + valid * (v_new - vv)
             t_safe = jnp.maximum(t_new, 1.0)
-            lb1 = np.log(b1).astype(np.float32)
+            lb1 = _hlog(b1)
             b1_t = jnp.exp(t_safe * lb1)
             b1_t1 = jnp.exp((t_safe + 1.0) * lb1)
-            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            b2_t = jnp.exp(t_safe * _hlog(b2))
             m_hat = b1 * (m_sel / (1.0 - b1_t1)) + (1.0 - b1) * (
                 g / (1.0 - b1_t)
             )
@@ -756,8 +783,8 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
             m_sel = mv + valid * (m_new - mv)
             v_sel = vv + valid * (v_new - vv)
             t_safe = jnp.maximum(t_new, 1.0)
-            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
-            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            b1_t = jnp.exp(t_safe * _hlog(b1))
+            b2_t = jnp.exp(t_safe * _hlog(b2))
             m_hat = m_sel / (1.0 - b1_t)
             v_hat = v_sel / (1.0 - b2_t)
             upd = m_hat / (jnp.sqrt(v_hat + hyper["eps_root"]) + eps)
@@ -800,8 +827,8 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
         # discarded anyway, so the clamped exponent never changes real math
         # (any valid step has t_new >= 1).
         t_safe = jnp.maximum(t_new, 1.0)
-        b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
-        b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+        b1_t = jnp.exp(t_safe * _hlog(b1))
+        b2_t = jnp.exp(t_safe * _hlog(b2))
         m_new = b1 * mv + (1.0 - b1) * g
         v_new = b2 * vv + (1.0 - b2) * g * g
         m_sel = mv + valid * (m_new - mv)
@@ -838,8 +865,8 @@ def make_update_leaf_u(opt_name: str, hyper: Dict[str, float]):
             m_sel = mv + valid * (m_new - mv)
             v_sel = vv + valid * (v_new - vv)
             t_safe = jnp.maximum(t_new, 1.0)
-            b1_t = jnp.exp(t_safe * np.log(b1).astype(np.float32))
-            b2_t = jnp.exp(t_safe * np.log(b2).astype(np.float32))
+            b1_t = jnp.exp(t_safe * _hlog(b1))
+            b2_t = jnp.exp(t_safe * _hlog(b2))
             m_hat = m_sel / (1.0 - b1_t)
             v_hat = v_sel / (1.0 - b2_t)
             w_sel = wv + valid * (jnp.maximum(wv, v_hat) - wv)
@@ -871,10 +898,23 @@ def make_fused_epoch(
     epochs_per_call: int = 1,
     interpret: Optional[bool] = None,
     unroll: Optional[int] = None,
+    traced_hyper: Optional[Tuple[str, ...]] = None,
 ):
     """Build ``fn(params, opt_state, state, tensors, key) -> (params,
     opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` with
     ``opt_state`` from :func:`init_fused_opt_state`.
+
+    ``traced_hyper`` names optimizer hyperparameters whose VALUES are
+    supplied at call time instead of being compile-time constants: the
+    returned function takes one extra trailing argument ``hyper_vec`` — a
+    float32 vector, one entry per name in ``traced_hyper`` order — which
+    streams into the kernel as a small padded operand tile; the in-kernel
+    optimizer update reads the scalars from it. This is what lets
+    ``population_train`` hyperparameter SWEEPS run the fused kernel under
+    ``jax.vmap`` (per-member values ride the vmapped operand; with static
+    hyperparams every member would share one baked-in configuration).
+    Requires a single (non-per-branch) optimizer spec; the spec's own
+    values serve as defaults for non-traced hyperparameters.
 
     ``epochs_per_call > 1`` scans that many re-shuffled epochs inside ONE
     jit program, one kernel launch per epoch (shuffling — the same packed
@@ -914,6 +954,19 @@ def make_fused_epoch(
             )
     else:
         parsed = None
+    if traced_hyper is not None:
+        traced_hyper = tuple(traced_hyper)
+        if parsed is None:
+            raise ValueError(
+                "traced_hyper needs a single optimizer spec (per-branch "
+                "dict specs cannot stream per-member scalars)"
+            )
+        unknown = set(traced_hyper) - set(parsed[1])
+        if unknown:
+            raise ValueError(
+                f"traced_hyper names {sorted(unknown)} are not "
+                f"hyperparameters of {parsed[0]!r}"
+            )
     # optional third carried state slot (amsgrad nu_max): one extra buffer
     # set, seeded/carried/written exactly like the (m, v) moments
     has_u = spec_uses_slot3(optimizer_spec)
@@ -1538,7 +1591,7 @@ def make_fused_epoch(
         p_bufs, m_bufs, v_bufs, u_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
         treedef, orig_shapes, data, is_weight, update_fns,
-        epochs=1, stacked=False,
+        epochs=1, stacked=False, hyper_buf=None,
     ):
         """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
         ``(epochs, num_batches / unroll)`` — one kernel launch total, so the launch /
@@ -1617,6 +1670,8 @@ def make_fused_epoch(
             if has_u:
                 u_in = refs[idx : idx + npar]; idx += npar
             t_in = refs[idx]; idx += 1
+            if hyper_buf is not None:
+                h_in = refs[idx]; idx += 1
             p_out = refs[idx : idx + npar]; idx += npar
             am_out = refs[idx : idx + npar]; idx += npar
             av_out = refs[idx : idx + npar]; idx += npar
@@ -1673,6 +1728,21 @@ def make_fused_epoch(
             t_base = t_in[0, 0]
             t_run = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
             group_loss = jnp.float32(0.0)
+
+            if hyper_buf is not None:
+                # streamed per-call optimizer scalars (population sweeps):
+                # read each traced hyperparameter from row 0 of the padded
+                # operand tile (the validated t_in[0, 0] scalar-read
+                # pattern) and build the update fn around the traced
+                # values; non-traced hyperparams keep the spec's constants
+                hv_tile = h_in[...]
+                run_hyper = dict(parsed[1])
+                for hk, hname in enumerate(traced_hyper):
+                    run_hyper[hname] = hv_tile[0, hk]
+                upd_traced = make_update_leaf_u(parsed[0], run_hyper)
+                upds = [upd_traced] * npar
+            else:
+                upds = update_fns
 
             l2_coeff = 0.0
             if l2_spec is not None:
@@ -1759,7 +1829,7 @@ def make_fused_epoch(
                     g_pad = _pad_to(g, buf_shapes[k])
                     if l2_spec is not None and is_weight[k]:
                         g_pad = g_pad + l2_coeff * pb[k]
-                    pb[k], mb[k], vb[k], ub[k] = update_fns[k](
+                    pb[k], mb[k], vb[k], ub[k] = upds[k](
                         pb[k], mb[k], vb[k], ub[k], g_pad, valid,
                         t_base + t_run,
                     )
@@ -1814,6 +1884,7 @@ def make_fused_epoch(
             + [full_spec(tuple(s.shape)) for s in st_bufs]
             + [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD)]
+            + ([full_spec(_PAD)] if hyper_buf is not None else [])
         )
         st_extra = (
             [full_spec(tuple(s.shape)) for s in st_bufs] if any_bn_train else []
@@ -1833,6 +1904,7 @@ def make_fused_epoch(
             )
         )
 
+        hyper_operand = () if hyper_buf is None else (hyper_buf,)
         outs = pl.pallas_call(
             kernel,
             grid=(epochs, n_groups),
@@ -1841,7 +1913,7 @@ def make_fused_epoch(
             out_shape=out_shape,
             interpret=interpret,
         )(*x_ts, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs,
-          *u_bufs, t_buf)
+          *u_bufs, t_buf, *hyper_operand)
 
         new_p = list(outs[:npar])
         new_m = list(outs[npar : 2 * npar])
@@ -1857,8 +1929,7 @@ def make_fused_epoch(
         return new_p, new_m, new_v, new_u, new_st, t_new, mean_loss
 
     # ---- jit wrapper: layout conversion + shuffled multi-epoch scan -------
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, state_in, tensors, key):
+    def _epoch_impl(params, opt_state, state_in, tensors, key, hyper_vec):
         from ..training.epoch import epoch_permutation, shuffle_epoch_tensors
 
         from jax.tree_util import tree_flatten_with_path
@@ -1898,6 +1969,13 @@ def make_fused_epoch(
         st_leaves, st_treedef = jax.tree.flatten(state_in)
         st_orig_shapes = [jnp.shape(l) for l in st_leaves]
         st_bufs = [_to_kernel_buffer(l) for l in st_leaves]
+        if hyper_vec is not None:
+            hvec = jnp.asarray(hyper_vec, jnp.float32).reshape(-1)
+            hyper_buf = jnp.zeros(_PAD, jnp.float32).at[0, : hvec.shape[0]].set(
+                hvec
+            )
+        else:
+            hyper_buf = None
 
         num_batches, batch = tensors.weight.shape
         n = num_batches * batch
@@ -1963,6 +2041,7 @@ def make_fused_epoch(
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                 data, is_weight, update_fns, epochs=epochs, stacked=stacked,
+                hyper_buf=hyper_buf,
             )
             t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
@@ -1982,6 +2061,7 @@ def make_fused_epoch(
                     list(pb), list(mb), list(vb), list(ub), t_base_buf(cum),
                     list(stb), st_treedef, st_orig_shapes, treedef,
                     orig_shapes, data, is_weight, update_fns,
+                    hyper_buf=hyper_buf,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
                 return (
@@ -2028,6 +2108,20 @@ def make_fused_epoch(
         else:
             state_out = state_in
         return new_params, new_opt_state, state_out, last_loss
+
+    if traced_hyper is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, state_in, tensors, key):
+            return _epoch_impl(params, opt_state, state_in, tensors, key, None)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, state_in, tensors, key, hyper_vec):
+            return _epoch_impl(
+                params, opt_state, state_in, tensors, key, hyper_vec
+            )
 
     return epoch_fn
 

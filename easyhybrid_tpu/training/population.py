@@ -289,6 +289,195 @@ def _vmapped_kernel_selfcheck(epoch_fn, spec, params, state, tensors,
         return False
 
 
+def _select_fused_sweep_engine(
+    model, optimizer: str, hyper_arr, static_hyper, logging_loss,
+    host_tensors, gate_params, gate_state, gate_tensors, *,
+    eval_every, shuffle,
+):
+    """Fused-engine gate for hyperparameter SWEEPS: the kernel streams the
+    per-member optimizer scalars as a traced operand
+    (``make_fused_epoch(traced_hyper=...)``), so a lr sweep runs the fused
+    Pallas engine instead of the XLA inject_hyperparams path.
+
+    Gating (the family's failure mode is silent — fused_epoch docstring):
+
+    1. every member's spec must parse into the kernel envelope (catches
+       e.g. a radam threshold member the kernel refuses);
+    2. the standard runtime exactness gate runs for the TWO EXTREME member
+       configurations (first/last in sweep order) against the XLA path —
+       disk-cached like train()'s gate;
+    3. a sweep self-check runs the PRODUCTION vmapped traced-hyper program
+       with [first, last, first-duplicate] members: the duplicate must be
+       bit-identical to member 0 (batching-grid integrity) and both
+       distinct members must match their gated STATIC kernels closely.
+
+    Returns ``(traced_fn, hyper_names, opt_state_init, reason)`` or
+    ``(None, None, None, reason)``."""
+    import os
+
+    env = os.environ.get("EASYHYBRID_PALLAS")
+    if env == "0":
+        return None, None, None, "EASYHYBRID_PALLAS=0"
+    if jax.default_backend() != "tpu" and env != "1":
+        return None, None, None, (
+            f"backend is {jax.default_backend()!r}, not tpu "
+            "(EASYHYBRID_PALLAS=1 overrides)"
+        )
+    from ..ops.fused_epoch import (
+        fused_exactness_check,
+        init_fused_opt_state,
+        make_fused_epoch,
+        parse_opt_spec,
+        supports_fused_epoch,
+    )
+
+    K = len(next(iter(hyper_arr.values())))
+    hyper_names = tuple(sorted(hyper_arr))
+
+    def member_spec(i: int):
+        return (
+            optimizer,
+            {**static_hyper,
+             **{k: float(hyper_arr[k][i]) for k in hyper_names}},
+        )
+
+    specs = [member_spec(i) for i in range(K)]
+    if any(parse_opt_spec(s) is None for s in specs):
+        return None, None, None, (
+            "a sweep member's hyperparameters fall outside the fused "
+            "kernel envelope"
+        )
+    if not supports_fused_epoch(model, specs[0], logging_loss, host_tensors):
+        return None, None, None, (
+            "model/optimizer/loss outside the fused-kernel envelope"
+        )
+    # the two EXTREME member configs gate against the XLA path (disk-cached)
+    for s in {0, K - 1}:
+        ok = fused_exactness_check(
+            model, gate_params, gate_state, specs[s], logging_loss,
+            gate_tensors, epochs_per_call=eval_every, shuffle=shuffle,
+        )[0]
+        if not ok:
+            return None, None, None, (
+                f"runtime exactness gate failed for sweep member {s}"
+            )
+    try:
+        traced_fn = make_fused_epoch(
+            model, gate_state, specs[0], logging_loss,
+            shuffle=shuffle, epochs_per_call=eval_every,
+            traced_hyper=hyper_names,
+        )
+    except ValueError as e:
+        return None, None, None, f"traced-hyper kernel build refused: {e}"
+    # memoized production self-check (same keying as the seed-ensemble one,
+    # plus the sweep extremes so a different value range re-checks)
+    from ..ops.fused_epoch import _gate_cache_key
+
+    try:
+        sc_key = (
+            _gate_cache_key(
+                model, gate_params, specs[0], logging_loss, gate_tensors,
+                epochs_per_call=eval_every, shuffle=shuffle,
+            ),
+            "sweep", hyper_names, str(specs[K - 1]),
+        )
+    except Exception:
+        sc_key = None
+    verdict = _SELFCHECK_VERDICTS.get(sc_key) if sc_key is not None else None
+    if verdict is None:
+        verdict = _sweep_kernel_selfcheck(
+            traced_fn, model, gate_state, logging_loss,
+            [specs[0], specs[K - 1]], hyper_names,
+            gate_params, gate_tensors,
+            eval_every=eval_every, shuffle=shuffle,
+        )
+        if sc_key is not None:
+            _SELFCHECK_VERDICTS[sc_key] = verdict
+    if not verdict:
+        log.warning(
+            "population sweep: traced-hyper fused kernel failed the "
+            "self-check; falling back to the XLA engine"
+        )
+        return None, None, None, "sweep-kernel self-check failed"
+    log.info(
+        "population sweep: fused Pallas epoch engine with streamed "
+        "per-member hyperparameters (gates passed)"
+    )
+    return traced_fn, hyper_names, (
+        lambda p: init_fused_opt_state(p, specs[0])
+    ), "sweep exactness gates + traced-hyper self-check passed"
+
+
+def _sweep_kernel_selfcheck(
+    traced_fn, model, state, logging_loss, extreme_specs, hyper_names,
+    params, tensors, *, eval_every, shuffle,
+) -> bool:
+    """Run the production vmapped traced-hyper program with members
+    [extreme0, extreme1, extreme0-duplicate] on a 2-batch slice: the
+    duplicate must equal member 0 BITWISE, and both distinct members must
+    match their static fused kernels (which the exactness gate just
+    vouched for) to float tolerance."""
+    from ..data.loaders import EpochTensors
+    from ..ops.fused_epoch import init_fused_opt_state, make_fused_epoch
+
+    try:
+        nb = min(2, int(tensors.weight.shape[0]))
+        sub = EpochTensors(
+            x=jax.tree.map(lambda a: a[:nb], tensors.x),
+            forcing={k: v[:nb] for k, v in tensors.forcing.items()},
+            y={k: v[:nb] for k, v in tensors.y.items()},
+            mask={k: v[:nb] for k, v in tensors.mask.items()},
+            weight=tensors.weight[:nb],
+            n_samples=tensors.n_samples,
+        )
+        key = jax.random.PRNGKey(0)
+        vals = [
+            [float(s[1][k]) for k in hyper_names] for s in extreme_specs
+        ]
+        hyper_mat = jnp.asarray([vals[0], vals[1], vals[0]], jnp.float32)
+
+        def stack3(t):
+            return jax.tree.map(
+                lambda a: jnp.stack([jnp.asarray(a)] * 3), t
+            )
+
+        vf = jax.vmap(traced_fn, in_axes=(0, 0, 0, None, None, 0))
+        opt0 = init_fused_opt_state(params, extreme_specs[0])
+        pv, _, _, lv = vf(
+            stack3(params), stack3(opt0), stack3(state), sub, key, hyper_mat
+        )
+        lv = np.asarray(lv)
+        for a in jax.tree.leaves(pv):
+            a = np.asarray(a)
+            if not np.array_equal(a[0], a[2]):
+                return False  # duplicate members diverged: miscompile
+        if not np.array_equal(lv[0], lv[2]):
+            return False
+        for i, spec in enumerate(extreme_specs):
+            static = make_fused_epoch(
+                model, state, spec, logging_loss,
+                shuffle=shuffle, epochs_per_call=eval_every,
+            )
+            p1, _, _, l1 = static(
+                jax.tree.map(jnp.array, params),
+                init_fused_opt_state(params, spec),
+                jax.tree.map(jnp.array, state), sub, key,
+            )
+            for a, b in zip(jax.tree.leaves(pv), jax.tree.leaves(p1)):
+                if not np.allclose(
+                    np.asarray(a)[i], np.asarray(b), atol=1e-5
+                ):
+                    return False
+            if not np.allclose(lv[i], float(l1), rtol=1e-4):
+                return False
+        return True
+    except Exception as e:  # build/launch failure → XLA fallback
+        log.info(
+            "sweep fused self-check raised %s: %s", type(e).__name__, e
+        )
+        return False
+
+
 def _member_count(hyper: Mapping[str, Sequence], seeds) -> int:
     sizes = {len(np.atleast_1d(np.asarray(v))) for v in hyper.values()}
     if seeds is not None:
@@ -417,12 +606,14 @@ def population_train(
         lambda a: jnp.broadcast_to(a, (K,) + jnp.shape(a)), state0
     )
 
-    # ---- engine selection: the fused Pallas epoch can serve the whole
-    # population when every member shares ONE optimizer configuration
-    # (seed ensembles) — the kernel bakes hyperparams statically, and
-    # jax.vmap of the kernel is exact on-chip (gated + self-checked in
-    # _select_fused_engine). Hyper SWEEPS need per-member traced
-    # hyperparams, which only the inject_hyperparams XLA path carries.
+    # ---- engine selection: the fused Pallas epoch serves the whole
+    # population. Seed ensembles (one shared optimizer config) bake the
+    # hyperparams statically into the kernel; hyperparameter SWEEPS stream
+    # the per-member scalars as a traced operand tile
+    # (make_fused_epoch(traced_hyper=...), round 4). Both run jax.vmap of
+    # the kernel, gated + self-checked (_select_fused_engine /
+    # _select_fused_sweep_engine); anything outside the envelope falls
+    # back to the XLA engine with inject_hyperparams.
     from .optimizers import _DEFAULT_LR
 
     single_config = all(
@@ -436,13 +627,20 @@ def population_train(
         else (optimizer, _DEFAULT_LR)
     )
     fused_epoch_fn = fused_opt_init = None
-    if not single_config:
-        engine_reason = (
-            "hyperparameter sweep needs per-member traced hyperparams → "
-            "XLA engine (inject_hyperparams)"
-        )
-    elif mesh is not None:
+    sweep_hyper_names = None
+    if mesh is not None:
         engine_reason = "mesh population runs the sharded XLA engine"
+    elif not single_config:
+        # hyperparameter SWEEP: per-member optimizer scalars stream into
+        # the fused kernel as a traced operand tile (round-4; previously
+        # sweeps always fell back to the XLA inject_hyperparams engine)
+        (fused_epoch_fn, sweep_hyper_names, fused_opt_init,
+         engine_reason) = _select_fused_sweep_engine(
+            model, optimizer, hyper_arr, static_hyper, logging_loss,
+            host_tensors,
+            jax.tree.map(lambda a: a[0], pop_params), state0, tensors,
+            eval_every=eval_every, shuffle=shuffle_each_epoch,
+        )
     else:
         fused_epoch_fn, fused_opt_init, engine_reason = _select_fused_engine(
             model, fused_spec, logging_loss, host_tensors,
@@ -456,7 +654,27 @@ def population_train(
     # ---- one optimizer, per-member hyperparams in the STATE ---------------
     import optax
 
-    if use_fused:
+    if use_fused and sweep_hyper_names is not None:
+        # traced-hyper fused sweep: the per-member scalar vector rides the
+        # OPT STATE (like inject_hyperparams does on the XLA path), so the
+        # shared population loop vmaps it with in_axes=0 unchanged
+        opt = None
+        hyper_mat = jnp.asarray(
+            np.stack([hyper_arr[k] for k in sweep_hyper_names], axis=1),
+            jnp.float32,
+        )  # (K, n_hyper)
+        traced_fn = fused_epoch_fn
+
+        def _sweep_epoch_fn(p, o, s, t, k):
+            p, o2, s2, l = traced_fn(p, o["state"], s, t, k, o["hyper"])
+            return p, {"state": o2, "hyper": o["hyper"]}, s2, l
+
+        fused_epoch_fn = _sweep_epoch_fn
+        pop_opt_state = {
+            "state": jax.jit(jax.vmap(fused_opt_init))(pop_params),
+            "hyper": hyper_mat,
+        }
+    elif use_fused:
         opt = None
         pop_opt_state = jax.jit(jax.vmap(fused_opt_init))(pop_params)
     elif hyper_arr:

@@ -472,3 +472,46 @@ def test_population_pure_sweep_shared_shuffle_order():
         np.array_equal(np.asarray(a)[0], np.asarray(a)[1]) for a in leaves
     )
     assert not same or jax.default_backend() == "tpu"  # fused path may share
+
+
+def test_population_fused_sweep_engine_interpret_mode(monkeypatch):
+    """Hyperparameter SWEEPS run the fused kernel with streamed per-member
+    optimizer scalars (round-4): the traced-hyper engine must match the
+    XLA inject_hyperparams engine per member, select the fused path, and
+    keep duplicate-hyper members bit-identical."""
+    df = eh.gen_rbq10_data(300, seed=3)
+    model = _model()
+    kw = dict(
+        hyper={"learning_rate": [0.02, 0.02, 0.005]},
+        optimizer="adam", nepochs=4, batchsize=64, eval_every=2,
+        seed=2, data_seed=0,
+    )
+    pop_xla = eh.population_train(model, df, **kw)
+    assert pop_xla.epoch_path == "population_vmap"
+    monkeypatch.setenv("EASYHYBRID_PALLAS", "1")
+    monkeypatch.setenv("EASYHYBRID_GATE_CACHE", "0")
+    pop_f = eh.population_train(model, df, **kw)
+    assert pop_f.epoch_path == "population_vmap_fused", pop_f.engine_reason
+    assert "sweep" in pop_f.engine_reason
+    np.testing.assert_allclose(
+        pop_f.val_history["mse"], pop_xla.val_history["mse"], rtol=2e-4
+    )
+    # duplicate-lr members are bit-identical inside ONE program
+    for a in jax.tree.leaves(pop_f.params):
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(a)[1])
+    # multi-hyper sweep (lr × b1) also fuses
+    pop_m = eh.population_train(
+        model, df,
+        hyper={"learning_rate": [0.02, 0.005], "b1": [0.9, 0.95]},
+        optimizer="adam", nepochs=4, batchsize=64, eval_every=2,
+        seed=2, data_seed=0,
+    )
+    assert pop_m.epoch_path == "population_vmap_fused", pop_m.engine_reason
+    assert np.isfinite(pop_m.best_losses).all()
+    # an out-of-envelope optimizer still falls back gracefully
+    pop_n = eh.population_train(
+        model, df, hyper={"learning_rate": [0.02, 0.005]},
+        optimizer="noisy_sgd", nepochs=4, batchsize=64, eval_every=2,
+        seed=2, data_seed=0,
+    )
+    assert pop_n.epoch_path == "population_vmap"
