@@ -19,7 +19,11 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      (MXU-native mixed precision; vs the same f32 CPU pin;
                      honestly perf-NEUTRAL — see its docstring)
 * ``large_mlp_b1024`` — the MFU flagship: same tower at batch 1024 /
-                     16k rows, the throughput-bound shape (~37 % MFU;
+                     16k rows, the throughput-bound shape (~28-37 % MFU;
+                     no CPU row; XLA by measurement — the chunked fused
+                     kernel is gate-exact here but slower, see docstring)
+* ``large_mlp_b1024_bf16`` — the same shape with explicit bf16 operands
+                     (small real edge over f32: ~29 % vs ~28 % MFU;
                      no CPU row)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
@@ -386,12 +390,15 @@ def bench_large_mlp_bf16() -> float:
 def bench_large_mlp_b1024() -> float:
     """MFU flagship: the large-MLP tower at batch 1024 / 16k rows — the
     throughput-bound shape (batch 64 leaves half the 128-lane MXU tiles
-    empty and is latency-bound). Runs the XLA epoch by design: the fused
-    kernel's VMEM envelope tops out below this activation footprint
-    (supports_fused_epoch's guard), and XLA here reaches ~73 TFLOP/s /
-    ~37 % MFU (2026-08-17) — 3.4× the fused batch-64 config's absolute
-    FLOP/s. No CPU row: the torch baseline at this batch is bound by the
-    same single thread, so the ratio would just restate rbq10's."""
+    empty and is latency-bound). Runs the XLA epoch BY MEASUREMENT
+    (round 4): the batch-chunked fused kernel now compiles and is
+    gate-exact at this shape (EASYHYBRID_FUSED_CHUNKED=1 +
+    EASYHYBRID_FUSED_MAX_VMEM_MB=31), but its width-128 chunks sacrifice
+    MXU lane utilization — 8.0k marginal steps/s / 17.5 % MFU vs XLA's
+    12.8k / 27.8 % (2026-08-18) — so auto-selection routes this shape to
+    XLA, which wins it. No CPU row: the torch baseline at this batch is
+    bound by the same single thread, so the ratio would just restate
+    rbq10's."""
     import easyhybrid_tpu as eh
 
     def rbq10(*, ta, rb, Q10, tref=15.0):
@@ -528,6 +535,42 @@ def baseline_inference(n_rows=131_072, reps=3) -> float:
 
     block()  # warmup
     return _median_rate(block, n_rows)
+
+
+def bench_large_mlp_b1024_bf16() -> float:
+    """``large_mlp_b1024`` with ``compute_dtype=bfloat16`` — the shape
+    where explicit bf16 could in principle buy MXU throughput (FLOPs-bound,
+    full 128-lane tiles). Measured (2026-08-18): 13.4k marginal steps/s /
+    29.1 % MFU vs f32's 12.8k / 27.8 % — a small real edge with overlapping
+    spreads, confirming at the FLOPs-bound shape what batch 64 showed:
+    JAX's default matmul precision already runs f32 contractions as bf16
+    MXU passes, so explicit bf16 operands mostly trade cast VPU work for
+    marginal MXU headroom. XLA path by measurement (see
+    ``bench_large_mlp_b1024``)."""
+    import jax.numpy as jnp
+
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[1024, 512, 256, 128, 64], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+        compute_dtype=jnp.bfloat16,
+    )
+    df = eh.gen_rbq10_data(16 * 1024, seed=42)
+    data = eh.prepare_data(model, df)
+    return _epoch_bench(
+        model, data, batch=1024, epochs_per_call=64,
+        flops_per_step=_mlp_flops_per_step(
+            [1024, 512, 256, 128, 64], 2, 1024
+        ),
+    )
 
 
 def bench_multisite() -> float:
@@ -797,6 +840,7 @@ def main():
     entry("large_mlp", bench_large_mlp, baseline_large_mlp)
     entry("large_mlp_bf16", bench_large_mlp_bf16, None)
     entry("large_mlp_b1024", bench_large_mlp_b1024, None)
+    entry("large_mlp_b1024_bf16", bench_large_mlp_b1024_bf16, None)
     entry("multisite", bench_multisite, None)
     entry("lstm", bench_lstm, baseline_lstm)
     entry("inference", bench_inference, baseline_inference)

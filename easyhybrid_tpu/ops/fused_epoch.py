@@ -288,7 +288,7 @@ def branch_leaf_label(path, branch_specs) -> str:
     return k0 if k0 in branch_specs else "__default__"
 
 
-def _fused_vmem_estimate_mb(model, nns, tensors) -> float:
+def _fused_vmem_estimate_mb(model, nns, tensors, chunk_width=None) -> float:
     """Crude VMEM footprint score of the MLP epoch kernel in MB:
     tile-padded parameter buffers × 8 carried sets (p/m/v/u in+out) plus
     2× the per-layer (h, dact) residual bytes at the actual batch width —
@@ -299,10 +299,18 @@ def _fused_vmem_estimate_mb(model, nns, tensors) -> float:
     Mosaic "out of memory in memory space vmem while allocating on stack"
     — hence the 30 MB default threshold between them. A score, not a
     byte-count: tune via EASYHYBRID_FUSED_MAX_VMEM_MB if the toolchain's
-    real budget moves."""
+    real budget moves.
+
+    ``chunk_width`` scores the BATCH-CHUNKED kernel variant (round 4):
+    residuals live only at the chunk width, so the score shrinks with the
+    chunk count while the parameter-buffer term is unchanged. bf16 mixed
+    precision stores the ``h`` residuals in 2 bytes (the cast activations
+    are the saved residuals)."""
     from ..models.hybrid import MultiNNHybridModel
 
     batch = int(tensors.weight.shape[-1])
+    if chunk_width is not None:
+        batch = min(batch, int(chunk_width))
     x = tensors.x
     if isinstance(model, MultiNNHybridModel):
         feats = [int(jnp.shape(x[bname])[-1]) for bname, _ in model.nns]
@@ -314,13 +322,61 @@ def _fused_vmem_estimate_mb(model, nns, tensors) -> float:
     for nn, f_in, n_out in zip(nns, feats, outs):
         if not isinstance(nn, MLP):
             continue
+        bytes_h = 2 if nn.compute_dtype is not None else 4
         dims = [f_in, *nn.hidden, n_out]
         for a, b in zip(dims[:-1], dims[1:]):
             tile = _buffer_shape((a, b))
             total_bytes += 8 * 4 * (tile[0] * tile[1] + 8 * 128)  # w + b
-            # residual h (in, B) + dact (out, B), f32 values
-            total_bytes += 2 * 4 * (a + b) * batch
+            # residual h (in, B) at the compute dtype + dact (out, B) f32
+            total_bytes += 2 * (bytes_h * a + 4 * b) * batch
     return total_bytes / 1e6
+
+
+def _loss_chunkable(logging: LoggingLoss) -> bool:
+    """Whether the training loss is per-element with a scale that depends
+    only on the (full-batch) mask counts — the precondition for computing
+    gradients chunk-by-chunk with a precomputed global 1/n. rmse and the
+    batch-statistic losses need prediction moments no single chunk sees."""
+    from ..losses.specs import ElementwiseLoss
+
+    kind = _fused_loss_kind(logging.training_loss)
+    return isinstance(kind, ElementwiseLoss) or kind in ("mse", "mae")
+
+
+def _pick_batch_chunks(model, nns, tensors, logging: LoggingLoss) -> int:
+    """Batch-chunk count C for the fused kernel: 1 when the un-chunked
+    kernel fits the VMEM envelope, the smallest power-of-2 C whose chunked
+    score fits when it doesn't (chunk width stays a multiple of 128 lanes
+    — lane-dim slices at tile boundaries are the validated pattern), or 0
+    when nothing fits / the configuration cannot chunk (batch-statistic
+    loss, trainable BN's full-batch stats, LSTM bodies).
+
+    Chunked picks are DISABLED by default (``EASYHYBRID_FUSED_CHUNKED=1``
+    enables): the chunked-grid kernel compiles and is gate-exact on-chip
+    (2026-08-18), but at the one shape that needs it — the
+    [1024,512,256,128,64] tower × batch 1024 — the measured marginal rate
+    is 8.0k steps/s (17.5 % MFU) vs the XLA scan epoch's 12.8k (27.8 %):
+    width-128 chunks sacrifice exactly the MXU lane utilization that makes
+    the wide batch FLOPs-efficient, so auto-selection routes such shapes
+    to XLA, which measurably wins there."""
+    limit = float(os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "30"))
+    if _fused_vmem_estimate_mb(model, nns, tensors) <= limit:
+        return 1
+    if os.environ.get("EASYHYBRID_FUSED_CHUNKED", "0") != "1":
+        return 0  # measured: XLA wins the shapes that would need chunking
+    if not _loss_chunkable(logging):
+        return 0
+    for nn in nns:
+        if not isinstance(nn, MLP) or nn.input_batchnorm is True:
+            return 0  # trainable BN normalizes with FULL-batch stats
+    batch = int(tensors.weight.shape[-1])
+    for c in (2, 4, 8, 16):
+        w = batch // c
+        if batch % c or w % 128:
+            continue
+        if _fused_vmem_estimate_mb(model, nns, tensors, chunk_width=w) <= limit:
+            return c
+    return 0
 
 
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
@@ -374,10 +430,11 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
         # Past it the kernel BUILD crashes (compile-helper subprocess dies
         # — observed at [1024,512,256,128,64] × batch 1024, 2026-08-17);
         # the crash is caught and disk-cached, but predicting it skips a
-        # ~30 s doomed remote compile and an ugly log line.
-        if _fused_vmem_estimate_mb(model, nns, tensors) > float(
-            os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "30")
-        ):
+        # ~30 s doomed remote compile and an ugly log line. Round 4: wide
+        # batches that overflow the envelope run BATCH-CHUNKED (gradients
+        # accumulated over lane-tile sub-batches inside one SGD step), so
+        # only configurations no chunk count can fit are rejected.
+        if _pick_batch_chunks(model, nns, tensors, logging) == 0:
             return False
     if logging.extra_loss is not None and not hasattr(
         logging.extra_loss, "_l2_spec"
@@ -1324,6 +1381,165 @@ def make_fused_epoch(
             new_state2d = None
         return grads, t_new, valid, batch_loss * valid, new_state2d
 
+    def kernel_body_elem(p, state2d, x_fb, forcing_b, y_b, mask_b, inv_n):
+        """ONE batch-chunk's fused forward + elementwise-loss cotangent +
+        symbolic backward (round 4). Used by the chunked-grid launch: the
+        batch is pre-split into lane-tile sub-batches that ride the grid's
+        batch axis, each grid step runs this body at chunk width, and the
+        gradients accumulate across grid steps in carried VMEM output
+        tiles (the multisite kernel's validated pattern — an in-body
+        Python chunk loop instead keeps every chunk's residuals live on
+        the Mosaic stack, measured 48.6 MB vs the 16 MB scoped-vmem limit
+        on-chip 2026-08-18).
+
+        ``inv_n`` maps each target to the precomputed FULL-batch masked
+        1/n scalar (streamed in via the norm operand tile — no single
+        chunk sees the whole batch). Returns ``(grads_tree, loss_row)``
+        with ``loss_row`` the (1, w) per-element loss contributions (the
+        caller reduces once). Callers guarantee (via
+        ``_pick_batch_chunks``): elementwise loss, no trainable BN, no
+        LSTM."""
+        w = next(iter(y_b.values())).shape[1]
+        ones_w1 = jnp.ones((w, 1), jnp.float32)
+        agg_scale = (
+            1.0 / len(target_names) if agg_name == "mean" else 1.0
+        ) * ex_outer
+
+        mech_params: Dict[str, Any] = {}
+        dscale: Dict[str, Any] = {}
+        nn_residuals: Dict[str, Any] = {}
+
+        def scale_neural(name, raw):
+            if model.scale_nn_outputs:
+                blo, bup = bounds[name]
+                col, dcol = jax.jvp(
+                    lambda r, _lo=blo, _up=bup: scale_param(r, _lo, _up),
+                    (raw,), (jnp.ones_like(raw),),
+                )
+                mech_params[name] = col
+                dscale[name] = dcol
+            else:
+                mech_params[name] = raw
+                dscale[name] = None
+
+        if is_multi:
+            for (bname, bmlp), pname in zip(nn_branches, neural_names):
+                out_b, res, _ = forward_mlp(
+                    bmlp, p["nns"][bname],
+                    state2d.get("nns", {}).get(bname, {}),
+                    x_fb[bname], ones_w1,
+                )
+                nn_residuals[bname] = res
+                scale_neural(pname, out_b[0:1, :])
+        elif nn_branches:
+            nn_out, res, _ = forward_mlp(
+                model.nn, p["nn"], state2d.get("nn", {}), x_fb, ones_w1
+            )
+            nn_residuals["nn"] = res
+            for idx2, name in enumerate(neural_names):
+                scale_neural(name, nn_out[idx2 : idx2 + 1, :])
+
+        for g in global_names:
+            blo, bup = bounds[g]
+            rawg = p["globals"][g]  # (1, 1)
+            val, dval = jax.jvp(
+                lambda r, _lo=blo, _up=bup: scale_param(r, _lo, _up),
+                (rawg,), (jnp.ones_like(rawg),),
+            )
+            mech_params[g] = val
+            dscale[g] = dval
+        for fx in model.fixed_param_names:
+            mech_params[fx] = state2d["fixed"][fx]
+
+        def mech_preds(pd):
+            outs = _call_mechanistic(
+                model.mechanistic_model, {**forcing_b, **pd}
+            )
+            return tuple(
+                jnp.broadcast_to(
+                    jnp.asarray(outs[t]).reshape(1, -1), (1, w)
+                )
+                for t in target_names
+            )
+
+        diff_names = (*neural_names, *global_names)
+        tangents: Dict[str, Tuple[Any, ...]] = {}
+        preds = None
+        for name in diff_names:
+            def fdiff(v, _name=name, _mp=mech_params, _f=mech_preds):
+                pd = dict(_mp)
+                pd[_name] = v
+                return _f(pd)
+
+            preds, tangents[name] = jax.jvp(
+                fdiff, (mech_params[name],),
+                (jnp.ones_like(mech_params[name]),),
+            )
+        if preds is None:
+            preds = mech_preds(mech_params)
+
+        cots: List[Any] = []
+        loss_row = None
+        for j, t in enumerate(target_names):
+            m = mask_b[t]
+            diff = (preds[j] - y_b[t]) * m
+            if elem_spec is not None:
+                yh_s = preds[j] * m
+                scale = (
+                    agg_scale * inv_n[t]
+                    if elem_spec.normalize == "mean" else agg_scale
+                )
+                elem, delem = jax.jvp(
+                    lambda v, _y=y_b[t]: elem_spec.elementwise(v, _y),
+                    (yh_s,), (jnp.ones_like(yh_s),),
+                )
+                term = scale * elem * m
+                cot = scale * delem * m
+            elif loss_name == "mse":
+                term = (agg_scale * inv_n[t]) * diff * diff
+                cot = (2.0 * agg_scale * inv_n[t]) * diff
+            else:  # mae
+                term = (agg_scale * inv_n[t]) * jnp.abs(diff)
+                cot = (agg_scale * inv_n[t]) * jnp.sign(diff)
+            loss_row = term if loss_row is None else loss_row + term
+            cots.append(cot)
+
+        def param_grad_row(name):
+            row = jnp.zeros((1, w), jnp.float32)
+            for j in range(len(target_names)):
+                tang = jnp.broadcast_to(tangents[name][j], (1, w))
+                row = row + cots[j] * tang
+            return row
+
+        grads: Dict[str, Any] = {"globals": {}}
+        for g in global_names:
+            gg = _rowsum(param_grad_row(g), ones_w1)  # (1, 1)
+            grads["globals"][g] = gg * dscale[g]
+
+        def neural_grad_row(name):
+            row = param_grad_row(name)
+            if dscale[name] is not None:
+                row = row * dscale[name]
+            return row
+
+        if is_multi:
+            grads["nns"] = {}
+            for (bname, bmlp), pname in zip(nn_branches, neural_names):
+                grads["nns"][bname] = backward_mlp(
+                    bmlp, p["nns"][bname], neural_grad_row(pname),
+                    nn_residuals[bname], ones_w1,
+                )
+        elif nn_branches:
+            gcols = [neural_grad_row(name) for name in neural_names]
+            D = (
+                jnp.concatenate(gcols, axis=0)
+                if len(gcols) > 1 else gcols[0]
+            )
+            grads["nn"] = backward_mlp(
+                model.nn, p["nn"], D, nn_residuals["nn"], ones_w1
+            )
+        return grads, loss_row
+
     def kernel_body_lstm(
         i,
         p,            # params pytree in kernel layout
@@ -1591,7 +1807,7 @@ def make_fused_epoch(
         p_bufs, m_bufs, v_bufs, u_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
         treedef, orig_shapes, data, is_weight, update_fns,
-        epochs=1, stacked=False, hyper_buf=None,
+        epochs=1, stacked=False, hyper_buf=None, n_chunks=1,
     ):
         """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
         ``(epochs, num_batches / unroll)`` — one kernel launch total, so the launch /
@@ -1607,6 +1823,8 @@ def make_fused_epoch(
         # batch axis into (n_groups, k_sub); the grid runs over groups and
         # the kernel statically loops the k_sub sequential SGD steps
         k_sub = max(1, min(k_unroll, num_batches))
+        if n_chunks > 1:
+            k_sub = 1  # batch chunking replaces (and excludes) unrolling
         n_groups = -(-num_batches // k_sub)
         nb_eff = n_groups * k_sub
         bax = 1 if stacked else 0
@@ -1643,6 +1861,55 @@ def make_fused_epoch(
         forcing = [group_batches(as3d(forcing_all[f])) for f in forcing_names]
         ys = [group_batches(as3d(y_all[t])) for t in target_names]
         masks = [group_batches(as3d(mask_all[t])) for t in target_names]
+        norm_ops: List[Any] = []
+        grid_batches = n_groups
+        if n_chunks > 1:
+            # ---- batch-chunked grid (round 4): each ORIGINAL batch rides
+            # n_chunks consecutive grid steps at lane-tile chunk width w;
+            # gradients accumulate in carried output tiles and the update
+            # applies at the batch's LAST chunk (the multisite kernel's
+            # validated accumulate-then-update pattern). The masked-mean
+            # divisors and the validity flag span the whole batch, which
+            # no single chunk sees — computed here XLA-side from the mask
+            # streams and fed per grid step as a padded norm tile (also
+            # the multisite pattern).
+            w_chunk = batch // n_chunks
+            n_ts = [
+                jnp.maximum(jnp.sum(m, axis=(-2, -1)), 1.0) for m in masks
+            ]  # each (…, nb)
+            tot = None
+            for m in masks:
+                s = jnp.sum(m, axis=(-2, -1))
+                tot = s if tot is None else tot + s
+            validf = (tot > 0.0).astype(jnp.float32)
+            row = jnp.stack(
+                [1.0 / n for n in n_ts] + [validf], axis=-1
+            )  # (…, nb, n_targets+1)
+            row = jnp.pad(
+                row,
+                [(0, 0)] * (row.ndim - 1) + [(0, 128 - row.shape[-1])],
+            )[..., None, :]  # (…, nb, 1, 128)
+            row = jnp.pad(
+                row, [(0, 0)] * (row.ndim - 2) + [(0, 7), (0, 0)]
+            )  # (…, nb, 8, 128) tile
+            norm_arr = jnp.repeat(row, n_chunks, axis=bax)
+
+            def chunk_split(a):
+                # (…, nb, …, B) → (…, nb·C, …, w): split the lanes into
+                # (C, w) and move the chunk factor next to the batch axis
+                a = a.reshape(a.shape[:-1] + (n_chunks, w_chunk))
+                a = jnp.moveaxis(a, -2, bax + 1)
+                return a.reshape(
+                    a.shape[:bax] + (a.shape[bax] * n_chunks,)
+                    + a.shape[bax + 2 :]
+                )
+
+            x_ts = [chunk_split(x) for x in x_ts]
+            forcing = [chunk_split(f) for f in forcing]
+            ys = [chunk_split(y) for y in ys]
+            masks = [chunk_split(m) for m in masks]
+            norm_ops = [norm_arr]
+            grid_batches = num_batches * n_chunks
         nf, nt = len(forcing), len(ys)
         npar, nst = len(p_bufs), len(st_bufs)
         buf_shapes = [_buffer_shape(s) for s in orig_shapes]
@@ -1663,6 +1930,8 @@ def make_fused_epoch(
             f_refs = refs[idx : idx + nf]; idx += nf
             y_refs = refs[idx : idx + nt]; idx += nt
             m_refs = refs[idx : idx + nt]; idx += nt
+            if n_chunks > 1:
+                norm_ref = refs[idx]; idx += 1
             st_refs = refs[idx : idx + nst]; idx += nst
             p_in = refs[idx : idx + npar]; idx += npar
             m_in = refs[idx : idx + npar]; idx += npar
@@ -1679,7 +1948,11 @@ def make_fused_epoch(
                 au_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]; idx += 1
-            st_out = refs[idx : idx + nst] if any_bn_train else ()
+            if any_bn_train:
+                st_out = refs[idx : idx + nst]; idx += nst
+            else:
+                st_out = ()
+            acc_out = refs[idx : idx + npar] if n_chunks > 1 else ()
 
             e = pl.program_id(0)
             i = pl.program_id(1)
@@ -1754,10 +2027,110 @@ def make_fused_epoch(
                 norm_div = float(count) if l2_spec["normalize"] else 1.0
                 l2_coeff = ex_outer * 2.0 * l2_spec["scale"] / norm_div
 
+            if n_chunks > 1:
+                # ---- chunked-grid step: ONE chunk of one batch ----------
+                normv = block_at(norm_ref, 0)  # (8, 128) precomputed tile
+                inv_n = {
+                    t: normv[0, jj] for jj, t in enumerate(target_names)
+                }
+                valid = normv[0, nt]
+                cphase = jax.lax.rem(i, n_chunks)
+                chunk0 = cphase == 0
+                lastf = (cphase == (n_chunks - 1)).astype(jnp.float32)
+                if is_multi:
+                    x_fb = {
+                        bname: block_at(x_refs[jj], 0)
+                        for jj, (bname, _) in enumerate(nn_branches)
+                    }
+                else:
+                    x_fb = block_at(x_refs[0], 0) if nx else None
+                forcing_b = {
+                    f: block_at(f_refs[jj], 0)
+                    for jj, f in enumerate(forcing_names)
+                }
+                y_b = {
+                    t: block_at(y_refs[jj], 0)
+                    for jj, t in enumerate(target_names)
+                }
+                mask_b = {
+                    t: block_at(m_refs[jj], 0)
+                    for jj, t in enumerate(target_names)
+                }
+                state2d = jax.tree.unflatten(
+                    st_treedef,
+                    [read_forward(v, s)
+                     for v, s in zip(st_cur, st_orig_shapes)],
+                )
+                p = jax.tree.unflatten(
+                    treedef,
+                    [read_forward(b_, s) for b_, s in zip(pb, orig_shapes)],
+                )
+                grads_tree, loss_row = kernel_body_elem(
+                    p, state2d, x_fb, forcing_b, y_b, mask_b, inv_n
+                )
+                chunk_loss = (
+                    _dot11(loss_row, jnp.ones_like(loss_row))[0, 0] * valid
+                )
+                if l2_spec is not None:
+                    l2_sum = None
+                    for k in range(npar):
+                        if not is_weight[k]:
+                            continue
+                        wb = pb[k]
+                        sq_col = _rowsum(
+                            wb * wb, jnp.ones((wb.shape[1], 1), jnp.float32)
+                        )
+                        s11 = jax.lax.dot_general(
+                            jnp.ones((1, wb.shape[0]), jnp.float32), sq_col,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        l2_sum = s11 if l2_sum is None else l2_sum + s11
+                    l2_val = (l2_spec["scale"] / norm_div) * l2_sum[0, 0]
+                    # once per BATCH (at its last chunk), like the
+                    # unchunked path's once per step
+                    chunk_loss = chunk_loss + (
+                        ex_outer * valid * lastf
+                    ) * l2_val
+                group_loss = chunk_loss
+                # the step counter advances once per BATCH, at its last
+                # chunk; the update below uses the advanced count (same
+                # ordering as the unchunked body)
+                t_run = t_run + valid * lastf
+                g_leaves = jax.tree.flatten(grads_tree)[0]
+                for k in range(npar):
+                    g = g_leaves[k]
+                    if len(orig_shapes[k]) == 1:
+                        g = g.T
+                    g_pad = _pad_to(g, buf_shapes[k])
+                    # accumulate in the carried OUTPUT tile: the VMEM-ref
+                    # round trip between grid steps is what keeps the
+                    # reduction-result adds out of Mosaic's unsupported
+                    # accumulator fusion (multisite kernel pattern)
+                    accv = jnp.where(chunk0, g_pad, acc_out[k][...] + g_pad)
+                    acc_out[k][...] = accv
+                    if l2_spec is not None and is_weight[k]:
+                        accv = accv + l2_coeff * pb[k]
+                    p_new, m_new, v_new, u_new = upds[k](
+                        pb[k], mb[k], vb[k], ub[k], accv, valid,
+                        t_base + t_run,
+                    )
+                    # arithmetic last-chunk gate: non-final chunks leave
+                    # params/moments bit-identical (computed update values
+                    # are finite — all rules are eps-guarded — so the
+                    # discarded branch cannot leak NaN through the gate)
+                    pb[k] = pb[k] + lastf * (p_new - pb[k])
+                    mb[k] = mb[k] + lastf * (m_new - mb[k])
+                    vb[k] = vb[k] + lastf * (v_new - vb[k])
+                    if has_u:
+                        ub[k] = ub[k] + lastf * (u_new - ub[k])
+                k_loop = 0  # skip the unchunked per-grid-step loop below
+            else:
+                k_loop = k_sub
             body_fn = kernel_body_lstm if is_lstm else kernel_body
             # k_sub SEQUENTIAL SGD steps per grid step: params/moments flow
             # through the loop as VMEM values, written back once at the end
-            for j in range(k_sub):
+            for j in range(k_loop):
                 if is_multi:
                     x_fb = {
                         bname: block_at(x_refs[jj], j)
@@ -1881,6 +2254,7 @@ def make_fused_epoch(
             + [batch_spec(f) for f in forcing]
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
+            + [batch_spec(nm) for nm in norm_ops]
             + [full_spec(tuple(s.shape)) for s in st_bufs]
             + [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD)]
@@ -1889,10 +2263,12 @@ def make_fused_epoch(
         st_extra = (
             [full_spec(tuple(s.shape)) for s in st_bufs] if any_bn_train else []
         )
+        acc_extra = [full_spec(s) for s in buf_shapes] if n_chunks > 1 else []
         out_specs = (
             [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD), full_spec(_PAD)]
             + st_extra
+            + acc_extra
         )
         out_shape = (
             [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * n_sets
@@ -1902,18 +2278,22 @@ def make_fused_epoch(
                  for s in st_bufs]
                 if any_bn_train else []
             )
+            + (
+                [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes]
+                if n_chunks > 1 else []
+            )
         )
 
         hyper_operand = () if hyper_buf is None else (hyper_buf,)
         outs = pl.pallas_call(
             kernel,
-            grid=(epochs, n_groups),
+            grid=(epochs, grid_batches),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(*x_ts, *forcing, *ys, *masks, *st_bufs, *p_bufs, *m_bufs, *v_bufs,
-          *u_bufs, t_buf, *hyper_operand)
+        )(*x_ts, *forcing, *ys, *masks, *norm_ops, *st_bufs, *p_bufs,
+          *m_bufs, *v_bufs, *u_bufs, t_buf, *hyper_operand)
 
         new_p = list(outs[:npar])
         new_m = list(outs[npar : 2 * npar])
@@ -1980,6 +2360,17 @@ def make_fused_epoch(
         num_batches, batch = tensors.weight.shape
         n = num_batches * batch
         epochs = max(1, int(epochs_per_call))
+        # batch chunking (static, shape-derived): wide batches whose
+        # residuals would overflow VMEM run the chunk-accumulating body
+        if not is_lstm and nn_branches:
+            n_chunks = max(
+                1,
+                _pick_batch_chunks(
+                    model, [nn for _, nn in nn_branches], tensors, logging
+                ),
+            )
+        else:
+            n_chunks = 1
         # single-epoch programs consume the caller's key directly, exactly
         # like the XLA path's one_epoch — splitting would realize a
         # different shuffle order for the same key
@@ -2041,7 +2432,7 @@ def make_fused_epoch(
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                 data, is_weight, update_fns, epochs=epochs, stacked=stacked,
-                hyper_buf=hyper_buf,
+                hyper_buf=hyper_buf, n_chunks=n_chunks,
             )
             t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
@@ -2061,7 +2452,7 @@ def make_fused_epoch(
                     list(pb), list(mb), list(vb), list(ub), t_base_buf(cum),
                     list(stb), st_treedef, st_orig_shapes, treedef,
                     orig_shapes, data, is_weight, update_fns,
-                    hyper_buf=hyper_buf,
+                    hyper_buf=hyper_buf, n_chunks=n_chunks,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
                 return (
@@ -2433,6 +2824,10 @@ def _gate_cache_key(model, params, optimizer_spec, logging, tensors, *,
         # sub-chunk / sub-batch unrolling changes the compiled kernel shape
         os.environ.get("EASYHYBRID_MS_UNROLL", "4"),
         os.environ.get("EASYHYBRID_FUSED_UNROLL", "1"),
+        # the VMEM threshold + chunk opt-in pick the batch-chunk count
+        # (round 4) — either can compile a structurally different kernel
+        os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "30"),
+        os.environ.get("EASYHYBRID_FUSED_CHUNKED", "0"),
         jax.__version__, jax.default_backend(),
         _runtime_identity(),
         _kernel_source_rev(),

@@ -1482,3 +1482,91 @@ def test_fused_cross_optimizer_loss_combos(opt, loss):
     # pinball's hinge flips subgradient terms under ulp-level param
     # divergence, amplifying the LOSS difference past the param one
     np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-3)
+
+
+def test_fused_traced_hyper_matches_static():
+    """The traced-hyper kernel (streamed per-call optimizer scalars, the
+    population-sweep engine) matches the static-hyper kernel at the same
+    values — element-wise and under jax.vmap over members."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    key = jax.random.PRNGKey(3)
+    vals = [(0.02, 0.9), (0.005, 0.95)]
+    spec0 = ("adam", {"learning_rate": vals[0][0], "b1": vals[0][1]})
+    traced = make_fused_epoch(
+        model, state, spec0, ll, shuffle=True, epochs_per_call=2,
+        traced_hyper=("learning_rate", "b1"),
+    )
+    cp = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+    vm = jax.vmap(traced, in_axes=(0, 0, 0, None, None, 0))
+    dup = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: jnp.stack([jnp.asarray(a)] * 2), t
+    )
+    pv, _, _, lv = vm(
+        dup(params), dup(init_fused_opt_state(params, spec0)), dup(state),
+        tensors, key, jnp.asarray(vals, jnp.float32),
+    )
+    for i, v in enumerate(vals):
+        spec = ("adam", {"learning_rate": v[0], "b1": v[1]})
+        static = make_fused_epoch(
+            model, state, spec, ll, shuffle=True, epochs_per_call=2
+        )
+        p1, _, _, l1 = static(
+            cp(params), init_fused_opt_state(params, spec), cp(state),
+            tensors, key,
+        )
+        for a, b in zip(jax.tree.leaves(pv), jax.tree.leaves(p1)):
+            np.testing.assert_allclose(
+                np.asarray(a)[i], np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        assert abs(float(np.asarray(lv)[i]) - float(l1)) < 1e-5
+    # per-branch specs cannot stream scalars
+    with pytest.raises(ValueError, match="single optimizer spec"):
+        make_fused_epoch(
+            model, state, {"globals": ("sgd", 0.1)}, ll,
+            traced_hyper=("learning_rate",),
+        )
+    with pytest.raises(ValueError, match="not"):
+        make_fused_epoch(
+            model, state, ("adam", 0.01), ll, traced_hyper=("decay",)
+        )
+
+
+@pytest.mark.parametrize("loss", ["mse", "mae"])
+def test_fused_batch_chunked_grid_matches_unchunked(monkeypatch, loss):
+    """The batch-chunked grid variant (round 4: each batch rides n_chunks
+    grid steps, gradients accumulate in carried tiles, update at the last
+    chunk) matches the unchunked kernel exactly — including the opt-state
+    step counter and with NaN-masked targets."""
+    from easyhybrid_tpu.ops.fused_epoch import _pick_batch_chunks
+
+    model, params, state, tensors = _setup(hidden=(32, 16), n=768, batch=256)
+    ll = eh.LoggingLoss(training_loss=loss, loss_types=(loss,))
+    spec = ("adam", 0.01)
+    key = jax.random.PRNGKey(5)
+    cp = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+    f0 = make_fused_epoch(model, state, spec, ll, shuffle=True,
+                          epochs_per_call=2)
+    p0, o0, _, l0 = f0(
+        cp(params), init_fused_opt_state(params, spec), state, tensors, key
+    )
+    monkeypatch.setenv("EASYHYBRID_FUSED_MAX_VMEM_MB", "0.45")
+    monkeypatch.setenv("EASYHYBRID_FUSED_CHUNKED", "1")
+    assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 2
+    f1 = make_fused_epoch(model, state, spec, ll, shuffle=True,
+                          epochs_per_call=2)
+    p1, o1, _, l1 = f1(
+        cp(params), init_fused_opt_state(params, spec), state, tensors, key
+    )
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    assert int(np.asarray(o0["t"])[0]) == int(np.asarray(o1["t"])[0])
+    assert abs(float(l0) - float(l1)) < 1e-5 * max(1.0, abs(float(l0)))
+    # rmse needs full-batch prediction moments → never chunks
+    ll_rmse = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert _pick_batch_chunks(model, [model.nn], tensors, ll_rmse) == 0
+    # default (opt-in unset): chunked picks disabled, XLA wins those shapes
+    monkeypatch.delenv("EASYHYBRID_FUSED_CHUNKED")
+    assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 0
