@@ -610,7 +610,10 @@ def bench_multisite() -> float:
 
 def bench_lstm() -> float:
     """Sequence config (reference Q10_lstm.jl analog): 4k rows, 10-step
-    input windows, LSTM(16); XLA scan-recurrence path."""
+    input windows, LSTM(16). Round 4: runs the FUSED Pallas kernel — the
+    checkpointed-recompute BPTT removed the T=6 Mosaic compile cliff, so
+    10-step windows fit the fused envelope (136k vs 39k marginal steps/s
+    on the XLA scan, 2026-08-18)."""
     import easyhybrid_tpu as eh
     from easyhybrid_tpu.data.sequences import split_into_sequences
 

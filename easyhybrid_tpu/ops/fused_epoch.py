@@ -382,12 +382,15 @@ def _pick_batch_chunks(model, nns, tensors, logging: LoggingLoss) -> int:
 def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
                          tensors=None) -> bool:
     """Static support check for the fused-epoch fast path. ``tensors``
-    (when available) additionally bounds the LSTM unroll depth: Mosaic
-    compile time falls off a CLIFF with the statically unrolled recurrence
-    length on this toolchain (measured 2026-08-17 on-chip: input_window 5
-    compiles in seconds, 6 exceeds a 15-minute budget — repeatably), so
-    windows longer than ``EASYHYBRID_LSTM_FUSED_MAX_T`` (default 5) take
-    the XLA scan path."""
+    (when available) additionally bounds the LSTM unroll depth via
+    ``EASYHYBRID_LSTM_FUSED_MAX_T`` (default 32): longer windows take the
+    XLA scan path. History: with the original save-all-gates residuals,
+    Mosaic compile time fell off a CLIFF at input_window 6 (seconds → >15
+    min, measured 2026-08-17); the round-4 checkpointed-recompute backward
+    (save only per-step (x, h, c), recompute gates in the sweep) removed
+    the cliff — T=10/20/32 all compile in seconds and pass the exactness
+    gate on-chip (2026-08-18). 32 is the largest MEASURED depth, not a new
+    cliff."""
     from ..models.hybrid import MultiNNHybridModel
 
     if isinstance(model, MultiNNHybridModel):
@@ -414,10 +417,10 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
                 x = tensors.x
                 t_len = int(jnp.shape(x)[-2]) if jnp.ndim(x) == 4 else 0
                 max_t = int(
-                    os.environ.get("EASYHYBRID_LSTM_FUSED_MAX_T", "5")
+                    os.environ.get("EASYHYBRID_LSTM_FUSED_MAX_T", "32")
                 )
                 if t_len > max_t:
-                    return False  # Mosaic compile blow-up (see docstring)
+                    return False  # beyond the measured envelope (docstring)
             continue
         if not isinstance(nn, MLP):
             return False
@@ -1582,11 +1585,20 @@ def make_fused_epoch(
                 preferred_element_type=jnp.float32,
             )
 
-        # ---- forward: static-unrolled recurrence ------------------------
+        # ---- forward: static-unrolled recurrence -------------------------
+        # CHECKPOINTED residuals (round 4): the forward saves only the
+        # per-step (x_t, h, c) — the gate values are RECOMPUTED in the
+        # backward sweep from those checkpoints (+50 % LSTM-cell FLOPs,
+        # negligible at these sizes). The previous scheme saved all 8 gate
+        # tensors per timestep, and that residual liveness across the
+        # fwd→bwd boundary is what drove Mosaic's compile time off a cliff
+        # at T=6 (>15 min; the checkpointed body compiles T=10 in seconds
+        # — measured on-chip 2026-08-18, see supports_fused_epoch).
         h = jnp.zeros((H, bsz), jnp.float32)
         c = jnp.zeros((H, bsz), jnp.float32)
-        res = []
-        hs = []
+        xs = []      # post-norm/affine per-step inputs (F, B)
+        hs = []      # h AFTER step t
+        cs = []      # c AFTER step t
         xhats = []
         for t in range(T):
             x_t = x_tb[t]  # (F, B)
@@ -1598,17 +1610,16 @@ def make_fused_epoch(
                     x_t = (
                         x_t * pnn["norm"]["scale"] + pnn["norm"]["bias"]
                     )
+            xs.append(x_t)
             z = dotg(wi, x_t, 1, 0) + dotg(wh, h, 1, 0) + b_col  # (4H, B)
             i_g = jax.nn.sigmoid(z[0:H])
             f_g = jax.nn.sigmoid(z[H : 2 * H])
             g_g = jnp.tanh(z[2 * H : 3 * H])
             o_g = jax.nn.sigmoid(z[3 * H : 4 * H])
-            c_new = f_g * c + i_g * g_g
-            tanh_c = jnp.tanh(c_new)
-            res.append((x_t, h, c, i_g, f_g, g_g, o_g, tanh_c))
-            h = o_g * tanh_c
-            c = c_new
+            c = f_g * c + i_g * g_g
+            h = o_g * jnp.tanh(c)
             hs.append(h)
+            cs.append(c)
 
         # ---- head + physics + loss over the trailing window -------------
         head_act = get_activation(lstm.output_activation)
@@ -1751,9 +1762,20 @@ def make_fused_epoch(
         gbias_n = jnp.zeros((n_feat, 1), jnp.float32)
         dh_next = jnp.zeros((H, bsz), jnp.float32)
         dc = jnp.zeros((H, bsz), jnp.float32)
+        zeros_hb = jnp.zeros((H, bsz), jnp.float32)
         for t in range(T - 1, -1, -1):
             dh = (dh_next + dhs[t]) if t in dhs else dh_next
-            x_t, h_prev, c_prev, i_g, f_g, g_g, o_g, tanh_c = res[t]
+            # recompute the gates from the (x, h, c) checkpoints (see the
+            # forward's residual note): one extra cell evaluation per step
+            x_t = xs[t]
+            h_prev = hs[t - 1] if t > 0 else zeros_hb
+            c_prev = cs[t - 1] if t > 0 else zeros_hb
+            z = dotg(wi, x_t, 1, 0) + dotg(wh, h_prev, 1, 0) + b_col
+            i_g = jax.nn.sigmoid(z[0:H])
+            f_g = jax.nn.sigmoid(z[H : 2 * H])
+            g_g = jnp.tanh(z[2 * H : 3 * H])
+            o_g = jax.nn.sigmoid(z[3 * H : 4 * H])
+            tanh_c = jnp.tanh(cs[t])
             do_ = dh * tanh_c
             dc = dc + dh * o_g * (1.0 - tanh_c * tanh_c)
             dzi = (dc * g_g) * i_g * (1.0 - i_g)

@@ -871,17 +871,48 @@ def test_fused_lstm_envelope():
 
 
 def test_fused_lstm_window_bound(monkeypatch):
-    """Long input windows are rejected when tensors are provided: the
-    statically unrolled recurrence blows up Mosaic compile time on this
-    toolchain (measured round 3), so big-T LSTM takes the XLA path."""
+    """Windows beyond the measured envelope (default 32 since the round-4
+    checkpointed-recompute backward removed the T=6 Mosaic compile cliff)
+    are rejected when tensors are provided; the env knob tightens/widens."""
     model, params, state, tensors = _setup_lstm(input_window=6)
     ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
     assert supports_fused_epoch(model, ("adam", 0.01), ll)  # no tensors
-    assert not supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
-    monkeypatch.setenv("EASYHYBRID_LSTM_FUSED_MAX_T", "8")
     assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    monkeypatch.setenv("EASYHYBRID_LSTM_FUSED_MAX_T", "4")
+    assert not supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
     m4 = _setup_lstm(input_window=4)
     assert supports_fused_epoch(m4[0], ("adam", 0.01), ll, m4[3])
+
+
+def test_fused_lstm_t10_matches_xla_epoch():
+    """The reference LSTM tutorial's 10-step windows run fused (round 4):
+    checkpointed-recompute BPTT matches the XLA scan path at T=10."""
+    import optax
+
+    model, params, state, tensors = _setup_lstm(
+        n=800, input_window=10, output_window=2
+    )
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    key = jax.random.PRNGKey(2)
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=2
+    )
+    p_f, _, _, l_f = fused(
+        jax.tree.map(jnp.array, params),
+        init_fused_opt_state(params), state, tensors, key,
+    )
+    opt = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(model, ll, opt, shuffle=True, epochs_per_call=2)
+    p_x, _, _, l_x = xla(
+        jax.tree.map(jnp.array, params), opt.init(params),
+        jax.tree.map(jnp.array, state), tensors, key,
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
 
 
 # --------------------------------------------------------------------------
