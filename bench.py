@@ -488,16 +488,29 @@ def bench_inference() -> float:
             t0 = time.perf_counter()
             _ = float(fn(params, state, inputs))  # read-forced
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return ts
 
     # the forward is ~20 us/pass: a 4-vs-64 pass delta (~1 ms) sits inside
     # the ~30 ms tunnel dispatch noise and once produced a nonsense 7.9e15
     # rows/s marginal — the pass counts must make the compute delta
     # UNMISSABLE relative to dispatch jitter (3840 passes ~ 80 ms)
     e_small_p, e_big_p = 256, 4096
-    t_small, t_big = timed(e_small_p), timed(e_big_p)
-    dd = max(t_big - t_small, 1e-9)
+    ts_small, ts_big = timed(e_small_p), timed(e_big_p)
+    dd = max(float(np.median(ts_big)) - float(np.median(ts_small)), 1e-9)
     marginal = (e_big_p - e_small_p) * n / dd
+    # error bar: the marginal is a DIFFERENCE of two tunnel-dominated
+    # timings, so report min/max over all per-rep pairings (same spread
+    # convention as the training rows' steps_per_s_spread)
+    pair_rates = [
+        (e_big_p - e_small_p) * n / max(tb - tsm, 1e-9)
+        for tb in ts_big
+        for tsm in ts_small
+    ]
+    # analytic roofline sanity bound: dense fwd MACs of MLP [16,16] on 2
+    # features + 1 output = 304 MACs → 608 FLOPs/row; the MXU-peak row
+    # rate bounds any honest rows/s claim from above
+    flops_per_row = 2.0 * (2 * 16 + 16 * 16 + 16 * 1)
+    roofline_rows = V5E_PEAK_FLOPS / flops_per_row
 
     # end-to-end through the tunnel: DataFrame in, numpy predictions out
     predict = eh.make_inference_fn(model, params, state, batch_size=65_536)
@@ -506,6 +519,11 @@ def bench_inference() -> float:
     tunnel = _median_rate(lambda: predict(df), n)
     return marginal, "inference_jit", {
         "rows": int(n),
+        "rows_per_s_spread": [round(min(pair_rates), 0),
+                              round(max(pair_rates), 0)],
+        "flops_per_row": flops_per_row,
+        "roofline_rows_per_s": round(roofline_rows, 0),
+        "pct_of_roofline": round(100.0 * marginal / roofline_rows, 2),
         "tunnel_rows_per_s": round(tunnel, 0),
     }
 
