@@ -39,8 +39,10 @@ build — tools/probe_multisite_primitives{,2}.py, 2026-08-17 on-chip runs):
 Envelope (``supports_fused_multisite``): ``share_nn=True``,
 ``SingleNNHybridModel`` base with an MLP (input_batchnorm in
 {False, "static"}, f32 — no compute_dtype), scalar per-site globals,
-training loss in {mse, mae, nseLoss} or a declarative ``ElementwiseLoss``
-(pinball/huber/…), agg in {sum, mean}, no ``extra_loss``. Optimizers:
+training loss in {mse, mae, nseLoss, rmse (single-target, round-4
+deferred-factor scheme — gate-exact on-chip at 10k sites, 3.5e-4)} or a
+declarative ``ElementwiseLoss`` (pinball/huber/…), agg in {sum, mean},
+no ``extra_loss``. Optimizers:
 every ELEMENTWISE rule ``parse_opt_spec`` accepts — adam, adamw, sgd,
 rmsprop, adagrad, lion, adamax, nadam, adadelta, radam (the update
 delegates to the generic kernel's ``make_update_leaf``) — excluding lamb
@@ -52,15 +54,21 @@ minibatched sites fall back to the XLA epoch because optax decays moments
 of out-of-batch parameters every step, which chunk-local updates cannot
 reproduce.
 
-The loss envelope is exactly the CHUNK-LOCAL subset of the generic
-kernel's losses: per-element terms whose scale depends only on the static
-targets/masks, so the scale is precomputed XLA-side and each chunk's
-contribution is independent. nseLoss qualifies because its denominator
-``Σ (y-ȳ)²·m`` is a target-only batch statistic (masks are static at one
-batch/epoch) — in-kernel it is mse math with a different precomputed
-scale. rmse and the batch-statistic losses (pearsonLoss/kgeLoss/
-pbkgeLoss) need batch moments of the PREDICTIONS, which no single chunk
-sees; they fall back to the XLA epoch.
+The loss envelope: chunk-local per-element terms whose scale depends only
+on the static targets/masks (scale precomputed XLA-side, each chunk
+independent). nseLoss qualifies because its denominator ``Σ (y-ȳ)²·m``
+is a target-only batch statistic (masks are static at one batch/epoch) —
+in-kernel it is mse math with a different precomputed scale. rmse
+(round 4, single target) needs the FULL-batch sse in its ``1/(n·r)``
+cotangent factor, which no single chunk sees — the kernel accumulates
+RAW sse + unscaled ``2·diff`` cotangents across chunks (per-site grads in
+packed accumulator tiles, shared grads in the existing accumulators) and
+defers EVERY update to the last group, where the scalar factor
+``agg/(2·n·r)`` is applied and the per-site tiles update whole-tile. The
+remaining batch-statistic losses (pearsonLoss/kgeLoss/pbkgeLoss) have
+cotangents that are NOT a scalar factor times a chunk-local row
+(they mix ``dh``/``dy`` rows with three moment partials); they fall back
+to the XLA epoch.
 
 Reference parity: the multisite training semantics themselves are a
 TPU-native addition (SURVEY.md §5; the reference is single-series), but the
@@ -102,17 +110,24 @@ from .fused_epoch import (
 __all__ = ["supports_fused_multisite", "make_fused_multisite_epoch"]
 
 _SITE_LANES = 128  # sites per chunk = one packed row
-# chunk-local losses only (see module docstring): rmse/pearson/kge/pbkge
-# need full-batch prediction statistics no single chunk sees
-_MS_LOSSES = ("mse", "mae", "nseLoss")
+# chunk-local losses (see module docstring) + rmse (round 4): rmse's
+# 1/(n·r) cotangent factor needs the FULL-batch SSE, so the kernel
+# accumulates UNSCALED diff cotangents across chunks and defers every
+# update (per-site tiles included) to the last group, where the factor is
+# known — single-target only (multi-target would need one accumulator set
+# per target). pearson/kge/pbkge stay out: their cotangents are not a
+# scalar factor times a chunk-local row.
+_MS_LOSSES = ("mse", "mae", "nseLoss", "rmse")
 
 
-def _ms_loss_kind(training_loss):
+def _ms_loss_kind(training_loss, n_targets: int = 1):
     """The multisite-kernel loss envelope: a ``_MS_LOSSES`` string, an
     ``ElementwiseLoss`` instance, or ``None`` (→ XLA fallback)."""
     from ..losses.specs import ElementwiseLoss
 
     kind = _fused_loss_kind(training_loss)
+    if kind == "rmse" and n_targets != 1:
+        return None  # deferred factor is per-target; one accumulator set
     if isinstance(kind, ElementwiseLoss) or kind in _MS_LOSSES:
         return kind
     return None
@@ -143,7 +158,7 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
             return False
     if logging.extra_loss is not None:
         return False
-    if _ms_loss_kind(logging.training_loss) is None:
+    if _ms_loss_kind(logging.training_loss, len(base.targets)) is None:
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
@@ -217,12 +232,16 @@ def make_fused_multisite_epoch(
 
     from ..losses.specs import ElementwiseLoss
 
-    loss_kind = _ms_loss_kind(logging.training_loss)
+    loss_kind = _ms_loss_kind(logging.training_loss, len(base.targets))
     if loss_kind is None:
         raise ValueError(
             "fused multisite epoch does not support training loss "
             f"{logging.training_loss!r}"
         )
+    # rmse (round 4): 1/(n·r) factor spans the whole site batch → the
+    # kernel accumulates UNSCALED diff cotangents and defers all updates
+    # (per-site tiles included, whole-tile at the last group)
+    deferred_loss = loss_kind == "rmse"
     elem_spec = loss_kind if isinstance(loss_kind, ElementwiseLoss) else None
     agg_name = logging.agg_name
     if logging.extra_loss is not None:
@@ -353,6 +372,10 @@ def make_fused_multisite_epoch(
             sc = agg_scale / jnp.maximum(jnp.stack(ssts), 1e-12)  # _EPS
         elif elem_spec is not None and elem_spec.normalize == "sum":
             sc = jnp.full((n_targets,), agg_scale, jnp.float32)
+        elif loss_kind == "rmse":
+            # deferred scaling: chunks accumulate RAW sse / diff cotangents;
+            # the last group applies agg_scale/(n·r) with r = sqrt(sse/n)
+            sc = jnp.ones((n_targets,), jnp.float32)
         else:
             sc = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
         valid_flag = (jnp.sum(counts) > 0.0).astype(jnp.float32)
@@ -361,6 +384,10 @@ def make_fused_multisite_epoch(
             scale_tile, sc.astype(jnp.float32)[None, :], (0, 0)
         )
         scale_tile = scale_tile.at[1, 0].set(valid_flag)
+        # [1, 1]: 1/n for the deferred rmse factor (single target)
+        scale_tile = scale_tile.at[1, 1].set(
+            1.0 / jnp.maximum(counts[0], 1.0)
+        )
 
         # ---- state buffers (same scheme as the generic kernel) -----------
         st_leaves, st_treedef = jax.tree.flatten(state_in)
@@ -413,7 +440,8 @@ def make_fused_multisite_epoch(
             vst_out = refs[idx : idx + nsite]; idx += nsite
             acc_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
-            loss_out = refs[idx]
+            loss_out = refs[idx]; idx += 1
+            sacc_out = refs[idx : idx + nsite] if deferred_loss else ()
 
             ones_m1 = jnp.ones((m_cols, 1), jnp.float32)
             e = pl.program_id(0)
@@ -458,6 +486,7 @@ def make_fused_multisite_epoch(
             )
 
             acc_local = [None] * npar   # shared-grad accumulation over subs
+            sgrad_local = [None] * nsite  # deferred-rmse per-site grads
             loss_local = None
 
             for u in range(unroll):
@@ -566,9 +595,12 @@ def make_fused_multisite_epoch(
                         )
                         term = sc_j * elem * m
                         cot = sc_j * delem * m
-                    elif loss_kind in ("mse", "nseLoss"):
+                    elif loss_kind in ("mse", "nseLoss", "rmse"):
                         # nseLoss IS mse math in-kernel: sc_j carries the
-                        # target-only denominator instead of 1/n
+                        # target-only denominator instead of 1/n. rmse runs
+                        # with sc_j = 1 (RAW sse + unscaled 2·diff
+                        # cotangents); the deferred agg/(2·n·r) factor is
+                        # applied at the last group once sse is complete
                         term = sc_j * diff * diff
                         cot = (2.0 * sc_j) * diff
                     else:  # mae
@@ -595,12 +627,26 @@ def make_fused_multisite_epoch(
 
                 # per-site params: chunk-local grad → immediate update of
                 # the LOCAL packed value (bit-identical to a batch-end
-                # update: each site appears in exactly one sub-chunk)
+                # update: each site appears in exactly one sub-chunk).
+                # Deferred-rmse mode instead ACCUMULATES the raw per-site
+                # grads into a packed tile — the update needs the global
+                # 1/(n·r) factor only known at the last group.
                 for k, g in enumerate(site_names):
                     gts = param_grad_ts(g)
                     grow = (
                         jnp.sum(gts, axis=0, keepdims=True) * dscale[g]
                     )  # (1, 128)
+                    if deferred_loss:
+                        placed = jnp.where(
+                            rowmask,
+                            jnp.broadcast_to(grow, (r_pad, _SITE_LANES)),
+                            0.0,
+                        )
+                        sgrad_local[k] = (
+                            placed if sgrad_local[k] is None
+                            else sgrad_local[k] + placed
+                        )
+                        continue
                     p_new, m_new, v_new = update_leaf(
                         select_row(pkt[k]), select_row(mkt[k]),
                         select_row(vkt[k]), grow, valid, t_abs,
@@ -647,17 +693,56 @@ def make_fused_multisite_epoch(
                         )
 
             # ---- write-back after the unrolled loop ----------------------
-            for k in range(nsite):
-                pst_out[k][...] = pkt[k]
-                mst_out[k][...] = mkt[k]
-                vst_out[k][...] = vkt[k]
-
             # select (never arithmetic) against the uninitialized first read
             prev_loss = loss_out[0, 0]
             acc_loss = jnp.where(
                 chunk_start, loss_local, loss_local + prev_loss
             ) * valid
-            loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
+            if deferred_loss:
+                # acc_loss carries the RAW sse; the rmse value and the
+                # gradient factor derive from it once complete (used at
+                # is_last; finite at every group, so the discarded
+                # non-last computations cannot leak NaN)
+                inv_n0 = scale_ref[1, 1]
+                r_val = jnp.sqrt(jnp.maximum(acc_loss * inv_n0, 0.0))
+                factor = (agg_scale * inv_n0) / (
+                    2.0 * jnp.maximum(r_val, 1e-30)
+                )
+                loss_val = agg_scale * r_val
+                rows8 = jax.lax.broadcasted_iota(jnp.int32, _PAD, 0)
+                loss_out[...] = jnp.where(
+                    rows8 == 1,
+                    jnp.zeros(_PAD, jnp.float32) + loss_val,
+                    jnp.zeros(_PAD, jnp.float32) + acc_loss,
+                )
+            else:
+                factor = None
+                loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
+
+            for k in range(nsite):
+                if deferred_loss:
+                    # merge this group's per-site grads into the carried
+                    # accumulator tile; whole-tile update at the last
+                    # group (each site's grad lives in exactly one chunk,
+                    # and the factor is one scalar — padding rows carry
+                    # zero grads and zero state, so the tile-wide update
+                    # leaves them zero)
+                    sl = sgrad_local[k]
+                    sl = jnp.zeros((r_pad, _SITE_LANES), jnp.float32) if sl is None else sl
+                    sacc = jnp.where(
+                        chunk_start, sl, sl + sacc_out[k][...]
+                    )
+                    sacc_out[k][...] = sacc
+                    p_new, m_new, v_new = update_leaf(
+                        pkt[k], mkt[k], vkt[k], factor * sacc, valid, t_abs
+                    )
+                    pst_out[k][...] = jnp.where(is_last, p_new, pkt[k])
+                    mst_out[k][...] = jnp.where(is_last, m_new, mkt[k])
+                    vst_out[k][...] = jnp.where(is_last, v_new, vkt[k])
+                else:
+                    pst_out[k][...] = pkt[k]
+                    mst_out[k][...] = mkt[k]
+                    vst_out[k][...] = vkt[k]
 
             # shared leaves: merge this group's accumulated grads into the
             # carried accumulator (select — never arithmetic — against the
@@ -668,8 +753,9 @@ def make_fused_multisite_epoch(
                     chunk_start, g_pad, g_pad + acc_out[k][...]
                 )
                 acc_out[k][...] = acc
+                g_upd = factor * acc if deferred_loss else acc
                 p_new, m_new, v_new = update_leaf(
-                    pb[k], mb[k], vb[k], acc, valid, t_abs
+                    pb[k], mb[k], vb[k], g_upd, valid, t_abs
                 )
                 psh_out[k][...] = jnp.where(is_last, p_new, pb[k])
                 msh_out[k][...] = jnp.where(is_last, m_new, mb[k])
@@ -705,11 +791,13 @@ def make_fused_multisite_epoch(
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
             + [full_spec(_PAD)]
         )
+        n_sacc = nsite if deferred_loss else 0
         out_specs = (
             [full_spec(s) for s in buf_shapes] * 3
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
             + [full_spec(s) for s in buf_shapes]
             + [full_spec(_PAD), full_spec(_PAD)]
+            + [full_spec((r_pad, _SITE_LANES))] * n_sacc
         )
         out_shape = (
             [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
@@ -717,6 +805,8 @@ def make_fused_multisite_epoch(
             * (3 * nsite)
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes]
             + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
+            + [jax.ShapeDtypeStruct((r_pad, _SITE_LANES), jnp.float32)]
+            * n_sacc
         )
 
         outs = pl.pallas_call(
@@ -741,7 +831,7 @@ def make_fused_multisite_epoch(
         new_spv = outs[i : i + nsite]; i += nsite
         i += npar  # grad accumulators: scratch, discarded
         t_delta = outs[i]; i += 1
-        loss_tile = outs[i]
+        loss_tile = outs[i]  # (trailing sacc scratch tiles ignored)
 
         def rebuild(sh_list, sp_list):
             tree = jax.tree.unflatten(
@@ -762,6 +852,9 @@ def make_fused_multisite_epoch(
             "v": rebuild(new_shv, new_spv),
             "t": (t0 + jnp.round(t_delta[0, 0]).astype(jnp.int32)).reshape(1),
         }
-        return new_params, new_opt_state, state_in, loss_tile[0, 0]
+        # deferred rmse stores the raw sse at row 0 and the finished rmse
+        # value at row 1 (the last group's transform)
+        final_loss = loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]
+        return new_params, new_opt_state, state_in, final_loss
 
     return epoch_fn

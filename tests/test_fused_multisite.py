@@ -196,9 +196,10 @@ def test_multisite_supports_envelope():
         ), 32,
     ))
     assert not supports_fused_multisite(model, ("adam", 0.01), logging, small)
-    # rmse needs the full-batch sqrt: outside the envelope
+    # rmse joined the envelope in round 4 (deferred-factor scheme,
+    # single target); batch-statistic losses stay out
     rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
-    assert not supports_fused_multisite(model, ("adam", 0.01), rmse, tensors)
+    assert supports_fused_multisite(model, ("adam", 0.01), rmse, tensors)
     # batch-statistic losses need full-batch PREDICTION moments: XLA path
     pear = LoggingLoss(training_loss="pearsonLoss", loss_types=("mse",))
     assert not supports_fused_multisite(model, ("adam", 0.01), pear, tensors)
@@ -326,3 +327,67 @@ def test_multisite_fused_unroll_tail_padding(monkeypatch):
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
         )
     assert int(o_f["t"][0]) == 2
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean"])
+def test_multisite_fused_rmse_deferred_matches_xla(agg):
+    """rmse (round 4 widening): the kernel accumulates RAW sse + unscaled
+    diff cotangents across chunks and applies the agg/(2·n·r) factor at
+    the last group — per-site updates included (whole-tile, deferred).
+    Must match the XLA path exactly, multi-epoch counter intact."""
+    model, params, state, tensors = _make(S=300, N=8)
+    logging = LoggingLoss(training_loss="rmse", loss_types=("rmse",), agg=agg)
+    assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
+
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    optimizer = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=epochs
+    )
+    p_x, _, _, loss_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+    assert int(o_f["t"][0]) == epochs
+
+
+def test_multisite_rmse_envelope_bounds():
+    """rmse is single-target only in the multisite kernel (the deferred
+    factor is per-target); batch-statistic losses stay out."""
+    model, params, state, tensors = _make(S=130, N=4)
+    ll1 = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert supports_fused_multisite(model, ("adam", 0.01), ll1, tensors)
+    # two targets: rejected
+    base2 = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"],
+        targets=["reco", "reco2"],
+        mechanistic_model=lambda *, ta, rb, Q10: {
+            "reco": rb * Q10 ** (0.1 * (ta - 15.0)),
+            "reco2": rb + Q10,
+        },
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[8], activation="swish", scale_nn_outputs=True,
+    )
+    model2 = eh.MultiSiteHybridModel(base2, n_sites=130, share_nn=True)
+    assert not supports_fused_multisite(model2, ("adam", 0.01), ll1)
+    ll_stat = LoggingLoss(training_loss="pearsonLoss",
+                          loss_types=("pearsonLoss",))
+    assert not supports_fused_multisite(model, ("adam", 0.01), ll_stat)
