@@ -28,7 +28,11 @@ quick-start). The ``configs`` field carries the full scoreboard:
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
-                     (reference Q10_lstm.jl analog; torch-CPU baseline)
+                     (reference Q10_lstm.jl analog; torch-CPU baseline;
+                     round 4: fused Pallas — recompute BPTT lifted the cap)
+* ``population_sweep`` — 16-member lr sweep as ONE vmapped fused-kernel
+                     program (round 4; value = sweep throughput
+                     amplification vs 16 sequential one-member runs)
 * ``inference``    — serving throughput (ROWS/s): the compiled fixed-shape
                      predictor on 131k rows incl. device→host fetch, vs
                      the same forward in torch CPU
@@ -420,6 +424,59 @@ def bench_large_mlp_b1024() -> float:
             [1024, 512, 256, 128, 64], 2, 1024
         ),
     )
+
+
+def bench_population() -> float:
+    """TPU-native population row: a 16-member geometric lr sweep as ONE
+    vmapped program through the fused Pallas engine with streamed
+    per-member hyperparameters (round 4). The headline value is
+    member-sweep throughput amplification: (16 x one-member wall) /
+    sweep wall, both measured in-process on their SECOND call (compiles
+    and gates excluded; the reference's tune loop pays one train() per
+    configuration, i.e. the sequential baseline by construction). Extras
+    carry the raw walls and the engine that ran."""
+    import time as _time
+
+    import numpy as np
+
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(20_000, seed=42)
+    kw = dict(
+        optimizer="adam", nepochs=50, batchsize=512, eval_every=5,
+        seed=11, data_seed=0,
+    )
+    lrs = list(np.geomspace(1e-3, 5e-2, 16))
+
+    def timed(hyper):
+        eh.population_train(model, df, hyper=hyper, **kw)  # warm
+        t0 = _time.perf_counter()
+        pop = eh.population_train(model, df, hyper=hyper, **kw)
+        return _time.perf_counter() - t0, pop
+
+    t_sweep, pop = timed({"learning_rate": lrs})
+    t_one, _ = timed({"learning_rate": [lrs[0]]})
+    amplification = 16.0 * t_one / t_sweep
+    return amplification, pop.epoch_path, {
+        "members": 16,
+        "sweep_wall_s": round(t_sweep, 2),
+        "one_member_wall_s": round(t_one, 2),
+        "best_val_mse": round(
+            float(pop.best_losses[pop.best_member]), 5
+        ),
+        "unit_note": "value = (16 x one-member wall) / sweep wall",
+    }
 
 
 def bench_inference() -> float:
@@ -864,6 +921,7 @@ def main():
     entry("large_mlp_b1024_bf16", bench_large_mlp_b1024_bf16, None)
     entry("multisite", bench_multisite, None)
     entry("lstm", bench_lstm, baseline_lstm)
+    entry("population_sweep", bench_population, None)
     entry("inference", bench_inference, baseline_inference)
 
     if "steps_per_s" in configs["multisite"]:  # absent on an error row
