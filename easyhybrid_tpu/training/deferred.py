@@ -63,8 +63,6 @@ def defer_blockers(cfg) -> tuple:
         blockers.append("show_progress=True")
     if cfg.plotting:
         blockers.append("plotting=True")
-    if cfg.keep_history:
-        blockers.append("keep_history=True")
     if not cfg.jit:
         blockers.append("jit=False")
     return tuple(blockers)
@@ -74,11 +72,12 @@ def can_defer(cfg) -> bool:
     """True when no consumer needs mid-run host values, so the whole run can
     dispatch without a single device→host readback.
 
-    ``monitor_names``, ``save_training``, and ``return_gradients`` no longer
-    force the readback loop: their scalars ride the on-device history row
-    and files are written post-hoc. ``show_progress``/``plotting`` stream to
-    the user mid-run and ``keep_history`` retains full prediction arrays per
-    snapshot — those still need the eager loop (see :func:`defer_blockers`).
+    ``monitor_names``, ``save_training``, ``return_gradients``, and (since
+    round 4) ``keep_history`` no longer force the readback loop: scalars
+    ride the on-device history row, per-snapshot prediction arrays ride
+    on-device history BUFFERS fetched once at the end, and files are
+    written post-hoc. ``show_progress``/``plotting`` stream to the user
+    mid-run — those still need the eager loop (see :func:`defer_blockers`).
     """
     return not defer_blockers(cfg)
 
@@ -107,6 +106,7 @@ def run_deferred_loop(
     tracked_fn=None,
     grad_probe=None,
     n_val_samples: Optional[int] = None,
+    n_train_samples: Optional[int] = None,
 ):
     """Dispatch the full training run with zero mid-run readbacks.
 
@@ -158,9 +158,16 @@ def run_deferred_loop(
                 norms[k] = optax.global_norm(v)
         return norms
 
+    keep_history = bool(cfg.keep_history)
+
     def eval_full(p, s, teb, veb):
-        (m_tr, _), (m_va, out_va) = evaluator(p, s, teb, veb)
-        return m_tr, m_va, out_va
+        (m_tr, out_tr), (m_va, out_va) = evaluator(p, s, teb, veb)
+        return m_tr, m_va, out_tr, out_va
+
+    def _hist_row(out):
+        """Evaluator outputs → float32 tree for the on-device prediction
+        history buffers (keep_history in deferred mode, round 4)."""
+        return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), out)
 
     # ---- one jitted block: E epochs + eval + on-device early-stop update.
     # The host loop makes EXACTLY ONE program dispatch per block: the PRNG
@@ -201,7 +208,7 @@ def run_deferred_loop(
             key, shuffle_key = jax.random.split(es["key"])
             epoch = es["epoch"] + eval_every
             p, o, s, _ = epoch_fn(params, opt_state, state, tensors, shuffle_key)
-            m_tr, m_va, out_va = eval_full(p, s, teb, veb)
+            m_tr, m_va, out_tr, out_va = eval_full(p, s, teb, veb)
             val = _first_loss_agg(m_va, agg_name)
             best = es["best_val"]
             better = (val > best) if maximize else (val < best)
@@ -212,8 +219,9 @@ def run_deferred_loop(
                 )
 
             row = metric_row(snapshot_tree(m_tr, m_va, out_va, p, s, teb))
+            row_i = epoch // eval_every
             hist = jax.lax.dynamic_update_slice(
-                es["hist"], row[None, :], (epoch // eval_every, 0)
+                es["hist"], row[None, :], (row_i, 0)
             )
             es2 = {
                 "key": key,
@@ -226,6 +234,21 @@ def run_deferred_loop(
                 "done": es["done"],
                 "hist": hist,
             }
+            if keep_history:
+                # per-snapshot PREDICTION history rides on-device buffers
+                # (round 4): one (R, ...) tree per split, fetched with the
+                # single end-of-run readback like every other history row
+                def put_row(h, v):
+                    return jax.lax.dynamic_update_slice(
+                        h, v[None], (row_i,) + (0,) * v.ndim
+                    )
+
+                es2["ytr"] = jax.tree.map(
+                    put_row, es["ytr"], _hist_row(out_tr)
+                )
+                es2["yva"] = jax.tree.map(
+                    put_row, es["yva"], _hist_row(out_va)
+                )
             if patience is not None:
                 es2["done"] = es2["counter"] >= patience
             return p, o, s, es2
@@ -257,7 +280,7 @@ def run_deferred_loop(
     train_all = jax.jit(train_all, donate_argnums=(0, 1, 3))
 
     # ---- initial snapshot (still on device) ----
-    m_tr0, m_va0, out_va0 = eval_full(
+    m_tr0, m_va0, out_tr0, out_va0 = eval_full(
         params, state, train_eval_batch, val_eval_batch
     )
     tree0 = snapshot_tree(
@@ -290,6 +313,17 @@ def run_deferred_loop(
             (n_rows_padded, row0.shape[0]), jnp.float32
         ).at[0].set(row0),
     }
+    if keep_history:
+        def hist_buf(tree0):
+            return jax.tree.map(
+                lambda a: jnp.zeros(
+                    (n_rows_padded,) + jnp.shape(a), jnp.float32
+                ).at[0].set(a),
+                _hist_row(tree0),
+            )
+
+        es["ytr"] = hist_buf(out_tr0)
+        es["yva"] = hist_buf(out_va0)
 
     # ---- the whole run: ONE dispatch, then ONE readback ----
     import os
@@ -323,12 +357,33 @@ def run_deferred_loop(
     counter = 0
     stop_index = None  # snapshot index where the eager loop would break
     best_val = None
+    def _hist_at(tree, i, n):
+        """Row ``i`` of a fetched prediction-history tree, per-sample
+        leaves truncated to the real sample count (the eval batches are
+        padded; mirrors train._outputs_to_host/_trim)."""
+        import numpy as _np
+
+        def cut(a):
+            a = _np.asarray(a)[i]
+            if a.ndim >= 1 and n is not None and a.shape[0] >= n:
+                return a[:n]
+            return a
+
+        return jax.tree.map(cut, tree)
+
     for i in range(n_rows):
         epoch = i * eval_every
         vals = [float(v) for v in hist_np[i]]
         tree_i = jax.tree.unflatten(row_treedef, vals)
         mm_tr, mm_va = tree_i["metrics"]
-        snap = EpochSnapshot(mm_tr, mm_va)
+        if keep_history:
+            snap = EpochSnapshot(
+                mm_tr, mm_va,
+                _hist_at(fetched["ytr"], i, n_train_samples),
+                _hist_at(fetched["yva"], i, n_val_samples),
+            )
+        else:
+            snap = EpochSnapshot(mm_tr, mm_va)
         tracked_i = tree_i.get("tracked", {})
         monitored_i = tree_i.get("monitored", {})
         grads_i = tree_i.get("grads", None)

@@ -554,6 +554,47 @@ def test_engine_reason_surfaced(rbq10_model, rbq10_df):
     res = _quick(rbq10_model, rbq10_df, nepochs=1)
     assert res.engine_reason and res.engine_reason.startswith(res.epoch_path)
     assert "zero-readback" in res.engine_reason
-    res2 = _quick(rbq10_model, rbq10_df, nepochs=1, keep_history=True)
+    res2 = _quick(rbq10_model, rbq10_df, nepochs=1, show_progress=True)
     assert res2.loop_mode == "eager"
-    assert "keep_history=True" in res2.engine_reason
+    assert "show_progress=True" in res2.engine_reason
+    # keep_history no longer blocks the deferred loop (round 4): the
+    # prediction history rides on-device buffers
+    res3 = _quick(rbq10_model, rbq10_df, nepochs=2, keep_history=True)
+    assert res3.loop_mode == "deferred"
+    assert len(res3.history) == 3
+    assert res3.history[1].y_hat_val is not None
+    assert "reco" in res3.history[1].y_hat_val
+
+
+def test_deferred_keep_history_matches_eager(rbq10_model, rbq10_df):
+    """keep_history in the deferred loop (round 4) reproduces the eager
+    loop's history exactly: same scalar metrics AND the same per-snapshot
+    prediction arrays (on-device buffers vs per-epoch host fetches)."""
+    kw = dict(
+        nepochs=3, batchsize=64, keep_history=True, optimizer=("adam", 0.01),
+        monitor_names=["Q10"],
+    )
+    res_d = eh.train(rbq10_model, rbq10_df, show_progress=False, **kw)
+    res_e = eh.train(rbq10_model, rbq10_df, show_progress=True, **kw)
+    assert res_d.loop_mode == "deferred" and res_e.loop_mode == "eager"
+    assert len(res_d.history) == len(res_e.history) == 4
+    for sd, se in zip(res_d.history.snapshots, res_e.history.snapshots):
+        for (ta, ma), (tb, mb) in zip(
+            sorted(sd.l_val.items()), sorted(se.l_val.items())
+        ):
+            assert ta == tb
+            for k in ma:
+                np.testing.assert_allclose(ma[k], mb[k], rtol=1e-5)
+        assert sd.y_hat_val is not None and se.y_hat_val is not None
+        np.testing.assert_allclose(
+            np.asarray(sd.y_hat_val["reco"]),
+            np.asarray(se.y_hat_val["reco"]), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sd.y_hat_train["reco"]),
+            np.asarray(se.y_hat_train["reco"]), rtol=1e-5, atol=1e-6,
+        )
+    # monitored quantiles agree too
+    for a, b in zip(res_d.monitored["Q10"], res_e.monitored["Q10"]):
+        for q in ("q25", "q50", "q75"):
+            np.testing.assert_allclose(a[q], b[q], rtol=1e-4)
