@@ -411,8 +411,17 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
                 return False  # batch stats over (B,T): XLA path
             if logging.extra_loss is not None:
                 return False  # weight-L2 "w" key targets Dense, not gates
-            if logging.training_loss not in ("mse", "mae"):
-                return False  # rmse needs the cross-window sqrt ordering
+            kind = _fused_loss_kind(logging.training_loss)
+            if kind is None or (
+                isinstance(kind, str)
+                and kind not in ("mse", "mae", "nseLoss")
+            ):
+                # rmse / batch-statistic losses need cross-window
+                # PREDICTION moments before any cotangent exists (a
+                # two-pass restructure of the BPTT body); nseLoss's scale
+                # is target-only and ElementwiseLoss is pointwise — both
+                # fused (round 4)
+                return False
             if tensors is not None:
                 x = tensors.x
                 t_len = int(jnp.shape(x)[-2]) if jnp.ndim(x) == 4 else 0
@@ -1085,7 +1094,8 @@ def make_fused_epoch(
     k_unroll = 1 if is_lstm else max(1, int(unroll))
     if is_lstm and (
         is_multi or l2_spec is not None
-        or loss_name not in ("mse", "mae")
+        or (isinstance(loss_name, str)
+            and loss_name not in ("mse", "mae", "nseLoss"))
         or model.nn.input_batchnorm is True
     ):
         raise ValueError(
@@ -1626,16 +1636,38 @@ def make_fused_epoch(
         agg_scale = (
             1.0 / len(target_names) if agg_name == "mean" else 1.0
         )
-        # per-target masked-mean divisor spans the whole (T_out × B) window
+        # per-target elementwise loss SCALE spans the whole (T_out × B)
+        # window: masked-mean divisor (mse/mae/elementwise-mean), the
+        # target-only SST denominator (nseLoss — round 4), or agg_scale
+        # alone (elementwise-sum). Accumulations stay elementwise with ONE
+        # reduction per quantity (Mosaic fusion rule).
         inv_n = {}
         msum_all = None
         for tgt in target_names:
             m_el = None
+            y_el = None
             for tt in range(t_out_steps):
                 m_t = mask_b[tgt][tt]
                 m_el = m_t if m_el is None else m_el + m_t
+                if loss_name == "nseLoss":
+                    # y is pre-zeroed at invalid slots (loader pipeline),
+                    # so the plain sum IS the masked sum
+                    y_t = y_b[tgt][tt]
+                    y_el = y_t if y_el is None else y_el + y_t
             n = jnp.maximum(_dot11(m_el, jnp.ones_like(m_el)), 1.0)[0, 0]
-            inv_n[tgt] = agg_scale / n
+            if loss_name == "nseLoss":
+                mu = _dot11(y_el, jnp.ones_like(y_el))[0, 0] / n
+                dev_el = None
+                for tt in range(t_out_steps):
+                    d = (y_b[tgt][tt] - mu) * mask_b[tgt][tt]
+                    dd = d * d
+                    dev_el = dd if dev_el is None else dev_el + dd
+                sst = _dot11(dev_el, jnp.ones_like(dev_el))[0, 0]
+                inv_n[tgt] = agg_scale / jnp.maximum(sst, 1e-12)  # _EPS
+            elif elem_spec is not None and elem_spec.normalize != "mean":
+                inv_n[tgt] = agg_scale
+            else:
+                inv_n[tgt] = agg_scale / n
             msum_all = m_el if msum_all is None else msum_all + m_el
         total = _dot11(msum_all, jnp.ones_like(msum_all))
         valid = (total[0, 0] > 0.0).astype(jnp.float32)
@@ -1711,7 +1743,20 @@ def make_fused_epoch(
             for j, tgt in enumerate(target_names):
                 m = mask_b[tgt][tt]
                 diff = (preds[j] - y_b[tgt][tt]) * m
-                if loss_name == "mse":
+                if elem_spec is not None:
+                    # declarative elementwise loss (round 4 in the LSTM
+                    # body): same diagonal-jvp scheme as kernel_body
+                    yh_s = preds[j] * m
+                    elem, delem = jax.jvp(
+                        lambda v, _y=y_b[tgt][tt]: elem_spec.elementwise(
+                            v, _y
+                        ),
+                        (yh_s,), (jnp.ones_like(yh_s),),
+                    )
+                    term = inv_n[tgt] * elem * m
+                    cot = inv_n[tgt] * delem * m
+                elif loss_name in ("mse", "nseLoss"):
+                    # nseLoss IS mse math with the target-only SST scale
                     term = inv_n[tgt] * diff * diff
                     cot = (2.0 * inv_n[tgt]) * diff
                 else:  # mae

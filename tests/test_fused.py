@@ -1601,3 +1601,39 @@ def test_fused_batch_chunked_grid_matches_unchunked(monkeypatch, loss):
     # default (opt-in unset): chunked picks disabled, XLA wins those shapes
     monkeypatch.delenv("EASYHYBRID_FUSED_CHUNKED")
     assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 0
+
+
+@pytest.mark.parametrize("loss", ["nseLoss", "pinball"])
+def test_fused_lstm_nse_and_elementwise_losses(loss):
+    """Round-4 LSTM loss widening: nseLoss (target-only SST scale over the
+    output window) and declarative ElementwiseLoss (diagonal-jvp) match
+    the XLA scan path."""
+    import optax
+
+    model, params, state, tensors = _setup_lstm(n=700, input_window=8,
+                                                output_window=2)
+    tl = "nseLoss" if loss == "nseLoss" else eh.pinball(0.7)
+    ll = eh.LoggingLoss(training_loss=tl, loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    key = jax.random.PRNGKey(4)
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=2
+    )
+    p_f, _, _, l_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, key,
+    )
+    opt = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(model, ll, opt, shuffle=True, epochs_per_call=2)
+    p_x, _, _, l_x = xla(
+        jax.tree.map(jnp.array, params), opt.init(params),
+        jax.tree.map(jnp.array, state), tensors, key,
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    # rmse still exits the LSTM envelope (cross-window pred moments)
+    ll_r = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert not supports_fused_epoch(model, ("adam", 0.01), ll_r, tensors)
