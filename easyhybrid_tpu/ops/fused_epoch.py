@@ -411,17 +411,12 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
                 return False  # batch stats over (B,T): XLA path
             if logging.extra_loss is not None:
                 return False  # weight-L2 "w" key targets Dense, not gates
-            kind = _fused_loss_kind(logging.training_loss)
-            if kind is None or (
-                isinstance(kind, str)
-                and kind not in ("mse", "mae", "nseLoss")
-            ):
-                # rmse / batch-statistic losses need cross-window
-                # PREDICTION moments before any cotangent exists (a
-                # two-pass restructure of the BPTT body); nseLoss's scale
-                # is target-only and ElementwiseLoss is pointwise — both
-                # fused (round 4)
+            if _fused_loss_kind(logging.training_loss) is None:
                 return False
+            # round 4: the LSTM body covers the FULL loss envelope —
+            # mse/mae/nseLoss/ElementwiseLoss single-pass, rmse + the
+            # batch-statistic losses via the two-pass scheme (window
+            # prediction moments first, cotangents second)
             if tensors is not None:
                 x = tensors.x
                 t_len = int(jnp.shape(x)[-2]) if jnp.ndim(x) == 4 else 0
@@ -1094,13 +1089,11 @@ def make_fused_epoch(
     k_unroll = 1 if is_lstm else max(1, int(unroll))
     if is_lstm and (
         is_multi or l2_spec is not None
-        or (isinstance(loss_name, str)
-            and loss_name not in ("mse", "mae", "nseLoss"))
         or model.nn.input_batchnorm is True
     ):
         raise ValueError(
             "fused epoch does not support this LSTM configuration "
-            "(MultiNN branches / extra_loss / rmse / trainable BN)"
+            "(MultiNN branches / extra_loss / trainable BN)"
         )
 
     def kernel_body(
@@ -1642,6 +1635,7 @@ def make_fused_epoch(
         # alone (elementwise-sum). Accumulations stay elementwise with ONE
         # reduction per quantity (Mosaic fusion rule).
         inv_n = {}
+        n_of = {}
         msum_all = None
         for tgt in target_names:
             m_el = None
@@ -1655,6 +1649,7 @@ def make_fused_epoch(
                     y_t = y_b[tgt][tt]
                     y_el = y_t if y_el is None else y_el + y_t
             n = jnp.maximum(_dot11(m_el, jnp.ones_like(m_el)), 1.0)[0, 0]
+            n_of[tgt] = n
             if loss_name == "nseLoss":
                 mu = _dot11(y_el, jnp.ones_like(y_el))[0, 0] / n
                 dev_el = None
@@ -1689,8 +1684,12 @@ def make_fused_epoch(
 
         gglob = {g: jnp.zeros((1, 1), jnp.float32) for g in global_names}
         head_D = {}          # trailing t -> (out, B) head-output cotangent
-        loss_elem = None     # (1, B) elementwise loss, combined over t
-        for tt in range(t_out_steps):
+
+        def step_head_forward(tt):
+            """Head + physics forward at output step ``tt``: returns
+            ``(preds, tangents, dact_head, dscale snapshot)`` — shared by
+            the single-pass (elementwise) and two-pass (rmse/statistic)
+            loss paths."""
             t = T - t_out_steps + tt
             z_head = dotg(head_w, hs[t], 1, 0) + head_b  # (out, B)
             out_t, dact_head = jax.jvp(
@@ -1738,32 +1737,11 @@ def make_fused_epoch(
                 )
             if preds is None:
                 preds = mech_preds(mech_params)
+            return preds, tangents, dact_head, dict(dscale)
 
-            cots = []
-            for j, tgt in enumerate(target_names):
-                m = mask_b[tgt][tt]
-                diff = (preds[j] - y_b[tgt][tt]) * m
-                if elem_spec is not None:
-                    # declarative elementwise loss (round 4 in the LSTM
-                    # body): same diagonal-jvp scheme as kernel_body
-                    yh_s = preds[j] * m
-                    elem, delem = jax.jvp(
-                        lambda v, _y=y_b[tgt][tt]: elem_spec.elementwise(
-                            v, _y
-                        ),
-                        (yh_s,), (jnp.ones_like(yh_s),),
-                    )
-                    term = inv_n[tgt] * elem * m
-                    cot = inv_n[tgt] * delem * m
-                elif loss_name in ("mse", "nseLoss"):
-                    # nseLoss IS mse math with the target-only SST scale
-                    term = inv_n[tgt] * diff * diff
-                    cot = (2.0 * inv_n[tgt]) * diff
-                else:  # mae
-                    term = inv_n[tgt] * jnp.abs(diff)
-                    cot = inv_n[tgt] * jnp.sign(diff)
-                loss_elem = term if loss_elem is None else loss_elem + term
-                cots.append(cot)
+        def accumulate_step_grads(tt, cots, tangents, dact_head, dscale_t):
+            """Per-step cotangents → per-name grad rows → gglob/head_D."""
+            t = T - t_out_steps + tt
 
             def grad_row(name):
                 row = None
@@ -1776,20 +1754,167 @@ def make_fused_epoch(
 
             for g in global_names:
                 gg = _rowsum(grad_row(g), ones_b1)  # (1, 1)
-                gglob[g] = gglob[g] + gg * dscale[g]
+                gglob[g] = gglob[g] + gg * dscale_t[g]
 
             gcols = []
             for name in neural_names:
                 row = grad_row(name)
-                if dscale[name] is not None:
-                    row = row * dscale[name]
+                if dscale_t[name] is not None:
+                    row = row * dscale_t[name]
                 gcols.append(row)
             D_out = (
                 jnp.concatenate(gcols, axis=0) if len(gcols) > 1 else gcols[0]
             )
             head_D[t] = D_out * dact_head  # chain the head activation
 
-        batch_loss = _dot11(loss_elem, jnp.ones_like(loss_elem))[0, 0]
+        two_pass = loss_name == "rmse" or loss_name in _STAT_LOSSES
+        if not two_pass:
+            loss_elem = None     # (1, B) elementwise loss, combined over t
+            for tt in range(t_out_steps):
+                preds, tangents, dact_head, dscale_t = step_head_forward(tt)
+                cots = []
+                for j, tgt in enumerate(target_names):
+                    m = mask_b[tgt][tt]
+                    diff = (preds[j] - y_b[tgt][tt]) * m
+                    if elem_spec is not None:
+                        # declarative elementwise loss (round 4 in the
+                        # LSTM body): same diagonal-jvp scheme as
+                        # kernel_body
+                        yh_s = preds[j] * m
+                        elem, delem = jax.jvp(
+                            lambda v, _y=y_b[tgt][tt]:
+                                elem_spec.elementwise(v, _y),
+                            (yh_s,), (jnp.ones_like(yh_s),),
+                        )
+                        term = inv_n[tgt] * elem * m
+                        cot = inv_n[tgt] * delem * m
+                    elif loss_name in ("mse", "nseLoss"):
+                        # nseLoss IS mse math with the target-only SST
+                        # scale
+                        term = inv_n[tgt] * diff * diff
+                        cot = (2.0 * inv_n[tgt]) * diff
+                    else:  # mae
+                        term = inv_n[tgt] * jnp.abs(diff)
+                        cot = inv_n[tgt] * jnp.sign(diff)
+                    loss_elem = (
+                        term if loss_elem is None else loss_elem + term
+                    )
+                    cots.append(cot)
+                accumulate_step_grads(tt, cots, tangents, dact_head, dscale_t)
+            batch_loss = _dot11(loss_elem, jnp.ones_like(loss_elem))[0, 0]
+        else:
+            # ---- TWO-PASS losses (round 4): rmse + batch-statistic ------
+            # The cotangent needs window-wide PREDICTION moments, which do
+            # not exist until every output step's forward has run. Pass A
+            # stores each step's (preds, tangents, dact, dscale); the
+            # window statistics then reduce ONCE per quantity (elementwise
+            # accumulation over steps — Mosaic fusion rule); pass B turns
+            # stored values + scalar partials into per-step cotangents and
+            # the usual grad accumulation.
+            stored = [step_head_forward(tt) for tt in range(t_out_steps)]
+            scalar_terms: List[Any] = []
+            cot_info: Dict[str, Any] = {}
+            for j, tgt in enumerate(target_names):
+                n = n_of[tgt]
+                if loss_name == "rmse":
+                    sse_el = None
+                    for tt in range(t_out_steps):
+                        d = (
+                            stored[tt][0][j] - y_b[tgt][tt]
+                        ) * mask_b[tgt][tt]
+                        dd = d * d
+                        sse_el = dd if sse_el is None else sse_el + dd
+                    mse_t = _dot11(sse_el, jnp.ones_like(sse_el))[0, 0] / n
+                    r = jnp.sqrt(mse_t)
+                    scalar_terms.append(agg_scale * r)
+                    # max() only guards the all-masked window (discarded by
+                    # the validity gate anyway)
+                    cot_info[tgt] = (
+                        "rmse",
+                        agg_scale / (n * jnp.maximum(r, 1e-30)),
+                    )
+                else:
+                    # batch-statistic losses over the (T_out, B) window:
+                    # same centered sufficient statistics + scalar jvp
+                    # partials as kernel_body (losses/metrics.py math)
+                    sh_el = sy_el = None
+                    for tt in range(t_out_steps):
+                        m = mask_b[tgt][tt]
+                        yh_s = stored[tt][0][j] * m
+                        y_t = y_b[tgt][tt]  # pre-zeroed at invalid slots
+                        sh_el = yh_s if sh_el is None else sh_el + yh_s
+                        sy_el = y_t if sy_el is None else sy_el + y_t
+                    mu_h = _dot11(sh_el, jnp.ones_like(sh_el))[0, 0] / n
+                    mu_y = _dot11(sy_el, jnp.ones_like(sy_el))[0, 0] / n
+                    shh_el = syy_el = chy_el = None
+                    for tt in range(t_out_steps):
+                        m = mask_b[tgt][tt]
+                        dh = (stored[tt][0][j] * m - mu_h) * m
+                        dy = (y_b[tgt][tt] - mu_y) * m
+                        hh, yy, hy = dh * dh, dy * dy, dh * dy
+                        shh_el = hh if shh_el is None else shh_el + hh
+                        syy_el = yy if syy_el is None else syy_el + yy
+                        chy_el = hy if chy_el is None else chy_el + hy
+                    shh = _dot11(shh_el, jnp.ones_like(shh_el))[0, 0]
+                    syy = _dot11(syy_el, jnp.ones_like(syy_el))[0, 0]
+                    c_hy = _dot11(chy_el, jnp.ones_like(chy_el))[0, 0]
+
+                    def g_fn(mu_h_, shh_, c_, _ln=loss_name, _syy=syy,
+                             _mu_y=mu_y, _n=n):
+                        r_ = c_ / jnp.maximum(
+                            jnp.sqrt(shh_ * _syy), 1e-12
+                        )
+                        if _ln == "pearsonLoss":
+                            return 1.0 - r_
+                        b_ = mu_h_ / _mu_y  # _beta (unguarded, as metrics)
+                        if _ln == "pbkgeLoss":
+                            return jnp.sqrt(
+                                (r_ - 1.0) * (r_ - 1.0)
+                                + (b_ - 1.0) * (b_ - 1.0)
+                            )
+                        nm1 = jnp.maximum(_n - 1.0, 1.0)  # masked_std ddof=1
+                        a_ = jnp.sqrt(shh_ / nm1) / jnp.maximum(
+                            jnp.sqrt(_syy / nm1), 1e-12
+                        )
+                        return jnp.sqrt(
+                            (r_ - 1.0) * (r_ - 1.0)
+                            + (a_ - 1.0) * (a_ - 1.0)
+                            + (b_ - 1.0) * (b_ - 1.0)
+                        )
+
+                    one = jnp.ones_like(mu_h)
+                    zero = jnp.zeros_like(mu_h)
+                    val, d_mu = jax.jvp(
+                        g_fn, (mu_h, shh, c_hy), (one, zero, zero)
+                    )
+                    _, d_shh = jax.jvp(
+                        g_fn, (mu_h, shh, c_hy), (zero, one, zero)
+                    )
+                    _, d_c = jax.jvp(
+                        g_fn, (mu_h, shh, c_hy), (zero, zero, one)
+                    )
+                    scalar_terms.append(agg_scale * val)
+                    cot_info[tgt] = ("stat", (d_mu, d_shh, d_c, mu_h, mu_y, n))
+            for tt in range(t_out_steps):
+                preds, tangents, dact_head, dscale_t = stored[tt]
+                cots = []
+                for j, tgt in enumerate(target_names):
+                    m = mask_b[tgt][tt]
+                    kind_t, info = cot_info[tgt]
+                    if kind_t == "rmse":
+                        cots.append(info * (preds[j] - y_b[tgt][tt]) * m)
+                    else:
+                        d_mu, d_shh, d_c, mu_h, mu_y, n = info
+                        dh = (preds[j] * m - mu_h) * m
+                        dy = (y_b[tgt][tt] - mu_y) * m
+                        cots.append(agg_scale * (
+                            d_mu * (m / n) + (2.0 * d_shh) * dh + d_c * dy
+                        ))
+                accumulate_step_grads(tt, cots, tangents, dact_head, dscale_t)
+            bl = scalar_terms[0]
+            for sterm in scalar_terms[1:]:
+                bl = bl + sterm  # scalar adds post-reduction
+            batch_loss = bl
 
         # ---- backward-through-time --------------------------------------
         gHw = jnp.zeros_like(head_w)

@@ -291,6 +291,10 @@ def _train_second_order(
         ),
         epoch_path="second_order",
         loop_mode="eager",
+        engine_reason=(
+            "second_order: second-order optimizer requested "
+            "(linesearch solvers run the eager full/minibatch driver)"
+        ),
     )
 
 

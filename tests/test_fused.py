@@ -860,9 +860,9 @@ def test_fused_lstm_envelope():
     model, params, state, tensors = _setup_lstm()
     ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
     assert supports_fused_epoch(model, ("adam", 0.01), ll)
-    # rmse needs the cross-window sqrt: XLA path
+    # rmse joined via the round-4 two-pass scheme
     rmse = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
-    assert not supports_fused_epoch(model, ("adam", 0.01), rmse)
+    assert supports_fused_epoch(model, ("adam", 0.01), rmse)
     # weight-L2 extra loss targets Dense "w" keys: XLA path
     assert not supports_fused_epoch(
         model, ("adam", 0.01),
@@ -1634,6 +1634,39 @@ def test_fused_lstm_nse_and_elementwise_losses(loss):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
     np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
-    # rmse still exits the LSTM envelope (cross-window pred moments)
+    # rmse + batch-statistic losses joined via the two-pass scheme
     ll_r = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
-    assert not supports_fused_epoch(model, ("adam", 0.01), ll_r, tensors)
+    assert supports_fused_epoch(model, ("adam", 0.01), ll_r, tensors)
+
+
+@pytest.mark.parametrize("loss", ["rmse", "pearsonLoss", "kgeLoss", "pbkgeLoss"])
+def test_fused_lstm_two_pass_losses(loss):
+    """Round-4 two-pass LSTM losses: rmse and the batch-statistic losses
+    need window-wide PREDICTION moments before any cotangent exists — pass
+    A stores each output step's forward, pass B applies the scalar
+    partials. Must match the XLA scan path."""
+    import optax
+
+    model, params, state, tensors = _setup_lstm(n=700, input_window=8,
+                                                output_window=2)
+    ll = eh.LoggingLoss(training_loss=loss, loss_types=("mse",))
+    assert supports_fused_epoch(model, ("adam", 0.01), ll, tensors)
+    key = jax.random.PRNGKey(6)
+    fused = make_fused_epoch(
+        model, state, ("adam", 0.01), ll, shuffle=True, epochs_per_call=2
+    )
+    p_f, _, _, l_f = fused(
+        jax.tree.map(jnp.array, params), init_fused_opt_state(params),
+        state, tensors, key,
+    )
+    opt = optax.flatten(optax.adam(0.01))
+    xla = make_train_epoch(model, ll, opt, shuffle=True, epochs_per_call=2)
+    p_x, _, _, l_x = xla(
+        jax.tree.map(jnp.array, params), opt.init(params),
+        jax.tree.map(jnp.array, state), tensors, key,
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
