@@ -557,12 +557,17 @@ def bench_inference() -> float:
     marginal = (e_big_p - e_small_p) * n / dd
     # error bar: the marginal is a DIFFERENCE of two tunnel-dominated
     # timings, so report min/max over all per-rep pairings (same spread
-    # convention as the training rows' steps_per_s_spread)
+    # convention as the training rows' steps_per_s_spread). Non-positive
+    # pairings (a big-pass rep faster than a small-pass rep — pure
+    # dispatch jitter) are DROPPED, not clamped: a clamp would report an
+    # absurd ~5e17 rows/s spread max, the exact fiction this block's
+    # pass counts were raised to avoid.
     pair_rates = [
-        (e_big_p - e_small_p) * n / max(tb - tsm, 1e-9)
+        (e_big_p - e_small_p) * n / (tb - tsm)
         for tb in ts_big
         for tsm in ts_small
-    ]
+        if tb - tsm > 0
+    ] or [marginal]
     # analytic roofline sanity bound: dense fwd MACs of MLP [16,16] on 2
     # features + 1 output = 304 MACs → 608 FLOPs/row; the MXU-peak row
     # rate bounds any honest rows/s claim from above

@@ -237,6 +237,36 @@ _STAT_LOSSES = ("pearsonLoss", "kgeLoss", "pbkgeLoss")
 _FUSED_LOSSES = ("mse", "mae", "rmse", "nseLoss") + _STAT_LOSSES
 
 
+def make_stat_loss_g(loss_name: str, syy, mu_y, n):
+    """Batch-statistic loss value as a scalar function of the masked
+    PREDICTION moments ``(mu_h, Shh, C)`` — written EXACTLY as
+    losses/metrics.py (same clamps, _EPS, ddof=1) so its value AND implied
+    gradient match the XLA path. One definition shared by the MLP body and
+    the LSTM two-pass body (three forward-jvp seeds give the partials);
+    the target-only moments (Syy, mu_y, n) close over as constants."""
+
+    def g(mu_h_, shh_, c_):
+        # masked_corr: cov / max(sqrt(Shh·Syy), _EPS)
+        r = c_ / jnp.maximum(jnp.sqrt(shh_ * syy), 1e-12)
+        if loss_name == "pearsonLoss":
+            return 1.0 - r
+        b = mu_h_ / mu_y  # _beta (unguarded, as in metrics)
+        if loss_name == "pbkgeLoss":
+            return jnp.sqrt(
+                (r - 1.0) * (r - 1.0) + (b - 1.0) * (b - 1.0)
+            )
+        nm1 = jnp.maximum(n - 1.0, 1.0)  # masked_std ddof=1
+        a = jnp.sqrt(shh_ / nm1) / jnp.maximum(
+            jnp.sqrt(syy / nm1), 1e-12
+        )
+        return jnp.sqrt(
+            (r - 1.0) * (r - 1.0) + (a - 1.0) * (a - 1.0)
+            + (b - 1.0) * (b - 1.0)
+        )
+
+    return g
+
+
 def _fused_loss_kind(training_loss):
     """Normalize a training-loss spec to what the kernel understands:
     one of the ``_FUSED_LOSSES`` strings, an :class:`ElementwiseLoss`
@@ -1268,25 +1298,7 @@ def make_fused_epoch(
                 syy = _dot11(dy, dy)
                 c_hy = _dot11(dh, dy)
 
-                def g(mu_h_, shh_, c_, _ln=loss_name, _syy=syy,
-                      _mu_y=mu_y, _n=n):
-                    # masked_corr: cov / max(sqrt(Shh·Syy), _EPS)
-                    r = c_ / jnp.maximum(jnp.sqrt(shh_ * _syy), 1e-12)
-                    if _ln == "pearsonLoss":
-                        return 1.0 - r
-                    b = mu_h_ / _mu_y  # _beta (unguarded, as in metrics)
-                    if _ln == "pbkgeLoss":
-                        return jnp.sqrt(
-                            (r - 1.0) * (r - 1.0) + (b - 1.0) * (b - 1.0)
-                        )
-                    nm1 = jnp.maximum(_n - 1.0, 1.0)  # masked_std ddof=1
-                    a = jnp.sqrt(shh_ / nm1) / jnp.maximum(
-                        jnp.sqrt(_syy / nm1), 1e-12
-                    )
-                    return jnp.sqrt(
-                        (r - 1.0) * (r - 1.0) + (a - 1.0) * (a - 1.0)
-                        + (b - 1.0) * (b - 1.0)
-                    )
+                g = make_stat_loss_g(loss_name, syy, mu_y, n)
 
                 one = jnp.ones_like(mu_h)
                 zero = jnp.zeros_like(mu_h)
@@ -1859,28 +1871,7 @@ def make_fused_epoch(
                     syy = _dot11(syy_el, jnp.ones_like(syy_el))[0, 0]
                     c_hy = _dot11(chy_el, jnp.ones_like(chy_el))[0, 0]
 
-                    def g_fn(mu_h_, shh_, c_, _ln=loss_name, _syy=syy,
-                             _mu_y=mu_y, _n=n):
-                        r_ = c_ / jnp.maximum(
-                            jnp.sqrt(shh_ * _syy), 1e-12
-                        )
-                        if _ln == "pearsonLoss":
-                            return 1.0 - r_
-                        b_ = mu_h_ / _mu_y  # _beta (unguarded, as metrics)
-                        if _ln == "pbkgeLoss":
-                            return jnp.sqrt(
-                                (r_ - 1.0) * (r_ - 1.0)
-                                + (b_ - 1.0) * (b_ - 1.0)
-                            )
-                        nm1 = jnp.maximum(_n - 1.0, 1.0)  # masked_std ddof=1
-                        a_ = jnp.sqrt(shh_ / nm1) / jnp.maximum(
-                            jnp.sqrt(_syy / nm1), 1e-12
-                        )
-                        return jnp.sqrt(
-                            (r_ - 1.0) * (r_ - 1.0)
-                            + (a_ - 1.0) * (a_ - 1.0)
-                            + (b_ - 1.0) * (b_ - 1.0)
-                        )
+                    g_fn = make_stat_loss_g(loss_name, syy, mu_y, n)
 
                     one = jnp.ones_like(mu_h)
                     zero = jnp.zeros_like(mu_h)

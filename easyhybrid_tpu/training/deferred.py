@@ -52,12 +52,25 @@ __all__ = ["can_defer", "defer_blockers", "run_deferred_loop"]
 log = logging.getLogger("easyhybrid_tpu")
 
 
-def defer_blockers(cfg) -> tuple:
+def history_rows_padded(cfg) -> int:
+    """Rows the deferred loop's on-device history buffers actually
+    allocate: snapshots padded up to a power-of-two bucket (so epoch-count
+    changes share compiled executables — see ``run_deferred_loop``)."""
+    n_rows = cfg.nepochs // max(1, int(cfg.eval_every)) + 1
+    return max(16, 1 << (n_rows - 1).bit_length())
+
+
+def defer_blockers(cfg, n_samples: Optional[int] = None) -> tuple:
     """Config flags that force the eager (readback) loop, by name — empty
     when the run can defer. ``train()`` surfaces these to the user (one
     info-level line + ``TrainResults.engine_reason``) so a quick-start run
     with ``plotting=True`` knows WHY it pays the readback dispatch regime
-    (VERDICT r3 weak-item 7)."""
+    (VERDICT r3 weak-item 7).
+
+    ``n_samples`` (train + val sample count, when known) additionally
+    bounds deferred ``keep_history``: its prediction history lives in HBM
+    buffers of ``history_rows_padded(cfg)`` rows per output leaf; past
+    ~1 GB per leaf (f32) the eager loop's host memory is the safer home."""
     blockers = []
     if cfg.show_progress:
         blockers.append("show_progress=True")
@@ -65,10 +78,19 @@ def defer_blockers(cfg) -> tuple:
         blockers.append("plotting=True")
     if not cfg.jit:
         blockers.append("jit=False")
+    if (
+        cfg.keep_history
+        and n_samples is not None
+        and n_samples * history_rows_padded(cfg) > 250_000_000
+    ):
+        blockers.append(
+            "keep_history=True with a prediction history too large for "
+            "on-device buffers"
+        )
     return tuple(blockers)
 
 
-def can_defer(cfg) -> bool:
+def can_defer(cfg, n_samples: Optional[int] = None) -> bool:
     """True when no consumer needs mid-run host values, so the whole run can
     dispatch without a single device→host readback.
 
@@ -77,9 +99,10 @@ def can_defer(cfg) -> bool:
     ride the on-device history row, per-snapshot prediction arrays ride
     on-device history BUFFERS fetched once at the end, and files are
     written post-hoc. ``show_progress``/``plotting`` stream to the user
-    mid-run — those still need the eager loop (see :func:`defer_blockers`).
+    mid-run — those still need the eager loop (see :func:`defer_blockers`;
+    pass ``n_samples`` for the keep_history size bound).
     """
-    return not defer_blockers(cfg)
+    return not defer_blockers(cfg, n_samples)
 
 
 def _first_loss_agg(metrics, agg_name: str):
@@ -294,7 +317,8 @@ def run_deferred_loop(
     # boundary, so different epoch counts share one compiled executable
     # (rows past the run stay zero and are never read)
     n_rows = cfg.nepochs // eval_every + 1
-    n_rows_padded = max(16, 1 << (n_rows - 1).bit_length())
+    n_rows_padded = history_rows_padded(cfg)  # one source of truth with
+    # the defer_blockers keep_history size bound
     n_iters = n_rows_padded - 1  # bucketed scan length (tail iters freeze)
     row0 = metric_row(tree0)
     # deep-copy: es.best_params must not alias params, which the first block

@@ -11,6 +11,7 @@ arbitrarily large inputs.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -20,6 +21,14 @@ import numpy as np
 from ..data.prepare import prepare_data
 
 __all__ = ["make_inference_fn", "predict", "ensemble_predict"]
+
+# jitted forwards cached per MODEL via weak references: repeat calls reuse
+# the compilation, but a model the caller drops releases its jitted
+# program (an lru_cache would pin up to maxsize model objects + compiled
+# executables for the process lifetime — e.g. a tune loop constructing a
+# fresh model per trial)
+_SINGLE_FORWARDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_ENSEMBLE_FORWARDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _flatten_outputs(outputs) -> Dict[str, Any]:
@@ -58,18 +67,27 @@ def make_inference_fn(model, params, state, *, batch_size: int = 1024):
     return predict_fn
 
 
-@functools.lru_cache(maxsize=32)
 def _single_forward(model):
     """One jitted single-model forward per MODEL, parameters as explicit
     arguments: repeated ``make_inference_fn``/``predict`` calls (e.g. after
     each retrain) reuse the compilation instead of re-tracing with the new
     parameters baked in as program constants."""
+    try:
+        cached = _SINGLE_FORWARDS.get(model)
+    except TypeError:  # unhashable/un-weakref-able custom model
+        cached = None
+    if cached is not None:
+        return cached
 
     @jax.jit
     def forward(params, state, x, forcing):
         outputs, _ = model.apply(params, state, (x, forcing), training=False)
         return _flatten_outputs(outputs)
 
+    try:
+        _SINGLE_FORWARDS[model] = forward
+    except TypeError:
+        pass
     return forward
 
 
@@ -116,11 +134,16 @@ def ensemble_predict(
     )
 
 
-@functools.lru_cache(maxsize=32)
 def _ensemble_forward(model):
     """One jitted ensemble forward per MODEL: repeat ``ensemble_predict``
     calls reuse the compilation; compile time and program size no longer
     grow with the member count K (parameters ride as arguments)."""
+    try:
+        cached = _ENSEMBLE_FORWARDS.get(model)
+    except TypeError:
+        cached = None
+    if cached is not None:
+        return cached
 
     @jax.jit
     def forward(stacked_params, stacked_state, x, forcing):
@@ -135,6 +158,10 @@ def _ensemble_forward(model):
             flat[k + "_std"] = jnp.std(v, axis=0)
         return flat
 
+    try:
+        _ENSEMBLE_FORWARDS[model] = forward
+    except TypeError:
+        pass
     return forward
 
 

@@ -52,6 +52,50 @@ log = logging.getLogger("easyhybrid_tpu")
 _SELFCHECK_VERDICTS: Dict[Any, bool] = {}
 
 
+def _fused_backend_blocked() -> Optional[str]:
+    """Shared env/backend gate for the fused population engines (the same
+    contract as train(): ``EASYHYBRID_PALLAS=1`` skips the backend gate but
+    NOT the exactness gates; ``=0`` disables). Returns the fallback reason,
+    or None when the gate passes."""
+    import os
+
+    env = os.environ.get("EASYHYBRID_PALLAS")
+    if env == "0":
+        return "EASYHYBRID_PALLAS=0"
+    if jax.default_backend() != "tpu" and env != "1":
+        return (
+            f"backend is {jax.default_backend()!r}, not tpu "
+            "(EASYHYBRID_PALLAS=1 overrides)"
+        )
+    return None
+
+
+def _memoized_selfcheck(model, gate_params, spec, logging_loss, gate_tensors,
+                        *, eval_every, shuffle, extra, run) -> bool:
+    """Per-process memoization of a vmapped-kernel self-check verdict,
+    keyed like the exactness-gate disk cache plus ``extra`` (the vmap
+    layout / sweep extremes) — repeat population calls (tune loops) skip
+    the extra launches."""
+    from ..ops.fused_epoch import _gate_cache_key
+
+    try:
+        sc_key = (
+            _gate_cache_key(
+                model, gate_params, spec, logging_loss, gate_tensors,
+                epochs_per_call=eval_every, shuffle=shuffle,
+            ),
+            extra,
+        )
+    except Exception:
+        sc_key = None
+    verdict = _SELFCHECK_VERDICTS.get(sc_key) if sc_key is not None else None
+    if verdict is None:
+        verdict = run()
+        if sc_key is not None:
+            _SELFCHECK_VERDICTS[sc_key] = verdict
+    return verdict
+
+
 @dataclasses.dataclass
 class PopulationResults:
     """Stacked results of a vmapped population run. Leading axis of every
@@ -156,16 +200,9 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
     Returns ``(epoch_fn, opt_state_init, reason)``; the first two are None
     on fallback and ``reason`` says why (recorded in
     ``PopulationResults.engine_reason``)."""
-    import os
-
-    env = os.environ.get("EASYHYBRID_PALLAS")
-    if env == "0":
-        return None, None, "EASYHYBRID_PALLAS=0"
-    if jax.default_backend() != "tpu" and env != "1":
-        return None, None, (
-            f"backend is {jax.default_backend()!r}, not tpu "
-            "(EASYHYBRID_PALLAS=1 overrides)"
-        )
+    blocked = _fused_backend_blocked()
+    if blocked is not None:
+        return None, None, blocked
     from ..ops.fused_epoch import (
         fused_exactness_check,
         init_fused_opt_state,
@@ -187,28 +224,13 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
         model, gate_state, spec, logging_loss,
         shuffle=shuffle, epochs_per_call=eval_every,
     )
-    # memoize the vmapped self-check per process per configuration (same
-    # structural key as the exactness-gate cache + the vmap layout): repeat
-    # population calls — tune loops — skip the extra launches
-    from ..ops.fused_epoch import _gate_cache_key
-
-    try:
-        sc_key = (
-            _gate_cache_key(
-                model, gate_params, spec, logging_loss, gate_tensors,
-                epochs_per_call=eval_every, shuffle=shuffle,
-            ),
-            t_axes is not None,
-        )
-    except Exception:
-        sc_key = None
-    verdict = _SELFCHECK_VERDICTS.get(sc_key) if sc_key is not None else None
-    if verdict is None:
-        verdict = _vmapped_kernel_selfcheck(
+    verdict = _memoized_selfcheck(
+        model, gate_params, spec, logging_loss, gate_tensors,
+        eval_every=eval_every, shuffle=shuffle, extra=t_axes is not None,
+        run=lambda: _vmapped_kernel_selfcheck(
             epoch_fn, spec, gate_params, gate_state, gate_tensors, t_axes
-        )
-        if sc_key is not None:
-            _SELFCHECK_VERDICTS[sc_key] = verdict
+        ),
+    )
     if not verdict:
         log.warning(
             "population%s: vmapped fused kernel failed the self-check; "
@@ -313,16 +335,9 @@ def _select_fused_sweep_engine(
 
     Returns ``(traced_fn, hyper_names, opt_state_init, reason)`` or
     ``(None, None, None, reason)``."""
-    import os
-
-    env = os.environ.get("EASYHYBRID_PALLAS")
-    if env == "0":
-        return None, None, None, "EASYHYBRID_PALLAS=0"
-    if jax.default_backend() != "tpu" and env != "1":
-        return None, None, None, (
-            f"backend is {jax.default_backend()!r}, not tpu "
-            "(EASYHYBRID_PALLAS=1 overrides)"
-        )
+    blocked = _fused_backend_blocked()
+    if blocked is not None:
+        return None, None, None, blocked
     from ..ops.fused_epoch import (
         fused_exactness_check,
         init_fused_opt_state,
@@ -369,30 +384,17 @@ def _select_fused_sweep_engine(
         )
     except ValueError as e:
         return None, None, None, f"traced-hyper kernel build refused: {e}"
-    # memoized production self-check (same keying as the seed-ensemble one,
-    # plus the sweep extremes so a different value range re-checks)
-    from ..ops.fused_epoch import _gate_cache_key
-
-    try:
-        sc_key = (
-            _gate_cache_key(
-                model, gate_params, specs[0], logging_loss, gate_tensors,
-                epochs_per_call=eval_every, shuffle=shuffle,
-            ),
-            "sweep", hyper_names, str(specs[K - 1]),
-        )
-    except Exception:
-        sc_key = None
-    verdict = _SELFCHECK_VERDICTS.get(sc_key) if sc_key is not None else None
-    if verdict is None:
-        verdict = _sweep_kernel_selfcheck(
+    verdict = _memoized_selfcheck(
+        model, gate_params, specs[0], logging_loss, gate_tensors,
+        eval_every=eval_every, shuffle=shuffle,
+        extra=("sweep", hyper_names, str(specs[K - 1])),
+        run=lambda: _sweep_kernel_selfcheck(
             traced_fn, model, gate_state, logging_loss,
             [specs[0], specs[K - 1]], hyper_names,
             gate_params, gate_tensors,
             eval_every=eval_every, shuffle=shuffle,
-        )
-        if sc_key is not None:
-            _SELFCHECK_VERDICTS[sc_key] = verdict
+        ),
+    )
     if not verdict:
         log.warning(
             "population sweep: traced-hyper fused kernel failed the "
@@ -441,10 +443,15 @@ def _sweep_kernel_selfcheck(
                 lambda a: jnp.stack([jnp.asarray(a)] * 3), t
             )
 
-        vf = jax.vmap(traced_fn, in_axes=(0, 0, 0, None, None, 0))
+        # the key is BATCHED (in_axes=0) exactly like the production sweep
+        # (vepoch wraps the hyper into the opt state, leaving the key at
+        # member axis 0): the self-check must lower the same batched
+        # program, or a batched-key miscompile would slip past it
+        vf = jax.vmap(traced_fn, in_axes=(0, 0, 0, None, 0, 0))
+        ks = jnp.stack([key, key, key])
         opt0 = init_fused_opt_state(params, extreme_specs[0])
         pv, _, _, lv = vf(
-            stack3(params), stack3(opt0), stack3(state), sub, key, hyper_mat
+            stack3(params), stack3(opt0), stack3(state), sub, ks, hyper_mat
         )
         lv = np.asarray(lv)
         for a in jax.tree.leaves(pv):

@@ -656,19 +656,9 @@ def train(
     paths = writer = stream = live = None
     monitored: Dict[str, list] = {}
     grad_history: list = []
-    blockers = list(defer_blockers(cfg))
-    if cfg.keep_history:
-        # deferred keep_history holds per-snapshot prediction buffers in
-        # HBM: (n_train+n_val) x history-rows per output leaf. Cap the
-        # per-leaf footprint at ~1 GB (f32) — past it the eager loop's
-        # host-side history is the safer home for the arrays.
-        hist_rows = cfg.nepochs // max(1, int(cfg.eval_every)) + 1
-        n_all = train_data.n_samples + val_data.n_samples
-        if n_all * hist_rows > 250_000_000:
-            blockers.append(
-                "keep_history=True with a prediction history too large "
-                "for on-device buffers"
-            )
+    blockers = defer_blockers(
+        cfg, n_samples=train_data.n_samples + val_data.n_samples
+    )
     deferred = not blockers
     loop_reason = (
         "zero-readback" if deferred
