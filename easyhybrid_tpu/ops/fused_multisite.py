@@ -49,10 +49,17 @@ delegates to the generic kernel's ``make_update_leaf``) — excluding lamb
 (``_WHOLELEAF_OPTS``: its trust ratio needs whole-leaf norms, but per-site
 leaves are split across grid chunks here) and amsgrad (``_SLOT3_OPTS``: no
 third per-site state tile). Site batching: ONE site batch per epoch
-(``batchsize >= n_sites``, the standard full-batch multisite setup);
-minibatched sites fall back to the XLA epoch because optax decays moments
-of out-of-batch parameters every step, which chunk-local updates cannot
-reproduce.
+(``batchsize >= n_sites``, the standard full-batch multisite setup), or —
+round 4 — MINIBATCHED sites when ``batchsize`` is a multiple of 128 (one
+packed row), ``shuffle_each_epoch=False`` (the VMEM-packed site-major
+parameter tiles cannot re-partition sites per epoch), the data's site
+order is the identity (``prepare_multisite_data``'s layout), and the loss
+is batch-local (everything above except rmse, whose deferred factor is
+epoch-scoped). Minibatched updates defer to each batch's last grid group
+as whole-tile per-site updates: out-of-batch packed rows carry zero
+gradients, which is EXACTLY optax's zero-grad moment decay for
+out-of-batch parameters, so parity with the XLA epoch is bit-for-bit in
+interpret mode.
 
 The loss envelope: chunk-local per-element terms whose scale depends only
 on the static targets/masks (scale precomputed XLA-side, each chunk
@@ -134,10 +141,12 @@ def _ms_loss_kind(training_loss, n_targets: int = 1):
 
 
 def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
-                             tensors=None) -> bool:
+                             tensors=None, *, shuffle: Any = False) -> bool:
     """Static support check for the multisite fused-epoch fast path.
-    ``tensors`` (when available) additionally checks the one-batch-per-epoch
-    requirement."""
+    ``tensors`` (when available) additionally checks the site-batching
+    requirements: one batch per epoch, or minibatched sites with a
+    128-multiple batch, ``shuffle=False``, identity site order, and a
+    batch-local loss (see the module docstring's envelope)."""
     from ..parallel.multisite import MultiSiteHybridModel
 
     if not isinstance(model, MultiSiteHybridModel):
@@ -175,7 +184,30 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
         # would not be the optax leaf norm — XLA path instead
         return False
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
-        return False
+        # MINIBATCHED sites (round 4): supported when each batch's site
+        # count is a whole number of 128-lane packed rows AND the loss is
+        # batch-local (per-batch scales precompute; rmse's deferred factor
+        # is epoch-scoped, not batch-scoped). Updates defer to each
+        # batch's END as whole-tile per-site updates, so out-of-batch
+        # sites get exactly optax's zero-grad moment decay.
+        if int(tensors.x.shape[-3]) % _SITE_LANES:
+            return False
+        if _fused_loss_kind(logging.training_loss) == "rmse":
+            return False
+        if shuffle is not False:
+            # the VMEM-packed site-major parameter tiles map data chunk c
+            # to packed row c statically — sites cannot re-partition into
+            # different batches per epoch
+            return False
+        sidx = tensors.forcing.get("_site_idx")
+        if sidx is not None:
+            # chunk c ↔ packed row c needs IDENTITY site order in the data
+            # (prepare_multisite_data's layout; a custom loader could
+            # reorder). One host readback of S scalars, once per train().
+            first = np.asarray(sidx)[..., 0].reshape(-1)
+            n = int(tensors.n_samples)
+            if not np.array_equal(first[:n], np.arange(n, dtype=first.dtype)):
+                return False
     return True
 
 
@@ -204,12 +236,14 @@ def make_fused_multisite_epoch(
 ):
     """Build ``fn(params, opt_state, state, tensors, key) -> (params,
     opt_state, state, mean_loss)`` — drop-in for ``make_train_epoch`` on a
-    full-site-batch :class:`MultiSiteHybridModel`, with ``opt_state`` from
+    :class:`MultiSiteHybridModel`, with ``opt_state`` from
     :func:`~easyhybrid_tpu.ops.fused_epoch.init_fused_opt_state`.
 
     With one site batch per epoch there is nothing to shuffle (the XLA
     path's sample shuffle only permutes BETWEEN batches), so any ``shuffle``
-    mode is accepted and the ``key`` is unused.
+    mode is accepted and the ``key`` is unused. MINIBATCHED sites (round 4)
+    require ``shuffle=False``: the site partition into batches is static
+    (see the module docstring's envelope).
     """
     base = model.base
     parsed = parse_opt_spec(optimizer_spec)
@@ -261,8 +295,55 @@ def make_fused_multisite_epoch(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, state_in, tensors, key):
-        del key  # one site batch per epoch: nothing to shuffle
+        del key  # site partitions are static: nothing to shuffle in-kernel
         epochs = max(1, int(epochs_per_call))
+
+        # ---- MINIBATCHED sites (round 4) ---------------------------------
+        # Several site batches per epoch generalize the one-batch design:
+        # the batched site axis FLATTENS into one contiguous axis (build_
+        # epoch_tensors batches consecutive sites, zero-padding only the
+        # last batch), so the chunk layout/packing below works verbatim;
+        # what changes is the UPDATE boundary — per-site and shared
+        # updates defer to each batch's LAST group as whole-tile updates
+        # (out-of-batch packed rows carry zero grads, so they receive
+        # exactly optax's zero-gradient moment decay), loss scales/validity
+        # stream per batch, and the step counter advances once per batch.
+        nb = int(tensors.weight.shape[0])
+        minibatch = nb > 1
+        if minibatch:
+            if shuffle is not False:
+                raise ValueError(
+                    "minibatched multisite sites need "
+                    "shuffle_each_epoch=False: the VMEM-packed site-major "
+                    "parameter tiles cannot re-partition sites per epoch"
+                )
+            if deferred_loss:
+                raise ValueError(
+                    "minibatched multisite does not support rmse (its "
+                    "deferred factor is epoch-scoped)"
+                )
+            s_b = int(tensors.x.shape[-3])
+            if s_b % _SITE_LANES:
+                raise ValueError(
+                    "minibatched multisite sites need batchsize to be a "
+                    f"multiple of {_SITE_LANES}"
+                )
+            batch_masks = {
+                t: tensors.mask[t] for t in target_names
+            }  # (nb, S_b, N) — per-batch loss scales computed below
+            from ..data.loaders import EpochTensors as _ET
+
+            def _flat(a):
+                return a.reshape((1, a.shape[0] * a.shape[1]) + a.shape[2:])
+
+            tensors = _ET(
+                x=_flat(tensors.x),
+                forcing={k: _flat(v) for k, v in tensors.forcing.items()},
+                y={k: _flat(v) for k, v in tensors.y.items()},
+                mask={k: _flat(v) for k, v in tensors.mask.items()},
+                weight=_flat(tensors.weight),
+                n_samples=tensors.n_samples,
+            )
 
         # ---- split params: shared leaves vs per-site globals -------------
         site_names = tuple(params["globals"].keys())
@@ -281,28 +362,47 @@ def make_fused_multisite_epoch(
 
         n_sites_total = int(np.prod(params["globals"][site_names[0]].shape))
         site_shapes = {g: params["globals"][g].shape for g in site_names}
-        r = -(-n_sites_total // _SITE_LANES)  # chunks (= used packed rows)
+        if minibatch:
+            # one packed row set spanning ALL batches' (padded) sites:
+            # data chunk cc maps to packed row cc directly
+            r_b = s_b // _SITE_LANES
+            r = nb * r_b
+        else:
+            r = -(-n_sites_total // _SITE_LANES)  # used packed rows
         # sub-chunk unrolling: process `unroll` 128-site chunks per grid
         # step — the per-grid-step sequencing overhead (~3 µs on this rig,
         # measured round 3) dominates the tiny-MLP FLOPs, and sub-chunks
-        # within a full-site batch are independent (shared grads just
+        # within a site batch are independent (shared grads just
         # accumulate), so unrolling amortizes it
         unroll = max(
             1, min(int(os.environ.get("EASYHYBRID_MS_UNROLL", "4")), r)
         )
+        if minibatch:
+            # a grid group must not straddle a batch boundary: shrink the
+            # unroll to a divisor of the per-batch chunk count
+            unroll = min(unroll, r_b)
+            while r_b % unroll:
+                unroll -= 1
         n_groups = -(-r // unroll)
+        n_groups_b = n_groups // nb if minibatch else n_groups
         r_eff = n_groups * unroll
-        r_pad = _ceil_to(r_eff, 8)
+        # packed tiles must hold EVERY site even when the DATA covers fewer
+        # (the exactness gate slices to 2 batches): whole-tile deferred
+        # updates at batch ends still decay the out-of-data rows exactly
+        # like optax, and the row-select only reads rows < r (the data
+        # chunks), so extra rows are update-only
+        r_rows = max(r, -(-n_sites_total // _SITE_LANES))
+        r_pad = _ceil_to(max(r_eff, r_rows), 8)
         sp_bufs = [
-            _pack_site_leaf(params["globals"][g], n_sites_total, r, r_pad)
+            _pack_site_leaf(params["globals"][g], n_sites_total, r_rows, r_pad)
             for g in site_names
         ]
         spm_bufs = [
-            _pack_site_leaf(m_tree["globals"][g], n_sites_total, r, r_pad)
+            _pack_site_leaf(m_tree["globals"][g], n_sites_total, r_rows, r_pad)
             for g in site_names
         ]
         spv_bufs = [
-            _pack_site_leaf(v_tree["globals"][g], n_sites_total, r, r_pad)
+            _pack_site_leaf(v_tree["globals"][g], n_sites_total, r_rows, r_pad)
             for g in site_names
         ]
         nsite = len(sp_bufs)
@@ -356,38 +456,60 @@ def make_fused_multisite_epoch(
         #   mse/mae, elementwise(mean):  agg_scale / max(Σ mask_j, 1)
         #   nseLoss:                     agg_scale / max(Σ (y-ȳ)²·m, eps)
         #   elementwise(sum):            agg_scale
-        counts = jnp.stack(
-            [jnp.sum(tensors.mask[t][0]) for t in target_names]
-        )
-        if loss_kind == "nseLoss":
-            # exactly losses/metrics.py::_sse_over_sst's denominator (y in
-            # tensors is pre-zeroed at invalid slots, matching _sanitize)
-            ssts = []
-            for t in target_names:
-                y2, m2 = tensors.y[t][0], tensors.mask[t][0]
-                n2 = jnp.maximum(jnp.sum(m2), 1.0)
-                mu2 = jnp.sum(y2 * m2) / n2
-                dev2 = (y2 - mu2) * m2
-                ssts.append(jnp.sum(dev2 * dev2))
-            sc = agg_scale / jnp.maximum(jnp.stack(ssts), 1e-12)  # _EPS
-        elif elem_spec is not None and elem_spec.normalize == "sum":
-            sc = jnp.full((n_targets,), agg_scale, jnp.float32)
-        elif loss_kind == "rmse":
-            # deferred scaling: chunks accumulate RAW sse / diff cotangents;
-            # the last group applies agg_scale/(n·r) with r = sqrt(sse/n)
-            sc = jnp.ones((n_targets,), jnp.float32)
+        def _batch_scale_tile(masks_b, ys_b):
+            """One (8, 128) scale/validity tile for a site batch: masks_b /
+            ys_b map target → that batch's (S_b, N) arrays."""
+            counts = jnp.stack(
+                [jnp.sum(masks_b[t]) for t in target_names]
+            )
+            if loss_kind == "nseLoss":
+                # exactly losses/metrics.py::_sse_over_sst's denominator
+                # (y pre-zeroed at invalid slots, matching _sanitize)
+                ssts = []
+                for t in target_names:
+                    y2, m2 = ys_b[t], masks_b[t]
+                    n2 = jnp.maximum(jnp.sum(m2), 1.0)
+                    mu2 = jnp.sum(y2 * m2) / n2
+                    dev2 = (y2 - mu2) * m2
+                    ssts.append(jnp.sum(dev2 * dev2))
+                sc = agg_scale / jnp.maximum(jnp.stack(ssts), 1e-12)  # _EPS
+            elif elem_spec is not None and elem_spec.normalize == "sum":
+                sc = jnp.full((n_targets,), agg_scale, jnp.float32)
+            elif loss_kind == "rmse":
+                # deferred scaling: chunks accumulate RAW sse / diff
+                # cotangents; the last group applies agg_scale/(n·r)
+                sc = jnp.ones((n_targets,), jnp.float32)
+            else:
+                sc = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
+            valid_flag = (jnp.sum(counts) > 0.0).astype(jnp.float32)
+            tile = jnp.zeros(_PAD, jnp.float32)
+            tile = jax.lax.dynamic_update_slice(
+                tile, sc.astype(jnp.float32)[None, :], (0, 0)
+            )
+            tile = tile.at[1, 0].set(valid_flag)
+            # [1, 1]: 1/n for the deferred rmse factor (single target)
+            return tile.at[1, 1].set(1.0 / jnp.maximum(counts[0], 1.0))
+
+        if minibatch:
+            # per-BATCH scales, streamed per grid group (repeat within
+            # each batch's groups)
+            tiles = jax.vmap(
+                lambda mb, yb: _batch_scale_tile(
+                    dict(zip(target_names, mb)), dict(zip(target_names, yb))
+                )
+            )(
+                jnp.stack([batch_masks[t] for t in target_names], 1),
+                jnp.stack(
+                    [tensors.y[t][0].reshape(nb, s_b, -1)
+                     for t in target_names], 1
+                ),
+            )  # (nb, 8, 128)
+            scale_stream = jnp.repeat(tiles, n_groups_b, axis=0)
         else:
-            sc = agg_scale / jnp.maximum(counts, 1.0)  # (T,)
-        valid_flag = (jnp.sum(counts) > 0.0).astype(jnp.float32)
-        scale_tile = jnp.zeros(_PAD, jnp.float32)
-        scale_tile = jax.lax.dynamic_update_slice(
-            scale_tile, sc.astype(jnp.float32)[None, :], (0, 0)
-        )
-        scale_tile = scale_tile.at[1, 0].set(valid_flag)
-        # [1, 1]: 1/n for the deferred rmse factor (single target)
-        scale_tile = scale_tile.at[1, 1].set(
-            1.0 / jnp.maximum(counts[0], 1.0)
-        )
+            scale_tile = _batch_scale_tile(
+                {t: tensors.mask[t][0] for t in target_names},
+                {t: tensors.y[t][0] for t in target_names},
+            )
 
         # ---- state buffers (same scheme as the generic kernel) -----------
         st_leaves, st_treedef = jax.tree.flatten(state_in)
@@ -441,14 +563,25 @@ def make_fused_multisite_epoch(
             acc_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]; idx += 1
-            sacc_out = refs[idx : idx + nsite] if deferred_loss else ()
+            sacc_out = (
+                refs[idx : idx + nsite]
+                if (deferred_loss or minibatch) else ()
+            )
 
             ones_m1 = jnp.ones((m_cols, 1), jnp.float32)
             e = pl.program_id(0)
             c = pl.program_id(1)        # GROUP index (unroll sub-chunks)
             first = (e + c) == 0        # very first grid step
-            chunk_start = c == 0        # first group of an epoch
-            is_last = c == (n_groups - 1)  # last group → shared update
+            chunk_start = c == 0        # first group of an EPOCH (loss reset)
+            if minibatch:
+                # update boundary = each site BATCH's last group; grad
+                # accumulators reset at its first group
+                gb = jax.lax.rem(c, n_groups_b)
+                acc_start = gb == 0
+                do_update = gb == (n_groups_b - 1)
+            else:
+                acc_start = chunk_start
+                do_update = c == (n_groups - 1)
 
             # carried buffers (rule 1: no aliasing — seed from inputs once)
             pb = [jnp.where(first, psh_in[k][...], psh_out[k][...])
@@ -466,9 +599,11 @@ def make_fused_multisite_epoch(
             vkt = [jnp.where(first, vst_in[k][...], vst_out[k][...])
                    for k in range(nsite)]
 
-            valid = scale_ref[1, 0]
+            # streamed per-batch tile (minibatch) vs the one full tile
+            scl = scale_ref[0] if minibatch else scale_ref[...]
+            valid = scl[1, 0]
             t_prev = jnp.where(first, jnp.float32(0.0), t_out[0, 0])
-            t_cur = t_prev + valid          # one optimizer step per epoch
+            t_cur = t_prev + valid          # one optimizer step per BATCH
             t_abs = t_in[0, 0] + t_cur      # absolute count for bias corr.
 
             p_shared = jax.tree.unflatten(
@@ -579,7 +714,7 @@ def make_fused_multisite_epoch(
                 for j in range(nt):
                     m = mask_ts[j]
                     diff = (preds[j] - y_ts[j]) * m
-                    sc_j = scale_ref[0, j]  # batch-wide per-target scale
+                    sc_j = scl[0, j]  # batch-wide per-target scale
                     if elem_spec is not None:
                         # declarative elementwise loss: values AND the
                         # diagonal dℓ/dŷ from one forward-mode jvp (same
@@ -636,7 +771,7 @@ def make_fused_multisite_epoch(
                     grow = (
                         jnp.sum(gts, axis=0, keepdims=True) * dscale[g]
                     )  # (1, 128)
-                    if deferred_loss:
+                    if deferred_loss or minibatch:
                         placed = jnp.where(
                             rowmask,
                             jnp.broadcast_to(grow, (r_pad, _SITE_LANES)),
@@ -695,15 +830,17 @@ def make_fused_multisite_epoch(
             # ---- write-back after the unrolled loop ----------------------
             # select (never arithmetic) against the uninitialized first read
             prev_loss = loss_out[0, 0]
-            acc_loss = jnp.where(
-                chunk_start, loss_local, loss_local + prev_loss
-            ) * valid
+            # gate the CONTRIBUTION by this batch's validity (an empty
+            # later batch must not zero earlier batches' accumulated loss);
+            # reset at epoch start
+            contrib = loss_local * valid
+            acc_loss = jnp.where(chunk_start, contrib, contrib + prev_loss)
             if deferred_loss:
                 # acc_loss carries the RAW sse; the rmse value and the
                 # gradient factor derive from it once complete (used at
                 # is_last; finite at every group, so the discarded
                 # non-last computations cannot leak NaN)
-                inv_n0 = scale_ref[1, 1]
+                inv_n0 = scl[1, 1]
                 r_val = jnp.sqrt(jnp.maximum(acc_loss * inv_n0, 0.0))
                 factor = (agg_scale * inv_n0) / (
                     2.0 * jnp.maximum(r_val, 1e-30)
@@ -720,7 +857,7 @@ def make_fused_multisite_epoch(
                 loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
 
             for k in range(nsite):
-                if deferred_loss:
+                if deferred_loss or minibatch:
                     # merge this group's per-site grads into the carried
                     # accumulator tile; whole-tile update at the last
                     # group (each site's grad lives in exactly one chunk,
@@ -730,15 +867,16 @@ def make_fused_multisite_epoch(
                     sl = sgrad_local[k]
                     sl = jnp.zeros((r_pad, _SITE_LANES), jnp.float32) if sl is None else sl
                     sacc = jnp.where(
-                        chunk_start, sl, sl + sacc_out[k][...]
+                        acc_start, sl, sl + sacc_out[k][...]
                     )
                     sacc_out[k][...] = sacc
+                    g_site = factor * sacc if deferred_loss else sacc
                     p_new, m_new, v_new = update_leaf(
-                        pkt[k], mkt[k], vkt[k], factor * sacc, valid, t_abs
+                        pkt[k], mkt[k], vkt[k], g_site, valid, t_abs
                     )
-                    pst_out[k][...] = jnp.where(is_last, p_new, pkt[k])
-                    mst_out[k][...] = jnp.where(is_last, m_new, mkt[k])
-                    vst_out[k][...] = jnp.where(is_last, v_new, vkt[k])
+                    pst_out[k][...] = jnp.where(do_update, p_new, pkt[k])
+                    mst_out[k][...] = jnp.where(do_update, m_new, mkt[k])
+                    vst_out[k][...] = jnp.where(do_update, v_new, vkt[k])
                 else:
                     pst_out[k][...] = pkt[k]
                     mst_out[k][...] = mkt[k]
@@ -750,20 +888,20 @@ def make_fused_multisite_epoch(
             for k in range(npar):
                 g_pad = acc_local[k]
                 acc = jnp.where(
-                    chunk_start, g_pad, g_pad + acc_out[k][...]
+                    acc_start, g_pad, g_pad + acc_out[k][...]
                 )
                 acc_out[k][...] = acc
                 g_upd = factor * acc if deferred_loss else acc
                 p_new, m_new, v_new = update_leaf(
                     pb[k], mb[k], vb[k], g_upd, valid, t_abs
                 )
-                psh_out[k][...] = jnp.where(is_last, p_new, pb[k])
-                msh_out[k][...] = jnp.where(is_last, m_new, mb[k])
-                vsh_out[k][...] = jnp.where(is_last, v_new, vb[k])
+                psh_out[k][...] = jnp.where(do_update, p_new, pb[k])
+                msh_out[k][...] = jnp.where(do_update, m_new, mb[k])
+                vsh_out[k][...] = jnp.where(do_update, v_new, vb[k])
 
             # t: hold t_prev through the epoch, commit t_cur at last chunk
             t_out[...] = jnp.zeros(_PAD, jnp.float32) + jnp.where(
-                is_last, t_cur, t_prev
+                do_update, t_cur, t_prev
             )
 
         def full_spec(shape):
@@ -785,13 +923,13 @@ def make_fused_multisite_epoch(
             + [chunk_spec(a) for a in forcing_chunks]
             + [chunk_spec(a) for a in y_chunks]
             + [chunk_spec(a) for a in mask_chunks]
-            + [full_spec(_PAD)]
+            + [chunk_spec(scale_stream) if minibatch else full_spec(_PAD)]
             + [full_spec(tuple(s.shape)) for s in st_bufs]
             + [full_spec(s) for s in buf_shapes] * 3
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
             + [full_spec(_PAD)]
         )
-        n_sacc = nsite if deferred_loss else 0
+        n_sacc = nsite if (deferred_loss or minibatch) else 0
         out_specs = (
             [full_spec(s) for s in buf_shapes] * 3
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
@@ -817,7 +955,8 @@ def make_fused_multisite_epoch(
             out_shape=out_shape,
             interpret=interpret,
         )(
-            x_chunks, *forcing_chunks, *y_chunks, *mask_chunks, scale_tile,
+            x_chunks, *forcing_chunks, *y_chunks, *mask_chunks,
+            scale_stream if minibatch else scale_tile,
             *st_bufs, *sh_bufs, *shm_bufs, *shv_bufs,
             *sp_bufs, *spm_bufs, *spv_bufs, t_base_tile,
         )
@@ -855,6 +994,8 @@ def make_fused_multisite_epoch(
         # deferred rmse stores the raw sse at row 0 and the finished rmse
         # value at row 1 (the last group's transform)
         final_loss = loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]
+        if minibatch:
+            final_loss = final_loss / nb  # mean over batches (XLA parity)
         return new_params, new_opt_state, state_in, final_loss
 
     return epoch_fn

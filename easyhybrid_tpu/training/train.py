@@ -423,7 +423,8 @@ def train(
 
         forced = use_pallas is True
         is_multisite_fused = supports_fused_multisite(
-            model, cfg.optimizer, logging_loss, train_tensors
+            model, cfg.optimizer, logging_loss, train_tensors,
+            shuffle=cfg.shuffle_each_epoch,
         )
         if not (forced or jax.default_backend() == "tpu"):
             engine_reason = (
@@ -449,10 +450,23 @@ def train(
             )
             or is_multisite_fused
         ):
-            engine_reason = (
-                "model/optimizer/loss outside the fused-kernel envelope "
-                "(supports_fused_epoch)"
-            )
+            if supports_fused_multisite(
+                model, cfg.optimizer, logging_loss, train_tensors,
+                shuffle=False,
+            ):
+                # only the shuffle mode disqualified the multisite kernel:
+                # tell the user the one flag that unlocks it
+                engine_reason = (
+                    "minibatched multisite with shuffle_each_epoch="
+                    f"{cfg.shuffle_each_epoch!r}: the fused multisite "
+                    "kernel needs shuffle_each_epoch=False (static site "
+                    "partition)"
+                )
+            else:
+                engine_reason = (
+                    "model/optimizer/loss outside the fused-kernel envelope "
+                    "(supports_fused_epoch)"
+                )
         candidate = engine_reason is None
         if candidate:
             ok, gdiff = fused_exactness_check(

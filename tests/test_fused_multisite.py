@@ -27,7 +27,8 @@ def _rbq10(*, ta, rb, Q10, tref=15.0):
     return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
 
 
-def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8)):
+def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8), batchsize=None,
+          site_idx=False):
     base = eh.construct_hybrid_model(
         predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
         mechanistic_model=_rbq10,
@@ -41,13 +42,22 @@ def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8)):
     y = (2 + rng.random((S, N))).astype(np.float32)
     if nan_frac:
         y[rng.random((S, N)) < nan_frac] = np.nan
+    forcing = {"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)}
+    if site_idx:
+        # identity per-site selector, as prepare_multisite_data lays it out
+        # (needed by the XLA path whenever sites are minibatched)
+        forcing["_site_idx"] = np.broadcast_to(
+            np.arange(S, dtype=np.float32)[:, None], (S, N)
+        ).copy()
     data = HybridData(
         x=rng.random((S, N, 2)).astype(np.float32),
-        forcing={"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)},
+        forcing=forcing,
         y={"reco": y},
     )
     params, state = model.init(jax.random.PRNGKey(3))
-    tensors = jax.tree.map(jnp.asarray, build_epoch_tensors(data, S))
+    tensors = jax.tree.map(
+        jnp.asarray, build_epoch_tensors(data, batchsize or S)
+    )
     return model, params, state, tensors
 
 
@@ -185,7 +195,9 @@ def test_multisite_supports_envelope():
     model, params, state, tensors = _make(S=64, N=4)
     logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
     assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
-    # minibatched sites -> chunk-local updates cannot match optax: reject
+    # minibatched sites with a batch NOT a multiple of 128 lanes: reject
+    # (128-multiple minibatches joined the envelope in round 4 — see
+    # test_multisite_minibatch_envelope)
     from easyhybrid_tpu.data.prepare import HybridData
 
     small = jax.tree.map(jnp.asarray, build_epoch_tensors(
@@ -366,6 +378,195 @@ def test_multisite_fused_rmse_deferred_matches_xla(agg):
             err_msg=str(path),
         )
     assert int(o_f["t"][0]) == epochs
+
+
+def _xla_multisite(model, logging, opt, epochs, params, state, tensors):
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    optimizer = optax.flatten(resolve_optimizer(opt))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=False, epochs_per_call=epochs
+    )
+    return xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(0),
+    )
+
+
+def _assert_trees_close(p_f, p_x):
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_f)[0],
+        jax.tree_util.tree_flatten_with_path(p_x)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=str(path),
+        )
+
+
+@pytest.mark.parametrize(
+    "S,batchsize,opt,loss,agg",
+    [
+        (256, 128, ("adam", 0.01), "mse", "sum"),     # nb=2, r_b=1, exact
+        (300, 128, ("adam", 0.01), "mse", "mean"),    # nb=3, padded tail batch
+        (256, 128, ("sgd", 0.05), "nseLoss", "sum"),  # per-batch SST scales
+        (512, 256, ("adamw", 0.01), "mse", "sum"),    # r_b=2: multi-chunk batch
+        (256, 128, ("lion", 0.003), "mae", "mean"),   # two-slot optimizer
+    ],
+)
+def test_multisite_fused_minibatch_matches_xla(S, batchsize, opt, loss, agg):
+    """MINIBATCHED sites (round 4): several site batches per epoch run the
+    kernel with per-batch deferred whole-tile updates — out-of-batch packed
+    rows carry zero grads, i.e. exactly optax's zero-grad moment decay —
+    and must match the XLA scan epoch (which sees the same static batch
+    partition under shuffle=False, gathering params via _site_idx)."""
+    model, params, state, tensors = _make(
+        S=S, N=8, batchsize=batchsize, site_idx=True
+    )
+    logging = LoggingLoss(training_loss=loss, loss_types=(loss,), agg=agg)
+    nb = int(tensors.weight.shape[0])
+    assert nb > 1
+    assert supports_fused_multisite(model, opt, logging, tensors)
+
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, opt, logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, opt, epochs, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+    # one optimizer step per site batch
+    assert int(o_f["t"][0]) == epochs * nb
+
+
+def test_multisite_fused_minibatch_empty_batch_guard():
+    """A fully-masked site batch must not step the optimizer, zero earlier
+    batches' loss contributions, or decay moments — parity with the XLA
+    epoch's empty-batch guard (epoch.jl:35-37 analog)."""
+    model, params, state, tensors = _make(
+        S=256, N=8, nan_frac=0.0, batchsize=128, site_idx=True
+    )
+    # mask out EVERY target in the second site batch (sites 128..255)
+    mask = {k: np.array(v) for k, v in tensors.mask.items()}
+    for k in mask:
+        mask[k][1] = 0.0
+    from easyhybrid_tpu.data.loaders import EpochTensors
+
+    tensors = EpochTensors(
+        x=tensors.x, forcing=tensors.forcing, y=tensors.y,
+        mask=jax.tree.map(jnp.asarray, mask), weight=tensors.weight,
+        n_samples=tensors.n_samples,
+    )
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    epochs = 2
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, ("adam", 0.01), epochs, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+    # the empty batch advances neither path's step counter
+    assert int(o_f["t"][0]) == epochs  # 1 valid batch × 2 epochs
+
+
+@pytest.mark.parametrize("spec_fn", [lambda: eh.pinball(0.3),
+                                     lambda: eh.huber(0.7)])
+def test_multisite_fused_minibatch_elementwise(spec_fn):
+    spec = spec_fn()
+    model, params, state, tensors = _make(
+        S=256, N=6, batchsize=128, site_idx=True
+    )
+    logging = LoggingLoss(training_loss=spec, loss_types=("mse",))
+    assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, shuffle=False,
+        epochs_per_call=2, interpret=True,
+    )
+    p_f, _, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, ("adam", 0.01), 2, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+
+
+def test_multisite_fused_minibatch_unroll_divisor(monkeypatch):
+    """EASYHYBRID_MS_UNROLL larger than / not dividing the per-batch chunk
+    count shrinks to a divisor so no grid group straddles a batch
+    boundary."""
+    monkeypatch.setenv("EASYHYBRID_MS_UNROLL", "4")
+    model, params, state, tensors = _make(
+        S=512, N=6, batchsize=256, site_idx=True
+    )  # r_b=2: unroll 4 -> 2
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    fused = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, shuffle=False,
+        epochs_per_call=2, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, ("adam", 0.01), 2, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+    assert int(o_f["t"][0]) == 4  # 2 batches × 2 epochs
+
+
+def test_multisite_minibatch_envelope():
+    """Minibatched-site envelope: 128-multiple batch + shuffle=False +
+    identity site order + batch-local loss; everything else → XLA."""
+    model, params, state, tensors = _make(
+        S=256, N=4, batchsize=128, site_idx=True
+    )
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_multisite(
+        model, ("adam", 0.01), logging, tensors, shuffle=False
+    )
+    # any shuffle mode re-partitions sites: rejected
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), logging, tensors, shuffle=True
+    )
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), logging, tensors, shuffle="batches"
+    )
+    # rmse's deferred factor is epoch-scoped: rejected for minibatches
+    rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), rmse, tensors, shuffle=False
+    )
+    # non-identity site order (custom loader): rejected
+    perm_tensors = jax.tree.map(jnp.copy, tensors)
+    sidx = np.asarray(perm_tensors.forcing["_site_idx"])
+    sidx_flat = sidx.reshape(-1, sidx.shape[-1])[::-1].reshape(sidx.shape)
+    perm_tensors.forcing["_site_idx"] = jnp.asarray(sidx_flat.copy())
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), logging, perm_tensors, shuffle=False
+    )
+    # single-batch case is indifferent to the shuffle mode
+    model1, _, _, tensors1 = _make(S=256, N=4)
+    assert supports_fused_multisite(
+        model1, ("adam", 0.01), logging, tensors1, shuffle=True
+    )
 
 
 def test_multisite_rmse_envelope_bounds():
