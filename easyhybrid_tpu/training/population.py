@@ -985,6 +985,11 @@ def population_cross_validate(
 
     enable_compilation_cache()  # see population_train
     K = int(k)
+    if K < 2:
+        raise ValueError(
+            f"population_cross_validate needs k >= 2, got k={K} "
+            "(k=1 would leave a fold's train split empty)"
+        )
     logging_loss, monitor, sign, _scalars = _monitor_setup(
         training_loss, loss_types, agg
     )

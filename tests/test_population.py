@@ -315,6 +315,16 @@ def test_population_cross_validate_matches_sequential_quality():
     assert pop.best_losses.mean() < 10 * np.mean(scores) + 1.0
 
 
+def test_population_cross_validate_rejects_k1():
+    """k=1 would leave a fold's train split empty — clear error, not a
+    ZeroDivisionError from an empty batch build."""
+    with pytest.raises(ValueError, match="k >= 2"):
+        eh.population_cross_validate(
+            _model(), eh.gen_rbq10_data(100, seed=0), k=1,
+            optimizer=("adam", 0.01), nepochs=1,
+        )
+
+
 def test_population_cross_validate_mesh():
     """Fold axis sharded over the 8-device mesh; scores match the
     unsharded CV run."""
