@@ -43,12 +43,14 @@ training loss in {mse, mae, nseLoss, rmse (single-target, round-4
 deferred-factor scheme — gate-exact on-chip at 10k sites, 3.5e-4)} or a
 declarative ``ElementwiseLoss`` (pinball/huber/…), agg in {sum, mean},
 no ``extra_loss``. Optimizers:
-every ELEMENTWISE rule ``parse_opt_spec`` accepts — adam, adamw, sgd,
+every rule ``parse_opt_spec`` accepts except amsgrad — adam, adamw, sgd,
 rmsprop, adagrad, lion, adamax, nadam, adadelta, radam (the update
-delegates to the generic kernel's ``make_update_leaf``) — excluding lamb
-(``_WHOLELEAF_OPTS``: its trust ratio needs whole-leaf norms, but per-site
-leaves are split across grid chunks here) and amsgrad (``_SLOT3_OPTS``: no
-third per-site state tile). Site batching: ONE site batch per epoch
+delegates to the generic kernel's ``make_update_leaf``), plus — round 4 —
+lamb: its per-LEAF trust ratio needs norms over the whole stacked (S, 1)
+per-site leaf, so per-site updates defer to the whole-tile path where the
+packed (R_pad, 128) tile IS the leaf and the update's f32 tile-norm dots
+compute exactly optax's leaf norms. amsgrad stays out (``_SLOT3_OPTS``:
+no third per-site state tile). Site batching: ONE site batch per epoch
 (``batchsize >= n_sites``, the standard full-batch multisite setup), or —
 round 4 — MINIBATCHED sites when ``batchsize`` is a multiple of 128 (one
 packed row), ``shuffle_each_epoch=False`` (the VMEM-packed site-major
@@ -174,15 +176,14 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     parsed_opt = parse_opt_spec(optimizer_spec)
     if parsed_opt is None:
         return False
-    from .fused_epoch import _SLOT3_OPTS, _WHOLELEAF_OPTS
+    from .fused_epoch import _SLOT3_OPTS
 
     if parsed_opt[0] in _SLOT3_OPTS:
         return False  # no third per-site state tile in this kernel
-    if parsed_opt[0] in _WHOLELEAF_OPTS:
-        # lamb's trust ratio needs whole-LEAF norms; this kernel splits a
-        # stacked per-site leaf across grid chunks, so a chunk-local norm
-        # would not be the optax leaf norm — XLA path instead
-        return False
+    # lamb (a _WHOLELEAF_OPTS rule) is supported since round 4: per-site
+    # updates defer to the whole-tile path, where the packed tile IS the
+    # stacked leaf and make_update_leaf's tile norms equal optax's leaf
+    # norms — see make_fused_multisite_epoch
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
         # MINIBATCHED sites (round 4): supported when each batch's site
         # count is a whole number of 128-lane packed rows AND the loss is
@@ -252,13 +253,12 @@ def make_fused_multisite_epoch(
             f"fused multisite epoch does not support optimizer {optimizer_spec!r}"
         )
     opt_name, hyper = parsed
-    from .fused_epoch import _WHOLELEAF_OPTS
+    from .fused_epoch import _SLOT3_OPTS
 
-    if opt_name in _WHOLELEAF_OPTS:
+    if opt_name in _SLOT3_OPTS:
         raise ValueError(
-            f"fused multisite epoch does not support {opt_name!r}: the "
-            "trust ratio needs whole-leaf norms, but per-site leaves are "
-            "split across grid chunks here"
+            f"fused multisite epoch does not support {opt_name!r}: it "
+            "needs a third per-site state tile this kernel does not carry"
         )
     update_leaf = make_update_leaf(opt_name, hyper)
     if interpret is None:
@@ -310,6 +310,14 @@ def make_fused_multisite_epoch(
         # stream per batch, and the step counter advances once per batch.
         nb = int(tensors.weight.shape[0])
         minibatch = nb > 1
+        # lamb (round 4): its per-LEAF trust ratio needs norms over the
+        # WHOLE stacked (S, 1) per-site leaf — unavailable to a chunk-local
+        # row update, but the packed (R_pad, 128) tile IS the whole leaf,
+        # so deferring per-site updates to the whole-tile path (the
+        # rmse/minibatch machinery) makes make_update_leaf's tile-wide
+        # f32 norm dots compute exactly optax's leaf norms (padding slots
+        # hold zero params/grads/moments and stay zero under lamb).
+        deferred_site = deferred_loss or minibatch or opt_name == "lamb"
         if minibatch:
             if shuffle is not False:
                 raise ValueError(
@@ -563,10 +571,7 @@ def make_fused_multisite_epoch(
             acc_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]; idx += 1
-            sacc_out = (
-                refs[idx : idx + nsite]
-                if (deferred_loss or minibatch) else ()
-            )
+            sacc_out = refs[idx : idx + nsite] if deferred_site else ()
 
             ones_m1 = jnp.ones((m_cols, 1), jnp.float32)
             e = pl.program_id(0)
@@ -771,7 +776,7 @@ def make_fused_multisite_epoch(
                     grow = (
                         jnp.sum(gts, axis=0, keepdims=True) * dscale[g]
                     )  # (1, 128)
-                    if deferred_loss or minibatch:
+                    if deferred_site:
                         placed = jnp.where(
                             rowmask,
                             jnp.broadcast_to(grow, (r_pad, _SITE_LANES)),
@@ -857,7 +862,7 @@ def make_fused_multisite_epoch(
                 loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
 
             for k in range(nsite):
-                if deferred_loss or minibatch:
+                if deferred_site:
                     # merge this group's per-site grads into the carried
                     # accumulator tile; whole-tile update at the last
                     # group (each site's grad lives in exactly one chunk,
@@ -929,7 +934,7 @@ def make_fused_multisite_epoch(
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
             + [full_spec(_PAD)]
         )
-        n_sacc = nsite if (deferred_loss or minibatch) else 0
+        n_sacc = nsite if deferred_site else 0
         out_specs = (
             [full_spec(s) for s in buf_shapes] * 3
             + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)

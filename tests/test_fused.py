@@ -1419,8 +1419,8 @@ def test_fused_lamb_matches_xla():
     ratio (tile-norm dots; padded regions are zero so the tile norm IS the
     leaf norm, including for the (1,1) global leaves). Trajectories match
     optax.lamb through the XLA epoch, with and without weight decay, and
-    in a per-branch mix. The multisite kernel refuses it (whole-leaf norms
-    don't survive chunking)."""
+    in a per-branch mix. The multisite kernel supports it since round 4
+    via deferred whole-tile per-site updates (amsgrad stays out)."""
     from easyhybrid_tpu.training.optimizers import resolve_optimizer
 
     model, params, state, tensors = _setup(n=6 * 64, batch=64)
@@ -1461,10 +1461,13 @@ def test_fused_lamb_matches_xla():
     assert not _flatten_safe(("lamb", 0.01)) and not _flatten_safe("lamb")
     assert _flatten_safe(("adam", 0.01)) and _flatten_safe("adagrad")
 
-    # whole-leaf semantics stay out of the chunked multisite kernel
+    # whole-leaf semantics joined the multisite kernel in round 4 (per-site
+    # updates defer to the whole-tile path whose packed tile IS the leaf)
     from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
     ms = eh.MultiSiteHybridModel(model, n_sites=8, share_nn=True)
-    assert not supports_fused_multisite(ms, ("lamb", 0.01), ll)
+    assert supports_fused_multisite(ms, ("lamb", 0.01), ll)
+    # but amsgrad's third state tile still has no per-site home
+    assert not supports_fused_multisite(ms, ("amsgrad", 0.01), ll)
 
 
 @pytest.mark.parametrize("opt,loss", [

@@ -382,8 +382,11 @@ def test_multisite_fused_rmse_deferred_matches_xla(agg):
 
 def _xla_multisite(model, logging, opt, epochs, params, state, tensors):
     from easyhybrid_tpu.training.optimizers import resolve_optimizer
+    from easyhybrid_tpu.training.train import _flatten_safe
 
-    optimizer = optax.flatten(resolve_optimizer(opt))
+    optimizer = resolve_optimizer(opt)
+    if _flatten_safe(opt):  # lamb's per-leaf trust ratio must not flatten
+        optimizer = optax.flatten(optimizer)
     xla = make_train_epoch(
         model, logging, optimizer, shuffle=False, epochs_per_call=epochs
     )
@@ -567,6 +570,46 @@ def test_multisite_minibatch_envelope():
     assert supports_fused_multisite(
         model1, ("adam", 0.01), logging, tensors1, shuffle=True
     )
+
+
+@pytest.mark.parametrize(
+    "opt,loss,batchsize",
+    [
+        (("lamb", 0.01), "mse", None),                       # one site batch
+        (("lamb", {"learning_rate": 0.01, "weight_decay": 0.02}),
+         "mae", None),                                        # + weight decay
+        (("lamb", 0.01), "mse", 128),                         # minibatched
+        (("lamb", 0.01), "rmse", None),                       # + deferred loss
+    ],
+)
+def test_multisite_fused_lamb_matches_xla(opt, loss, batchsize):
+    """lamb (round 4): per-site updates defer to the whole-tile path, where
+    the packed (R_pad, 128) tile IS the stacked (S, 1) leaf — the update's
+    tile-norm dots compute exactly optax's per-leaf trust ratio. Must match
+    the UNFLATTENED optax.lamb trajectory (flatten would corrupt the
+    per-leaf norms into one global norm)."""
+    model, params, state, tensors = _make(
+        S=256, N=8, batchsize=batchsize, site_idx=batchsize is not None
+    )
+    logging = LoggingLoss(training_loss=loss, loss_types=(loss,))
+    assert supports_fused_multisite(model, opt, logging, tensors)
+
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, opt, logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, opt, epochs, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+    nb = int(tensors.weight.shape[0])
+    assert int(o_f["t"][0]) == epochs * nb
 
 
 def test_multisite_rmse_envelope_bounds():
