@@ -27,6 +27,9 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      no CPU row)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
+* ``multisite_minibatch`` — 10,240 sites in 2,560-site batches (nb=4,
+                     shuffle off): round-4 minibatched fused envelope;
+                     per-BATCH steps/s (no CPU row)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
                      (reference Q10_lstm.jl analog; torch-CPU baseline;
                      round 4: fused Pallas — recompute BPTT lifted the cap)
@@ -138,6 +141,7 @@ def _epoch_bench(
     loss_types=("mse",),
     e_small: int = 8,
     flops_per_step: float = None,
+    shuffle=True,
 ):
     """Honest read-forced grad-steps/sec of the epoch program.
 
@@ -179,7 +183,9 @@ def _epoch_bench(
     from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
 
     opt_spec = ("adam", 0.01)
-    is_ms = supports_fused_multisite(model, opt_spec, logging_loss, tensors)
+    is_ms = supports_fused_multisite(
+        model, opt_spec, logging_loss, tensors, shuffle=shuffle
+    )
     use_fused = (
         jax.default_backend() == "tpu"
         and (
@@ -188,7 +194,7 @@ def _epoch_bench(
         )
         and fused_exactness_check(
             model, params, state, opt_spec, logging_loss, tensors,
-            epochs_per_call=epochs_per_call, shuffle=True,
+            epochs_per_call=epochs_per_call, shuffle=shuffle,
         )[0]
     )
 
@@ -197,14 +203,14 @@ def _epoch_bench(
     def build(E):
         if use_fused:
             fn = _fused_builder(model)(
-                model, state, opt_spec, logging_loss, shuffle=True,
+                model, state, opt_spec, logging_loss, shuffle=shuffle,
                 epochs_per_call=E,
             )
             return fn, init_fused_opt_state(params)
         optimizer = optax.flatten(optax.adam(0.01))
         fn = make_train_epoch(
-            model, logging_loss, optimizer, shuffle=True, epochs_per_call=E,
-            skip_empty_guard=skip_guard,
+            model, logging_loss, optimizer, shuffle=shuffle,
+            epochs_per_call=E, skip_empty_guard=skip_guard,
         )
         return fn, optimizer.init(params)
 
@@ -688,6 +694,49 @@ def bench_multisite() -> float:
     )
 
 
+def bench_multisite_minibatch() -> float:
+    """Minibatched multisite (round 4): 10,240 sites × 64 obs trained in
+    2,560-site batches (nb=4, shuffle off — the fused kernel's static site
+    partition). Reports per-BATCH optimizer steps/s; the fused kernel's
+    per-batch deferred whole-tile updates measured 3.3× the XLA epoch's
+    marginal at this shape class."""
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    base = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True,
+    )
+    S, N, B = 10_240, 64, 2_560
+    model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
+    rng = np.random.default_rng(0)
+    from easyhybrid_tpu.data.prepare import HybridData
+
+    data = HybridData(
+        x=rng.random((S, N, 2)).astype(np.float32),
+        forcing={
+            "ta": (10 + 10 * rng.random((S, N))).astype(np.float32),
+            # identity per-site selector (prepare_multisite_data layout):
+            # the XLA comparison path gathers per-site params with it
+            "_site_idx": np.broadcast_to(
+                np.arange(S, dtype=np.float32)[:, None], (S, N)
+            ).copy(),
+        },
+        y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
+    )
+    return _epoch_bench(
+        model, data, batch=B, epochs_per_call=256, e_small=8,
+        flops_per_step=_mlp_flops_per_step([16, 16], 2, B * N),
+        shuffle=False,
+    )
+
+
 def bench_lstm() -> float:
     """Sequence config (reference Q10_lstm.jl analog): 4k rows, 10-step
     input windows, LSTM(16). Round 4: runs the FUSED Pallas kernel — the
@@ -925,6 +974,7 @@ def main():
     entry("large_mlp_b1024", bench_large_mlp_b1024, None)
     entry("large_mlp_b1024_bf16", bench_large_mlp_b1024_bf16, None)
     entry("multisite", bench_multisite, None)
+    entry("multisite_minibatch", bench_multisite_minibatch, None)
     entry("lstm", bench_lstm, baseline_lstm)
     entry("population_sweep", bench_population, None)
     entry("inference", bench_inference, baseline_inference)
