@@ -43,14 +43,16 @@ training loss in {mse, mae, nseLoss, rmse (single-target, round-4
 deferred-factor scheme — gate-exact on-chip at 10k sites, 3.5e-4)} or a
 declarative ``ElementwiseLoss`` (pinball/huber/…), agg in {sum, mean},
 no ``extra_loss``. Optimizers:
-every rule ``parse_opt_spec`` accepts except amsgrad — adam, adamw, sgd,
-rmsprop, adagrad, lion, adamax, nadam, adadelta, radam (the update
-delegates to the generic kernel's ``make_update_leaf``), plus — round 4 —
-lamb: its per-LEAF trust ratio needs norms over the whole stacked (S, 1)
-per-site leaf, so per-site updates defer to the whole-tile path where the
-packed (R_pad, 128) tile IS the leaf and the update's f32 tile-norm dots
-compute exactly optax's leaf norms. amsgrad stays out (``_SLOT3_OPTS``:
-no third per-site state tile). Site batching: ONE site batch per epoch
+every rule ``parse_opt_spec`` accepts — adam, adamw, sgd, rmsprop,
+adagrad, lion, adamax, nadam, adadelta, radam (the update delegates to
+the generic kernel's ``make_update_leaf_u``), plus — round 4 — lamb and
+amsgrad. lamb: its per-LEAF trust ratio needs norms over the whole
+stacked (S, 1) per-site leaf, so per-site updates defer to the
+whole-tile path where the packed (R_pad, 128) tile IS the leaf and the
+update's f32 tile-norm dots compute exactly optax's leaf norms.
+amsgrad: optax's nu_max rides an optional third carried buffer set
+(shared leaves + per-site packed tiles), exactly the generic kernel's
+scheme. Site batching: ONE site batch per epoch
 (``batchsize >= n_sites``, the standard full-batch multisite setup), or —
 round 4 — MINIBATCHED sites when ``batchsize`` is a multiple of 128 (one
 packed row), ``shuffle_each_epoch=False`` (the VMEM-packed site-major
@@ -112,7 +114,6 @@ from .fused_epoch import (
     _to_kernel_buffer,
     backward_mlp,
     forward_mlp,
-    make_update_leaf,
     parse_opt_spec,
 )
 
@@ -176,14 +177,12 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     parsed_opt = parse_opt_spec(optimizer_spec)
     if parsed_opt is None:
         return False
-    from .fused_epoch import _SLOT3_OPTS
-
-    if parsed_opt[0] in _SLOT3_OPTS:
-        return False  # no third per-site state tile in this kernel
-    # lamb (a _WHOLELEAF_OPTS rule) is supported since round 4: per-site
-    # updates defer to the whole-tile path, where the packed tile IS the
-    # stacked leaf and make_update_leaf's tile norms equal optax's leaf
-    # norms — see make_fused_multisite_epoch
+    # Round 4 closed the optimizer envelope: lamb (a _WHOLELEAF_OPTS rule)
+    # defers per-site updates to the whole-tile path, where the packed
+    # tile IS the stacked leaf and the update's tile norms equal optax's
+    # leaf norms; amsgrad (_SLOT3_OPTS) carries its nu_max in an optional
+    # third buffer set (shared + per-site packed tiles). Every rule
+    # parse_opt_spec accepts now runs in-kernel.
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
         # MINIBATCHED sites (round 4): supported when each batch's site
         # count is a whole number of 128-lane packed rows AND the loss is
@@ -253,14 +252,14 @@ def make_fused_multisite_epoch(
             f"fused multisite epoch does not support optimizer {optimizer_spec!r}"
         )
     opt_name, hyper = parsed
-    from .fused_epoch import _SLOT3_OPTS
+    from .fused_epoch import _SLOT3_OPTS, make_update_leaf_u
 
-    if opt_name in _SLOT3_OPTS:
-        raise ValueError(
-            f"fused multisite epoch does not support {opt_name!r}: it "
-            "needs a third per-site state tile this kernel does not carry"
-        )
-    update_leaf = make_update_leaf(opt_name, hyper)
+    # amsgrad (round 4): optax's nu_max rides an optional third carried
+    # buffer set (shared leaves + per-site packed tiles), mirroring the
+    # generic kernel's scheme. The uniform 3-slot protocol passes the w
+    # slot through untouched for 2-slot rules (w is None then).
+    use_u = opt_name in _SLOT3_OPTS
+    update_leaf = make_update_leaf_u(opt_name, hyper)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -359,12 +358,24 @@ def make_fused_multisite_epoch(
         m_tree, v_tree = opt_state["m"], opt_state["v"]
         shared_m = {k: v for k, v in m_tree.items() if k != "globals"}
         shared_v = {k: v for k, v in v_tree.items() if k != "globals"}
+        if use_u:
+            # amsgrad nu_max: a third state tree (init_fused_opt_state
+            # adds it when the spec names a _SLOT3_OPTS rule; zeros match
+            # optax.scale_by_amsgrad's init if a caller built without it)
+            u_tree = opt_state.get("u")
+            if u_tree is None:
+                u_tree = jax.tree.map(jnp.zeros_like, params)
+            shared_u = {k: v for k, v in u_tree.items() if k != "globals"}
 
         sh_leaves, sh_treedef = jax.tree.flatten(shared_params)
         sh_shapes = [l.shape for l in sh_leaves]
         sh_bufs = [_to_kernel_buffer(l) for l in sh_leaves]
         shm_bufs = [_to_kernel_buffer(l) for l in jax.tree.leaves(shared_m)]
         shv_bufs = [_to_kernel_buffer(l) for l in jax.tree.leaves(shared_v)]
+        shu_bufs = (
+            [_to_kernel_buffer(l) for l in jax.tree.leaves(shared_u)]
+            if use_u else []
+        )
         buf_shapes = [_buffer_shape(s) for s in sh_shapes]
         npar = len(sh_bufs)
 
@@ -413,6 +424,12 @@ def make_fused_multisite_epoch(
             _pack_site_leaf(v_tree["globals"][g], n_sites_total, r_rows, r_pad)
             for g in site_names
         ]
+        spu_bufs = (
+            [_pack_site_leaf(u_tree["globals"][g], n_sites_total, r_rows,
+                             r_pad)
+             for g in site_names]
+            if use_u else []
+        )
         nsite = len(sp_bufs)
 
         # ---- data relayout: site batch → chunked time-major blocks -------
@@ -554,20 +571,26 @@ def make_fused_multisite_epoch(
             y_refs = refs[idx : idx + nt]; idx += nt
             m_refs = refs[idx : idx + nt]; idx += nt
             scale_ref = refs[idx]; idx += 1
+            n_up = npar if use_u else 0    # amsgrad third-slot buffers
+            n_us = nsite if use_u else 0
             st_refs = refs[idx : idx + nst]; idx += nst
             psh_in = refs[idx : idx + npar]; idx += npar
             msh_in = refs[idx : idx + npar]; idx += npar
             vsh_in = refs[idx : idx + npar]; idx += npar
+            ush_in = refs[idx : idx + n_up]; idx += n_up
             pst_in = refs[idx : idx + nsite]; idx += nsite
             mst_in = refs[idx : idx + nsite]; idx += nsite
             vst_in = refs[idx : idx + nsite]; idx += nsite
+            ust_in = refs[idx : idx + n_us]; idx += n_us
             t_in = refs[idx]; idx += 1
             psh_out = refs[idx : idx + npar]; idx += npar
             msh_out = refs[idx : idx + npar]; idx += npar
             vsh_out = refs[idx : idx + npar]; idx += npar
+            ush_out = refs[idx : idx + n_up]; idx += n_up
             pst_out = refs[idx : idx + nsite]; idx += nsite
             mst_out = refs[idx : idx + nsite]; idx += nsite
             vst_out = refs[idx : idx + nsite]; idx += nsite
+            ust_out = refs[idx : idx + n_us]; idx += n_us
             acc_out = refs[idx : idx + npar]; idx += npar
             t_out = refs[idx]; idx += 1
             loss_out = refs[idx]; idx += 1
@@ -595,6 +618,8 @@ def make_fused_multisite_epoch(
                   for k in range(npar)]
             vb = [jnp.where(first, vsh_in[k][...], vsh_out[k][...])
                   for k in range(npar)]
+            ub = [jnp.where(first, ush_in[k][...], ush_out[k][...])
+                  for k in range(n_up)]
             # per-site packed buffers become LOCAL values mutated through
             # the unrolled sub-chunk loop; written back once at the end
             pkt = [jnp.where(first, pst_in[k][...], pst_out[k][...])
@@ -603,6 +628,8 @@ def make_fused_multisite_epoch(
                    for k in range(nsite)]
             vkt = [jnp.where(first, vst_in[k][...], vst_out[k][...])
                    for k in range(nsite)]
+            ukt = [jnp.where(first, ust_in[k][...], ust_out[k][...])
+                   for k in range(n_us)]
 
             # streamed per-batch tile (minibatch) vs the one full tile
             scl = scale_ref[0] if minibatch else scale_ref[...]
@@ -787,9 +814,11 @@ def make_fused_multisite_epoch(
                             else sgrad_local[k] + placed
                         )
                         continue
-                    p_new, m_new, v_new = update_leaf(
+                    p_new, m_new, v_new, u_new = update_leaf(
                         select_row(pkt[k]), select_row(mkt[k]),
-                        select_row(vkt[k]), grow, valid, t_abs,
+                        select_row(vkt[k]),
+                        select_row(ukt[k]) if use_u else None,
+                        grow, valid, t_abs,
                     )
 
                     def place(row_new, carried, _rm=rowmask):
@@ -804,6 +833,8 @@ def make_fused_multisite_epoch(
                     pkt[k] = place(p_new, pkt[k])
                     mkt[k] = place(m_new, mkt[k])
                     vkt[k] = place(v_new, vkt[k])
+                    if use_u:
+                        ukt[k] = place(u_new, ukt[k])
 
                 # shared-grad contribution of this sub-chunk
                 if neural_names:
@@ -876,16 +907,21 @@ def make_fused_multisite_epoch(
                     )
                     sacc_out[k][...] = sacc
                     g_site = factor * sacc if deferred_loss else sacc
-                    p_new, m_new, v_new = update_leaf(
-                        pkt[k], mkt[k], vkt[k], g_site, valid, t_abs
+                    p_new, m_new, v_new, u_new = update_leaf(
+                        pkt[k], mkt[k], vkt[k],
+                        ukt[k] if use_u else None, g_site, valid, t_abs,
                     )
                     pst_out[k][...] = jnp.where(do_update, p_new, pkt[k])
                     mst_out[k][...] = jnp.where(do_update, m_new, mkt[k])
                     vst_out[k][...] = jnp.where(do_update, v_new, vkt[k])
+                    if use_u:
+                        ust_out[k][...] = jnp.where(do_update, u_new, ukt[k])
                 else:
                     pst_out[k][...] = pkt[k]
                     mst_out[k][...] = mkt[k]
                     vst_out[k][...] = vkt[k]
+                    if use_u:
+                        ust_out[k][...] = ukt[k]
 
             # shared leaves: merge this group's accumulated grads into the
             # carried accumulator (select — never arithmetic — against the
@@ -897,12 +933,15 @@ def make_fused_multisite_epoch(
                 )
                 acc_out[k][...] = acc
                 g_upd = factor * acc if deferred_loss else acc
-                p_new, m_new, v_new = update_leaf(
-                    pb[k], mb[k], vb[k], g_upd, valid, t_abs
+                p_new, m_new, v_new, u_new = update_leaf(
+                    pb[k], mb[k], vb[k], ub[k] if use_u else None,
+                    g_upd, valid, t_abs,
                 )
                 psh_out[k][...] = jnp.where(do_update, p_new, pb[k])
                 msh_out[k][...] = jnp.where(do_update, m_new, mb[k])
                 vsh_out[k][...] = jnp.where(do_update, v_new, vb[k])
+                if use_u:
+                    ush_out[k][...] = jnp.where(do_update, u_new, ub[k])
 
             # t: hold t_prev through the epoch, commit t_cur at last chunk
             t_out[...] = jnp.zeros(_PAD, jnp.float32) + jnp.where(
@@ -930,22 +969,25 @@ def make_fused_multisite_epoch(
             + [chunk_spec(a) for a in mask_chunks]
             + [chunk_spec(scale_stream) if minibatch else full_spec(_PAD)]
             + [full_spec(tuple(s.shape)) for s in st_bufs]
-            + [full_spec(s) for s in buf_shapes] * 3
-            + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
+            + [full_spec(s) for s in buf_shapes] * (4 if use_u else 3)
+            + [full_spec((r_pad, _SITE_LANES))]
+            * ((4 if use_u else 3) * nsite)
             + [full_spec(_PAD)]
         )
         n_sacc = nsite if deferred_site else 0
         out_specs = (
-            [full_spec(s) for s in buf_shapes] * 3
-            + [full_spec((r_pad, _SITE_LANES))] * (3 * nsite)
+            [full_spec(s) for s in buf_shapes] * (4 if use_u else 3)
+            + [full_spec((r_pad, _SITE_LANES))]
+            * ((4 if use_u else 3) * nsite)
             + [full_spec(s) for s in buf_shapes]
             + [full_spec(_PAD), full_spec(_PAD)]
             + [full_spec((r_pad, _SITE_LANES))] * n_sacc
         )
         out_shape = (
-            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes] * 3
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes]
+            * (4 if use_u else 3)
             + [jax.ShapeDtypeStruct((r_pad, _SITE_LANES), jnp.float32)]
-            * (3 * nsite)
+            * ((4 if use_u else 3) * nsite)
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in buf_shapes]
             + [jax.ShapeDtypeStruct(_PAD, jnp.float32)] * 2
             + [jax.ShapeDtypeStruct((r_pad, _SITE_LANES), jnp.float32)]
@@ -962,17 +1004,21 @@ def make_fused_multisite_epoch(
         )(
             x_chunks, *forcing_chunks, *y_chunks, *mask_chunks,
             scale_stream if minibatch else scale_tile,
-            *st_bufs, *sh_bufs, *shm_bufs, *shv_bufs,
-            *sp_bufs, *spm_bufs, *spv_bufs, t_base_tile,
+            *st_bufs, *sh_bufs, *shm_bufs, *shv_bufs, *shu_bufs,
+            *sp_bufs, *spm_bufs, *spv_bufs, *spu_bufs, t_base_tile,
         )
 
         i = 0
         new_sh = outs[i : i + npar]; i += npar
         new_shm = outs[i : i + npar]; i += npar
         new_shv = outs[i : i + npar]; i += npar
+        if use_u:
+            new_shu = outs[i : i + npar]; i += npar
         new_sp = outs[i : i + nsite]; i += nsite
         new_spm = outs[i : i + nsite]; i += nsite
         new_spv = outs[i : i + nsite]; i += nsite
+        if use_u:
+            new_spu = outs[i : i + nsite]; i += nsite
         i += npar  # grad accumulators: scratch, discarded
         t_delta = outs[i]; i += 1
         loss_tile = outs[i]  # (trailing sacc scratch tiles ignored)
@@ -996,6 +1042,8 @@ def make_fused_multisite_epoch(
             "v": rebuild(new_shv, new_spv),
             "t": (t0 + jnp.round(t_delta[0, 0]).astype(jnp.int32)).reshape(1),
         }
+        if use_u:
+            new_opt_state["u"] = rebuild(new_shu, new_spu)
         # deferred rmse stores the raw sse at row 0 and the finished rmse
         # value at row 1 (the last group's transform)
         final_loss = loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]

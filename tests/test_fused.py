@@ -1462,12 +1462,12 @@ def test_fused_lamb_matches_xla():
     assert _flatten_safe(("adam", 0.01)) and _flatten_safe("adagrad")
 
     # whole-leaf semantics joined the multisite kernel in round 4 (per-site
-    # updates defer to the whole-tile path whose packed tile IS the leaf)
+    # updates defer to the whole-tile path whose packed tile IS the leaf);
+    # amsgrad's nu_max rides an optional third buffer set there too
     from easyhybrid_tpu.ops.fused_multisite import supports_fused_multisite
     ms = eh.MultiSiteHybridModel(model, n_sites=8, share_nn=True)
     assert supports_fused_multisite(ms, ("lamb", 0.01), ll)
-    # but amsgrad's third state tile still has no per-site home
-    assert not supports_fused_multisite(ms, ("amsgrad", 0.01), ll)
+    assert supports_fused_multisite(ms, ("amsgrad", 0.01), ll)
 
 
 @pytest.mark.parametrize("opt,loss", [

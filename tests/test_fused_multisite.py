@@ -612,6 +612,45 @@ def test_multisite_fused_lamb_matches_xla(opt, loss, batchsize):
     assert int(o_f["t"][0]) == epochs * nb
 
 
+@pytest.mark.parametrize(
+    "loss,batchsize",
+    [
+        ("mse", None),    # one site batch: immediate row updates carry u
+        ("mae", 128),     # minibatched: whole-tile deferred updates with u
+        ("rmse", None),   # deferred-factor path with u
+    ],
+)
+def test_multisite_fused_amsgrad_matches_xla(loss, batchsize):
+    """amsgrad (round 4): optax's nu_max rides a third carried buffer set
+    (shared leaves + per-site packed tiles). Parity with optax.amsgrad
+    through the XLA epoch on every update path — immediate per-row,
+    deferred whole-tile (minibatch), and deferred-factor (rmse)."""
+    model, params, state, tensors = _make(
+        S=256, N=8, batchsize=batchsize, site_idx=batchsize is not None
+    )
+    opt = ("amsgrad", 0.01)
+    logging = LoggingLoss(training_loss=loss, loss_types=(loss,))
+    assert supports_fused_multisite(model, opt, logging, tensors)
+
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, opt, logging, shuffle=False,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, loss_f = fused(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params, opt),
+        state, tensors, jax.random.PRNGKey(0),
+    )
+    assert "u" in o_f  # nu_max came back for warm restarts
+    p_x, _, _, loss_x = _xla_multisite(
+        model, logging, opt, epochs, params, state, tensors
+    )
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=2e-4)
+    _assert_trees_close(p_f, p_x)
+    nb = int(tensors.weight.shape[0])
+    assert int(o_f["t"][0]) == epochs * nb
+
+
 def test_multisite_rmse_envelope_bounds():
     """rmse is single-target only in the multisite kernel (the deferred
     factor is per-target); batch-statistic losses stay out."""
