@@ -209,8 +209,22 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
         make_fused_epoch,
         supports_fused_epoch,
     )
+    from ..ops.fused_multisite import (
+        make_fused_multisite_epoch,
+        supports_fused_multisite,
+    )
 
-    if not supports_fused_epoch(model, spec, logging_loss, host_tensors):
+    # multisite populations (round 4): seed ensembles of a
+    # MultiSiteHybridModel vmap the dedicated multisite kernel. CV stays
+    # XLA — folds re-index the surviving sites, breaking the kernel's
+    # identity chunk→packed-row mapping.
+    is_ms = t_axes is None and supports_fused_multisite(
+        model, spec, logging_loss, host_tensors, shuffle=shuffle
+    )
+    if not (
+        supports_fused_epoch(model, spec, logging_loss, host_tensors)
+        or is_ms
+    ):
         return None, None, (
             "model/optimizer/loss outside the fused-kernel envelope"
         )
@@ -220,7 +234,8 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
     )[0]
     if not ok:
         return None, None, "runtime exactness gate failed"
-    epoch_fn = make_fused_epoch(
+    make_engine = make_fused_multisite_epoch if is_ms else make_fused_epoch
+    epoch_fn = make_engine(
         model, gate_state, spec, logging_loss,
         shuffle=shuffle, epochs_per_call=eval_every,
     )
@@ -239,7 +254,8 @@ def _select_fused_engine(model, spec, logging_loss, host_tensors,
         return None, None, "vmapped-kernel self-check failed"
     log.info("population%s: fused Pallas epoch engine (gates passed)", what)
     return epoch_fn, (lambda p: init_fused_opt_state(p, spec)), (
-        "exactness gate + vmapped self-check passed"
+        ("multisite kernel: " if is_ms else "")
+        + "exactness gate + vmapped self-check passed"
     )
 
 

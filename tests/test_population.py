@@ -450,6 +450,59 @@ def test_population_fused_engine_interpret_mode(monkeypatch):
     assert np.isfinite(cv_f.best_losses).all()
 
 
+def _multisite_setup(S, T, seed=3):
+    from easyhybrid_tpu.parallel.multisite import prepare_multisite_data
+
+    base = _model()
+    df = eh.gen_rbq10_data(S * T, seed=seed)
+    df["site"] = np.repeat(np.arange(S), T)
+    ms = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
+    return ms, prepare_multisite_data(base, df, "site")
+
+
+def test_population_over_multisite_xla_engine():
+    """Seed ensembles of a MultiSiteHybridModel run out of the box on the
+    XLA vmap engine (CPU default) — per-member per-site params stack to
+    (K, S, 1)."""
+    ms, data = _multisite_setup(32, 10)
+    pop = eh.population_train(
+        ms, data, seeds=[0, 1, 2], optimizer="adam", nepochs=3,
+        batchsize=32, split_data_at=0.75, eval_every=1,
+    )
+    assert pop.epoch_path == "population_vmap"
+    assert np.isfinite(pop.best_losses).all()
+    assert pop.params["globals"]["Q10"].shape == (3, 32, 1)
+
+
+def test_population_over_multisite_fused_engine(monkeypatch):
+    """Round 4: seed ensembles of a MultiSiteHybridModel vmap the
+    DEDICATED multisite Pallas kernel (gated + self-checked), for both the
+    full-site-batch and the 128-multiple minibatched (shuffle off)
+    configurations."""
+    monkeypatch.setenv("EASYHYBRID_PALLAS", "1")
+    ms, data = _multisite_setup(256, 8)
+    pop = eh.population_train(
+        ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
+        batchsize=256, split_data_at=0.75, eval_every=1,
+    )
+    assert pop.epoch_path == "population_vmap_fused", pop.engine_reason
+    assert "multisite" in pop.engine_reason
+    assert np.isfinite(pop.best_losses).all()
+    # minibatched sites (128-multiple, shuffle off) stay fused
+    pop_mb = eh.population_train(
+        ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
+        batchsize=128, shuffle_each_epoch=False, split_data_at=0.75,
+        eval_every=1,
+    )
+    assert pop_mb.epoch_path == "population_vmap_fused", pop_mb.engine_reason
+    # shuffled minibatches break the static site partition: XLA engine
+    pop_sh = eh.population_train(
+        ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
+        batchsize=128, split_data_at=0.75, eval_every=1,
+    )
+    assert pop_sh.epoch_path == "population_vmap"
+
+
 def test_population_pure_sweep_shared_shuffle_order():
     """A PURE hyper sweep (uniform seeds) gives every member the SAME
     per-block shuffle key: members differ only by hyperparameter, never by
