@@ -19,12 +19,12 @@ quick-start). The ``configs`` field carries the full scoreboard:
                      (MXU-native mixed precision; vs the same f32 CPU pin;
                      honestly perf-NEUTRAL — see its docstring)
 * ``large_mlp_b1024`` — the MFU flagship: same tower at batch 1024 /
-                     16k rows, the throughput-bound shape (~28-37 % MFU;
-                     no CPU row; XLA by measurement — the chunked fused
-                     kernel is gate-exact here but slower, see docstring)
+                     16k rows, the throughput-bound shape (~33 % MFU via
+                     the FUSED kernel's width-256 batch chunks, round-4
+                     late — beats the XLA epoch's 26-31 %; no CPU row)
 * ``large_mlp_b1024_bf16`` — the same shape with explicit bf16 operands
-                     (small real edge over f32: ~29 % vs ~28 % MFU;
-                     no CPU row)
+                     (XLA by measurement: bf16 chunks lose to the casts;
+                     ~29-30 % MFU; no CPU row)
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
 * ``multisite_minibatch`` — 10,240 sites in 2,560-site batches (nb=4,
@@ -400,15 +400,15 @@ def bench_large_mlp_bf16() -> float:
 def bench_large_mlp_b1024() -> float:
     """MFU flagship: the large-MLP tower at batch 1024 / 16k rows — the
     throughput-bound shape (batch 64 leaves half the 128-lane MXU tiles
-    empty and is latency-bound). Runs the XLA epoch BY MEASUREMENT
-    (round 4): the batch-chunked fused kernel now compiles and is
-    gate-exact at this shape (EASYHYBRID_FUSED_CHUNKED=1 +
-    EASYHYBRID_FUSED_MAX_VMEM_MB=31), but its width-128 chunks sacrifice
-    MXU lane utilization — 8.0k marginal steps/s / 17.5 % MFU vs XLA's
-    12.8k / 27.8 % (2026-08-18) — so auto-selection routes this shape to
-    XLA, which wins it. No CPU row: the torch baseline at this batch is
-    bound by the same single thread, so the ratio would just restate
-    rbq10's."""
+    empty and is latency-bound). Round 4, late: runs the FUSED kernel
+    with width-256 batch chunks — 15.1k marginal steps/s / ~33 % MFU vs
+    the XLA epoch's 12.8-14k / 26-31 % (2026-08-18). Width matters: the
+    first chunked attempt used width-128 chunks and LOST to XLA (8.0k /
+    17.5 % — narrow matmuls sacrifice MXU lane utilization), so
+    auto-selection only enables f32 chunks of width >= 256
+    (ops/fused_epoch.py::_pick_batch_chunks). No CPU row: the torch
+    baseline at this batch is bound by the same single thread, so the
+    ratio would just restate rbq10's."""
     import easyhybrid_tpu as eh
 
     def rbq10(*, ta, rb, Q10, tref=15.0):
@@ -631,8 +631,10 @@ def bench_large_mlp_b1024_bf16() -> float:
     spreads, confirming at the FLOPs-bound shape what batch 64 showed:
     JAX's default matmul precision already runs f32 contractions as bf16
     MXU passes, so explicit bf16 operands mostly trade cast VPU work for
-    marginal MXU headroom. XLA path by measurement (see
-    ``bench_large_mlp_b1024``)."""
+    marginal MXU headroom. XLA path by measurement: bf16 batch-CHUNKS lose
+    at every width (w=256: 7.8k — the per-layer casts dominate once the
+    batch splits), so auto-chunking is f32-only and this row stays XLA
+    (see ``bench_large_mlp_b1024`` / ``_pick_batch_chunks``)."""
     import jax.numpy as jnp
 
     import easyhybrid_tpu as eh

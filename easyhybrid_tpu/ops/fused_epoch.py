@@ -381,31 +381,57 @@ def _pick_batch_chunks(model, nns, tensors, logging: LoggingLoss) -> int:
     when nothing fits / the configuration cannot chunk (batch-statistic
     loss, trainable BN's full-batch stats, LSTM bodies).
 
-    Chunked picks are DISABLED by default (``EASYHYBRID_FUSED_CHUNKED=1``
-    enables): the chunked-grid kernel compiles and is gate-exact on-chip
-    (2026-08-18), but at the one shape that needs it — the
-    [1024,512,256,128,64] tower × batch 1024 — the measured marginal rate
-    is 8.0k steps/s (17.5 % MFU) vs the XLA scan epoch's 12.8k (27.8 %):
-    width-128 chunks sacrifice exactly the MXU lane utilization that makes
-    the wide batch FLOPs-efficient, so auto-selection routes such shapes
-    to XLA, which measurably wins there."""
+    Auto-selection (round-4 measurements, [1024,512,256,128,64] × b1024,
+    16k rows, 1× v5e):
+
+    * **f32 chunks of width ≥ 256 WIN**: w=256 marginal 15.2k steps/s
+      (~33 % MFU) vs the XLA scan epoch's 12.8k (27.8 %) — wide-enough
+      chunks keep the MXU lanes fed while the fused kernel's VMEM-resident
+      weights drop the per-step HBM traffic. Auto-enabled (still behind
+      the runtime exactness gate).
+    * **width-128 chunks LOSE** (8.0k, 17.5 % MFU): the narrow matmuls
+      sacrifice exactly the lane utilization that makes the wide batch
+      FLOPs-efficient. Auto-selection returns 0 (XLA) there;
+      ``EASYHYBRID_FUSED_CHUNKED=1`` opts in for experiments.
+    * **bf16 chunks LOSE at every width** (w=256: 7.8k vs XLA-bf16's
+      13.1k) — the per-layer casts dominate once the batch is split. Same
+      opt-in override.
+    * **The Mosaic AOT compile ceiling sits between estimate 35 and 39
+      MB**: w=512 (f32 43.0, bf16 38.9) crashes the remote compile
+      helper; w=256 (34.8 / 32.8) compiles. The chunked search therefore
+      caps candidate scores at 35 MB unless the user raises
+      ``EASYHYBRID_FUSED_MAX_VMEM_MB`` beyond it (accepting compile
+      risk). ``EASYHYBRID_FUSED_CHUNKED=0`` disables chunking outright.
+    """
     limit = float(os.environ.get("EASYHYBRID_FUSED_MAX_VMEM_MB", "30"))
     if _fused_vmem_estimate_mb(model, nns, tensors) <= limit:
         return 1
-    if os.environ.get("EASYHYBRID_FUSED_CHUNKED", "0") != "1":
-        return 0  # measured: XLA wins the shapes that would need chunking
+    opt_in = os.environ.get("EASYHYBRID_FUSED_CHUNKED", "")
+    if opt_in == "0":
+        return 0
     if not _loss_chunkable(logging):
         return 0
     for nn in nns:
         if not isinstance(nn, MLP) or nn.input_batchnorm is True:
             return 0  # trainable BN normalizes with FULL-batch stats
     batch = int(tensors.weight.shape[-1])
+    chunk_cap = max(limit, 35.0)  # empirical Mosaic compile ceiling
     for c in (2, 4, 8, 16):
         w = batch // c
         if batch % c or w % 128:
             continue
-        if _fused_vmem_estimate_mb(model, nns, tensors, chunk_width=w) <= limit:
-            return c
+        if (
+            _fused_vmem_estimate_mb(model, nns, tensors, chunk_width=w)
+            <= chunk_cap
+        ):
+            if opt_in == "1":
+                return c  # explicit opt-in: any fitting width
+            # auto: only the measured-faster regime — f32, width >= 256
+            if w >= 256 and all(
+                getattr(nn, "compute_dtype", None) is None for nn in nns
+            ):
+                return c
+            return 0
     return 0
 
 
@@ -2795,12 +2821,36 @@ def fused_exactness_check(
         n_samples=tensors.n_samples,
     )
     key = jax.random.PRNGKey(0)
+    # batch-CHUNKED configs cannot take phase A's f32-precision context:
+    # the tripled MXU passes push the kernel over the 16 MB scoped-vmem
+    # stack (measured 20.6 MB at [1024…64]×b1024 w=256, 2026-08-18 — the
+    # DEFAULT-precision production kernel fits). Those run phase A at
+    # default precision with a proportionally looser tolerance: the
+    # measured honest bf16-pass divergence through this depth is ~5e-2
+    # (docstring), two orders below the ≥10× garbage of a real miscompile.
+    nns_gate = getattr(model, "nns", None)
+    if nns_gate is None:
+        nn1 = getattr(model, "nn", None)
+        nns_gate = [nn1] if nn1 is not None else []
+    chunked = (
+        builder is make_fused_epoch  # multisite tensors score nonsense
+        and bool(nns_gate)
+        and _pick_batch_chunks(model, list(nns_gate), tensors, logging) > 1
+    )
+    if chunked:
+        tol = max(tol, 0.15)
     try:
         # ---- phase A: SGD implied-gradient comparison --------------------
         # f32 matmuls on BOTH paths (trace-time binding): depth-independent
         # noise floor — see docstring. Phase B below keeps the default
         # (production) precision.
-        with jax.default_matmul_precision("float32"):
+        import contextlib
+
+        prec_ctx = (
+            contextlib.nullcontext() if chunked
+            else jax.default_matmul_precision("float32")
+        )
+        with prec_ctx:
             fused = builder(model, state, ("sgd", lr), logging, shuffle=False)
             p_f, _, _, loss_f = fused(
                 jax.tree.map(jnp.copy, params), init_fused_opt_state(params),

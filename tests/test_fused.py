@@ -1601,9 +1601,22 @@ def test_fused_batch_chunked_grid_matches_unchunked(monkeypatch, loss):
     # rmse needs full-batch prediction moments → never chunks
     ll_rmse = eh.LoggingLoss(training_loss="rmse", loss_types=("rmse",))
     assert _pick_batch_chunks(model, [model.nn], tensors, ll_rmse) == 0
-    # default (opt-in unset): chunked picks disabled, XLA wins those shapes
+    # auto (opt-in unset, round-4 measurement-driven policy): f32 chunks
+    # of width >= 256 WIN over XLA and auto-enable; width-128 chunks and
+    # bf16 chunks LOSE and stay behind the opt-in
     monkeypatch.delenv("EASYHYBRID_FUSED_CHUNKED")
-    assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 0
+    assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 0  # w=128
+    model_w, _, state_w, tensors_w = _setup(hidden=(32, 16), n=1024,
+                                            batch=512)
+    assert _pick_batch_chunks(model_w, [model_w.nn], tensors_w, ll) == 2
+    import dataclasses
+
+    nn_bf16 = dataclasses.replace(model_w.nn, compute_dtype="bfloat16")
+    model_bf = dataclasses.replace(model_w, nn=nn_bf16)
+    assert _pick_batch_chunks(model_bf, [model_bf.nn], tensors_w, ll) == 0
+    # explicit opt-out disables chunking even where auto would enable
+    monkeypatch.setenv("EASYHYBRID_FUSED_CHUNKED", "0")
+    assert _pick_batch_chunks(model_w, [model_w.nn], tensors_w, ll) == 0
 
 
 @pytest.mark.parametrize("loss", ["nseLoss", "pinball"])
