@@ -2846,24 +2846,47 @@ def fused_exactness_check(
         # (production) precision.
         import contextlib
 
-        prec_ctx = (
-            contextlib.nullcontext() if chunked
-            else jax.default_matmul_precision("float32")
-        )
-        with prec_ctx:
-            fused = builder(model, state, ("sgd", lr), logging, shuffle=False)
-            p_f, _, _, loss_f = fused(
-                jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
-                state, sub, key,
+        def _phase_a(f32_precision: bool):
+            ctx = (
+                jax.default_matmul_precision("float32") if f32_precision
+                else contextlib.nullcontext()
             )
-            optimizer = optax.flatten(optax.sgd(lr))
-            xla = make_train_epoch(model, logging, optimizer, shuffle=False)
-            # the XLA epoch donates (params, opt_state, state) — pass copies
-            # so the caller's live state survives the gate
-            p_x, _, _, loss_x = xla(
-                jax.tree.map(jnp.copy, params), optimizer.init(params),
-                jax.tree.map(jnp.copy, state), sub, key,
-            )
+            with ctx:
+                fused = builder(
+                    model, state, ("sgd", lr), logging, shuffle=False
+                )
+                p_f, _, _, loss_f = fused(
+                    jax.tree.map(jnp.copy, params),
+                    init_fused_opt_state(params), state, sub, key,
+                )
+                optimizer = optax.flatten(optax.sgd(lr))
+                xla = make_train_epoch(
+                    model, logging, optimizer, shuffle=False
+                )
+                # the XLA epoch donates (params, opt_state, state) — pass
+                # copies so the caller's live state survives the gate
+                p_x, _, _, loss_x = xla(
+                    jax.tree.map(jnp.copy, params), optimizer.init(params),
+                    jax.tree.map(jnp.copy, state), sub, key,
+                )
+            return p_f, p_x, loss_f, loss_x
+
+        if chunked:
+            p_f, p_x, loss_f, loss_x = _phase_a(False)
+        else:
+            try:
+                p_f, p_x, loss_f, loss_x = _phase_a(True)
+            except Exception:
+                # the f32-precision context TRIPLES the kernel's MXU pass
+                # scratch and can blow the ~16 MB Mosaic scoped-vmem stack
+                # on kernels whose production (default-precision) compile
+                # fits — seen at chunked b1024 (20.6 MB) and multisite
+                # N=200 (18.9 MB), 2026-08-18. Retry at default precision
+                # with the proportionally looser tolerance; if the kernel
+                # genuinely cannot compile, this retry raises too and the
+                # outer handler fails the gate as before.
+                tol = max(tol, 0.15)
+                p_f, p_x, loss_f, loss_x = _phase_a(False)
 
         # ---- phase B: the production kernel variant ----------------------
         parsed = parse_opt_spec(optimizer_spec)
