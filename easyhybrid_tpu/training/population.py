@@ -187,6 +187,31 @@ def _shard_members(mesh, K: int, trees, what: str):
     )
 
 
+def _shard_map_members(vmapped_epoch, mesh, tensors, *, data_on_members):
+    """Wrap the vmapped FUSED epoch in ``shard_map`` over the mesh's first
+    (member/fold) axis: each device runs the Pallas kernel for its local
+    member block with ZERO collectives — members are embarrassingly
+    parallel, shared data replicates (``data_on_members=False``) and
+    per-fold data shards along with the fold axis (``True``). The XLA
+    engine needs no wrapper (the SPMD partitioner shards a plain vmapped
+    program on its own), but a ``pallas_call`` is opaque to the
+    partitioner, so the member assignment must be explicit."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    m = mesh.axis_names[0]
+    pm, pr = P(m), P()
+    t_spec = jax.tree.map(lambda _: pm if data_on_members else pr, tensors)
+    # n_samples is a leaf scalar shared by every member — never sharded
+    t_spec = t_spec._replace(n_samples=pr)
+    return shard_map(
+        vmapped_epoch, mesh=mesh,
+        in_specs=(pm, pm, pm, t_spec, pm),
+        out_specs=(pm, pm, pm, pm),
+        check_vma=False,
+    )
+
+
 def _select_fused_engine(model, spec, logging_loss, host_tensors,
                          gate_params, gate_state, gate_tensors, *,
                          eval_every, shuffle, t_axes=None, what=""):
@@ -651,8 +676,14 @@ def population_train(
     )
     fused_epoch_fn = fused_opt_init = None
     sweep_hyper_names = None
-    if mesh is not None:
-        engine_reason = "mesh population runs the sharded XLA engine"
+    if mesh is not None and len(mesh.axis_names) > 1:
+        # in-member data parallelism needs the gradient psum BEFORE each
+        # optimizer update, which the fused kernel's in-kernel updates
+        # cannot express — only the XLA engine composes with a 2-D mesh
+        engine_reason = (
+            "2-D mesh population runs the sharded XLA engine (in-member "
+            "data parallelism needs a gradient psum before the update)"
+        )
     elif not single_config:
         # hyperparameter SWEEP: per-member optimizer scalars stream into
         # the fused kernel as a traced operand tile (round-4; previously
@@ -671,6 +702,8 @@ def population_train(
             eval_every=eval_every, shuffle=shuffle_each_epoch,
         )
     use_fused = fused_epoch_fn is not None
+    if use_fused and mesh is not None:
+        engine_reason += "; shard_map over the member axis"
     if not use_fused:
         log.info("population engine: XLA (vmap) — %s", engine_reason)
 
@@ -785,6 +818,10 @@ def population_train(
             epochs_per_call=eval_every, skip_empty_guard=skip_guard,
         )
     vepoch = jax.vmap(epoch_fn, in_axes=(0, 0, 0, None, 0))
+    if use_fused and mesh is not None:
+        vepoch = _shard_map_members(
+            vepoch, mesh, tensors, data_on_members=False
+        )
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, None, None))
 
@@ -1113,8 +1150,11 @@ def population_cross_validate(
         n_samples=ns,
     )
     fused_epoch_fn = fused_opt_init = None
-    if mesh is not None:
-        engine_reason = "mesh CV runs the sharded XLA engine"
+    if mesh is not None and len(mesh.axis_names) > 1:
+        engine_reason = (
+            "2-D mesh CV runs the sharded XLA engine (in-fold data "
+            "parallelism needs a gradient psum before the update)"
+        )
     else:
         fused_epoch_fn, fused_opt_init, engine_reason = _select_fused_engine(
             model, optimizer, logging_loss, fold_tensors[0],
@@ -1123,6 +1163,8 @@ def population_cross_validate(
             t_axes=t_axes, what=" CV",
         )
     use_fused = fused_epoch_fn is not None
+    if use_fused and mesh is not None:
+        engine_reason += "; shard_map over the fold axis"
     if not use_fused:
         log.info("population CV engine: XLA (vmap) — %s", engine_reason)
 
@@ -1158,6 +1200,11 @@ def population_cross_validate(
     # t_axes (defined above): every array field carries the fold axis,
     # but the static n_samples scalar is shared (rank 0 — not mappable)
     vepoch = jax.vmap(epoch_fn, in_axes=(0, 0, 0, t_axes, 0))
+    if use_fused and mesh is not None:
+        # per-fold data rides the fold axis, so its arrays shard with it
+        vepoch = _shard_map_members(
+            vepoch, mesh, tensors, data_on_members=True
+        )
     eval_fn = make_dual_evaluator(model, logging_loss, jit=False)
     veval = jax.vmap(eval_fn, in_axes=(0, 0, 0, 0))
 

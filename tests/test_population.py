@@ -450,6 +450,61 @@ def test_population_fused_engine_interpret_mode(monkeypatch):
     assert np.isfinite(cv_f.best_losses).all()
 
 
+def test_population_mesh_composes_with_fused_engine(monkeypatch):
+    """Round 4 (late): a 1-D member mesh COMPOSES with the fused Pallas
+    engine — the vmapped kernel runs under shard_map over the member axis
+    (a pallas_call is opaque to the SPMD partitioner, so the member
+    assignment is explicit; zero collectives, shared data replicated).
+    Ensemble, traced-hyper sweep, and CV trajectories all match their
+    unsharded fused runs; a 2-D mesh still picks the XLA engine (in-member
+    data parallelism needs the gradient psum before the in-kernel
+    update)."""
+    df = eh.gen_rbq10_data(300, seed=3)
+    model = _model()
+    monkeypatch.setenv("EASYHYBRID_PALLAS", "1")
+    monkeypatch.setenv("EASYHYBRID_GATE_CACHE", "0")
+    kw = dict(nepochs=4, batchsize=64, eval_every=2, seed=2, data_seed=0)
+    mesh = eh.make_mesh(4, axis_name="members")
+
+    ens = eh.population_train(model, df, seeds=[0, 1, 2, 3], **kw)
+    ensm = eh.population_train(
+        model, df, seeds=[0, 1, 2, 3], mesh=mesh, **kw
+    )
+    assert ensm.epoch_path == "population_vmap_fused", ensm.engine_reason
+    assert "shard_map" in ensm.engine_reason
+    np.testing.assert_allclose(
+        ensm.val_history["mse"], ens.val_history["mse"], rtol=2e-5
+    )
+
+    lrs = {"learning_rate": [0.01, 0.005, 0.002, 0.001]}
+    sw = eh.population_train(model, df, hyper=lrs, **kw)
+    swm = eh.population_train(model, df, hyper=lrs, mesh=mesh, **kw)
+    assert swm.epoch_path == "population_vmap_fused", swm.engine_reason
+    np.testing.assert_allclose(
+        swm.val_history["mse"], sw.val_history["mse"], rtol=2e-5
+    )
+
+    cvkw = dict(optimizer=("adam", 0.01), nepochs=4, batchsize=64,
+                eval_every=2, seed=2, data_seed=0)
+    cv = eh.population_cross_validate(model, df, k=4, **cvkw)
+    cvm = eh.population_cross_validate(model, df, k=4, mesh=mesh, **cvkw)
+    assert cvm.epoch_path == "population_vmap_cv_fused", cvm.engine_reason
+    assert "shard_map" in cvm.engine_reason
+    np.testing.assert_allclose(
+        np.asarray(cvm.best_losses), np.asarray(cv.best_losses), rtol=2e-5
+    )
+
+    from jax.sharding import Mesh
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 ("members", "data"))
+    pop2 = eh.population_train(
+        model, df, seeds=[0, 1], mesh=mesh2, **kw
+    )
+    assert pop2.epoch_path == "population_vmap"
+    assert "2-D mesh" in pop2.engine_reason
+
+
 def _multisite_setup(S, T, seed=3):
     from easyhybrid_tpu.parallel.multisite import prepare_multisite_data
 
@@ -501,6 +556,18 @@ def test_population_over_multisite_fused_engine(monkeypatch):
         batchsize=128, split_data_at=0.75, eval_every=1,
     )
     assert pop_sh.epoch_path == "population_vmap"
+    # a 1-D member mesh composes with the multisite kernel too (round 4
+    # late: shard_map over the member axis, shared site data replicated)
+    pop_m = eh.population_train(
+        ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
+        batchsize=256, split_data_at=0.75, eval_every=1,
+        mesh=eh.make_mesh(2, axis_name="members"),
+    )
+    assert pop_m.epoch_path == "population_vmap_fused", pop_m.engine_reason
+    assert "shard_map" in pop_m.engine_reason
+    np.testing.assert_allclose(
+        pop_m.val_history["mse"], pop.val_history["mse"], rtol=2e-5
+    )
 
 
 def test_population_pure_sweep_shared_shuffle_order():
