@@ -582,12 +582,17 @@ def population_train(
     ``mesh`` shards the MEMBER axis across the mesh's FIRST axis — members
     are embarrassingly parallel (shared read-only data, zero inter-member
     collectives), so population size scales linearly with the slice; K
-    must be divisible by the member-axis size. A 2-D mesh (e.g.
+    must be divisible by the member-axis size. A 1-D mesh composes with
+    the fused Pallas engines: the vmapped kernel runs under ``shard_map``
+    over the member axis (a ``pallas_call`` is opaque to the SPMD
+    partitioner, so the member assignment is explicit). A 2-D mesh (e.g.
     ``Mesh(devs.reshape(M, D), ("members", "data"))``) ADDITIONALLY shards
     each member's in-batch sample axis over the second axis, with member
     params replicated across it so XLA inserts the per-member gradient
     ``psum`` automatically (``batchsize`` must divide by the data-axis
-    size; eval batches are zero-mask padded to it).
+    size; eval batches are zero-mask padded to it) — that path runs the
+    XLA engine (the psum must precede each update, which in-kernel
+    updates cannot express).
 
     Returns :class:`PopulationResults` with per-member best-epoch tracking
     done ON DEVICE — one dispatch, one final fetch.
@@ -1022,7 +1027,9 @@ def population_cross_validate(
     shards the FOLD axis across the mesh's first axis (k divisible by the
     member-axis size). Fusable configs run the fused Pallas epoch kernel
     (the per-fold data vmaps along with the fold axis; gated + vmapped
-    self-check, see ``_select_fused_engine``).
+    self-check, see ``_select_fused_engine``) — including under a 1-D
+    mesh, where the vmapped kernel runs in ``shard_map`` with the fold
+    data sharded along the fold axis.
 
     Returns :class:`PopulationResults` with ``seeds`` holding the fold
     index per member and ``best_losses`` the per-fold best monitored
