@@ -116,11 +116,12 @@ _PINNED_BASELINES = {
     # bf16 would be slower, so the f32 pin is the conservative denominator)
     "large_mlp_bf16": 175.0,
     "lstm": 285.0,
-    # forward-only ROWS/s (the inference row's unit), max of 7 clean
-    # measurements 2026-08-17/18 (8.45-9.25M). One in-bench drift reading
-    # of 17.5M was observed once and is unreproducible across 4 fresh
-    # runs; if the drift check flags ~2x again, re-pin upward.
-    "inference": 9_247_757.0,
+    # forward-only ROWS/s (the inference row's unit). Re-pinned AGAIN
+    # 2026-08-18 after the drift check flagged 1.39x: fresh idle-machine
+    # medians-of-7 cluster at 11.0-12.1M with an in-bench clean reading of
+    # 12.83M (one median-of-3 fluke of 19.9M was unreproducible across 5
+    # follow-ups). Pin = the reproducible max, 12.83M.
+    "inference": 12_830_610.0,
 }
 
 
