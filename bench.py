@@ -718,21 +718,11 @@ def bench_multisite_minibatch() -> float:
     )
     S, N, B = 10_240, 64, 2_560
     model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
-    rng = np.random.default_rng(0)
-    from easyhybrid_tpu.data.prepare import HybridData
+    # shared fixture builder: carries the identity _site_idx selector the
+    # fused kernel's chunk<->packed-row check requires
+    from easyhybrid_tpu.data.synthetic import gen_multisite_arrays
 
-    data = HybridData(
-        x=rng.random((S, N, 2)).astype(np.float32),
-        forcing={
-            "ta": (10 + 10 * rng.random((S, N))).astype(np.float32),
-            # identity per-site selector (prepare_multisite_data layout):
-            # the XLA comparison path gathers per-site params with it
-            "_site_idx": np.broadcast_to(
-                np.arange(S, dtype=np.float32)[:, None], (S, N)
-            ).copy(),
-        },
-        y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
-    )
+    data = gen_multisite_arrays(S, N, seed=0)
     return _epoch_bench(
         model, data, batch=B, epochs_per_call=256, e_small=8,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, B * N),

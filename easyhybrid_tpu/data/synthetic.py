@@ -13,7 +13,12 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["gen_linear_data", "gen_linear_data_2outputs", "gen_rbq10_data"]
+__all__ = [
+    "gen_linear_data",
+    "gen_linear_data_2outputs",
+    "gen_rbq10_data",
+    "gen_multisite_arrays",
+]
 
 
 def gen_linear_data(n: int = 1000, *, seed: int = 123) -> pd.DataFrame:
@@ -98,3 +103,39 @@ def gen_rbq10_data(
             id=np.arange(1, n + 1),
         )
     )
+
+
+def gen_multisite_arrays(
+    n_sites: int,
+    n_obs: int,
+    *,
+    seed: int = 0,
+    nan_frac: float = 0.0,
+    site_idx: bool = True,
+):
+    """Synthetic multi-site arrays in ``prepare_multisite_data``'s layout:
+    ``x (S, N, 2)``, forcing ``ta (S, N)``, target ``reco (S, N)``, and —
+    when ``site_idx`` — the IDENTITY per-site selector ``_site_idx``.
+    Returns :class:`~easyhybrid_tpu.data.prepare.HybridData`.
+
+    The identity selector is load-bearing: the fused multisite kernel maps
+    data chunk ``c`` to packed parameter row ``c`` statically, and
+    ``supports_fused_multisite`` verifies the data's site order IS the
+    identity before selecting the kernel (ops/fused_multisite.py) — every
+    bench/tool/test multisite fixture must share this one builder so a
+    layout change fails loudly instead of silently flipping them to the
+    XLA path."""
+    from .prepare import HybridData
+
+    S, N = int(n_sites), int(n_obs)
+    rng = np.random.default_rng(seed)
+    x = rng.random((S, N, 2)).astype(np.float32)
+    forcing = {"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)}
+    if site_idx:
+        forcing["_site_idx"] = np.broadcast_to(
+            np.arange(S, dtype=np.float32)[:, None], (S, N)
+        ).copy()
+    y = (2 + rng.random((S, N))).astype(np.float32)
+    if nan_frac:
+        y[rng.random((S, N)) < nan_frac] = np.nan
+    return HybridData(x=x, forcing=forcing, y={"reco": y})

@@ -203,8 +203,12 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
         if sidx is not None:
             # chunk c ↔ packed row c needs IDENTITY site order in the data
             # (prepare_multisite_data's layout; a custom loader could
-            # reorder). One host readback of S scalars, once per train().
-            first = np.asarray(sidx)[..., 0].reshape(-1)
+            # reorder). Slice BEFORE np.asarray so a device-resident array
+            # transfers only nb·S_b scalars, not the full (nb, S_b, N)
+            # block (readbacks degrade async dispatch on this rig —
+            # fused_epoch keeps the gate to one readback for the same
+            # reason).
+            first = np.asarray(sidx[..., 0]).reshape(-1)
             n = int(tensors.n_samples)
             if not np.array_equal(first[:n], np.arange(n, dtype=first.dtype)):
                 return False

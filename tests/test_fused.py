@@ -1608,12 +1608,20 @@ def test_fused_batch_chunked_grid_matches_unchunked(monkeypatch, loss):
     assert _pick_batch_chunks(model, [model.nn], tensors, ll) == 0  # w=128
     model_w, _, state_w, tensors_w = _setup(hidden=(32, 16), n=1024,
                                             batch=512)
+    # limit between the w=256 chunk score (0.53 MB) and the unchunked
+    # score (0.73 MB): chunk search triggers AND the candidate fits
+    monkeypatch.setenv("EASYHYBRID_FUSED_MAX_VMEM_MB", "0.6")
     assert _pick_batch_chunks(model_w, [model_w.nn], tensors_w, ll) == 2
     import dataclasses
 
     nn_bf16 = dataclasses.replace(model_w.nn, compute_dtype="bfloat16")
     model_bf = dataclasses.replace(model_w, nn=nn_bf16)
     assert _pick_batch_chunks(model_bf, [model_bf.nn], tensors_w, ll) == 0
+    # AUTO mode honors an explicitly LOWERED limit as a hard cap on chunk
+    # candidates too — no silent 35 MB floor past the user's VMEM budget
+    monkeypatch.setenv("EASYHYBRID_FUSED_MAX_VMEM_MB", "0.45")
+    assert _pick_batch_chunks(model_w, [model_w.nn], tensors_w, ll) == 0
+    monkeypatch.setenv("EASYHYBRID_FUSED_MAX_VMEM_MB", "0.6")
     # explicit opt-out disables chunking even where auto would enable
     monkeypatch.setenv("EASYHYBRID_FUSED_CHUNKED", "0")
     assert _pick_batch_chunks(model_w, [model_w.nn], tensors_w, ll) == 0

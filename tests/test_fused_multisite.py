@@ -38,21 +38,12 @@ def _make(S=200, N=10, nan_frac=0.1, seed=0, hidden=(8, 8), batchsize=None,
         scale_nn_outputs=True,
     )
     model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
-    rng = np.random.default_rng(seed)
-    y = (2 + rng.random((S, N))).astype(np.float32)
-    if nan_frac:
-        y[rng.random((S, N)) < nan_frac] = np.nan
-    forcing = {"ta": (10 + 10 * rng.random((S, N))).astype(np.float32)}
-    if site_idx:
-        # identity per-site selector, as prepare_multisite_data lays it out
-        # (needed by the XLA path whenever sites are minibatched)
-        forcing["_site_idx"] = np.broadcast_to(
-            np.arange(S, dtype=np.float32)[:, None], (S, N)
-        ).copy()
-    data = HybridData(
-        x=rng.random((S, N, 2)).astype(np.float32),
-        forcing=forcing,
-        y={"reco": y},
+    # shared fixture builder (identity _site_idx, the layout the fused
+    # kernel's chunk<->packed-row check requires)
+    from easyhybrid_tpu.data.synthetic import gen_multisite_arrays
+
+    data = gen_multisite_arrays(
+        S, N, seed=seed, nan_frac=nan_frac, site_idx=site_idx
     )
     params, state = model.init(jax.random.PRNGKey(3))
     tensors = jax.tree.map(
@@ -397,10 +388,10 @@ def _xla_multisite(model, logging, opt, epochs, params, state, tensors):
 
 
 def _assert_trees_close(p_f, p_x):
-    for (path, a), (_, b) in zip(
-        jax.tree_util.tree_flatten_with_path(p_f)[0],
-        jax.tree_util.tree_flatten_with_path(p_x)[0],
-    ):
+    fa, ta = jax.tree_util.tree_flatten_with_path(p_f)
+    fb, tb = jax.tree_util.tree_flatten_with_path(p_x)
+    assert ta == tb, f"param tree structures differ: {ta} vs {tb}"
+    for (path, a), (_, b) in zip(fa, fb):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
             err_msg=str(path),

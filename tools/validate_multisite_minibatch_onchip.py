@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 
 import easyhybrid_tpu as eh  # noqa: E402
 from easyhybrid_tpu.data.loaders import build_epoch_tensors  # noqa: E402
-from easyhybrid_tpu.data.prepare import HybridData  # noqa: E402
+
 from easyhybrid_tpu.losses.specs import LoggingLoss  # noqa: E402
 from easyhybrid_tpu.ops.fused_epoch import (  # noqa: E402
     fused_exactness_check,
@@ -51,19 +51,11 @@ def build(S, N, batch):
         hidden_layers=[16, 16], activation="swish", scale_nn_outputs=True,
     )
     model = eh.MultiSiteHybridModel(base, n_sites=S, share_nn=True)
-    rng = np.random.default_rng(0)
-    data = HybridData(
-        x=rng.random((S, N, 2)).astype(np.float32),
-        forcing={
-            "ta": (10 + 10 * rng.random((S, N))).astype(np.float32),
-            # identity per-site selector (prepare_multisite_data layout) —
-            # the XLA path gathers per-site params with it under batching
-            "_site_idx": np.broadcast_to(
-                np.arange(S, dtype=np.float32)[:, None], (S, N)
-            ).copy(),
-        },
-        y={"reco": (2 + rng.random((S, N))).astype(np.float32)},
-    )
+    # shared fixture builder (identity _site_idx — the layout the fused
+    # kernel's chunk<->packed-row check requires)
+    from easyhybrid_tpu.data.synthetic import gen_multisite_arrays
+
+    data = gen_multisite_arrays(S, N, seed=0)
     params, state = model.init(jax.random.PRNGKey(0))
     tensors = jax.device_put(build_epoch_tensors(data, batch))
     return model, params, state, tensors
