@@ -56,10 +56,13 @@ scheme. Site batching: ONE site batch per epoch
 (``batchsize >= n_sites``, the standard full-batch multisite setup), or —
 round 4 — MINIBATCHED sites when ``batchsize`` is a multiple of 128 (one
 packed row), ``shuffle_each_epoch=False`` (the VMEM-packed site-major
-parameter tiles cannot re-partition sites per epoch), the data's site
-order is the identity (``prepare_multisite_data``'s layout), and the loss
-is batch-local (everything above except rmse, whose deferred factor is
-epoch-scoped). Minibatched updates defer to each batch's last grid group
+parameter tiles cannot re-partition sites per epoch), and the data's site
+order is the identity (``prepare_multisite_data``'s layout). Every loss
+above qualifies: batch-local scales stream per batch, and rmse's deferred
+factor (late round 4) is batch-scoped — per-batch SSE accumulators reset
+at each batch's first group and the ``agg/(2·n·r)`` factor applies at the
+batch's last group, exactly where minibatched updates already defer.
+Minibatched updates defer to each batch's last grid group
 as whole-tile per-site updates: out-of-batch packed rows carry zero
 gradients, which is EXACTLY optax's zero-grad moment decay for
 out-of-batch parameters, so parity with the XLA epoch is bit-for-bit in
@@ -186,13 +189,14 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
         # MINIBATCHED sites (round 4): supported when each batch's site
         # count is a whole number of 128-lane packed rows AND the loss is
-        # batch-local (per-batch scales precompute; rmse's deferred factor
-        # is epoch-scoped, not batch-scoped). Updates defer to each
-        # batch's END as whole-tile per-site updates, so out-of-batch
-        # sites get exactly optax's zero-grad moment decay.
+        # batch-local (per-batch scales precompute). rmse joins late round
+        # 4: its deferred factor is BATCH-scoped here — per-batch SSE
+        # accumulators reset at each batch's first group and the factor
+        # applies at the batch's last group, where updates already defer.
+        # Updates defer to each batch's END as whole-tile per-site
+        # updates, so out-of-batch sites get exactly optax's zero-grad
+        # moment decay.
         if int(tensors.x.shape[-3]) % _SITE_LANES:
-            return False
-        if _fused_loss_kind(logging.training_loss) == "rmse":
             return False
         if shuffle is not False:
             # the VMEM-packed site-major parameter tiles map data chunk c
@@ -327,11 +331,6 @@ def make_fused_multisite_epoch(
                     "minibatched multisite sites need "
                     "shuffle_each_epoch=False: the VMEM-packed site-major "
                     "parameter tiles cannot re-partition sites per epoch"
-                )
-            if deferred_loss:
-                raise ValueError(
-                    "minibatched multisite does not support rmse (its "
-                    "deferred factor is epoch-scoped)"
                 )
             s_b = int(tensors.x.shape[-3])
             if s_b % _SITE_LANES:
@@ -874,26 +873,39 @@ def make_fused_multisite_epoch(
             # later batch must not zero earlier batches' accumulated loss);
             # reset at epoch start
             contrib = loss_local * valid
-            acc_loss = jnp.where(chunk_start, contrib, contrib + prev_loss)
             if deferred_loss:
-                # acc_loss carries the RAW sse; the rmse value and the
-                # gradient factor derive from it once complete (used at
-                # is_last; finite at every group, so the discarded
-                # non-last computations cannot leak NaN)
+                # row 0 carries the RAW per-BATCH sse (reset at the batch's
+                # first group — for the one-batch case that IS the epoch
+                # start); the rmse value and the gradient factor derive
+                # from it once the batch is complete (used at do_update;
+                # finite at every group, so the discarded non-last
+                # computations cannot leak NaN). Row 1 accumulates the
+                # EPOCH loss: each batch's finished agg_scale·rmse lands
+                # there at its last group (minibatched rmse, late round 4 —
+                # the factor is batch-scoped because scl streams the
+                # current batch's 1/n and sse resets per batch).
+                sse = jnp.where(acc_start, contrib, contrib + prev_loss)
                 inv_n0 = scl[1, 1]
-                r_val = jnp.sqrt(jnp.maximum(acc_loss * inv_n0, 0.0))
+                r_val = jnp.sqrt(jnp.maximum(sse * inv_n0, 0.0))
                 factor = (agg_scale * inv_n0) / (
                     2.0 * jnp.maximum(r_val, 1e-30)
                 )
                 loss_val = agg_scale * r_val
+                prev_eloss = loss_out[1, 0]
+                eloss = jnp.where(
+                    chunk_start, jnp.float32(0.0), prev_eloss
+                ) + jnp.where(do_update, valid * loss_val, jnp.float32(0.0))
                 rows8 = jax.lax.broadcasted_iota(jnp.int32, _PAD, 0)
                 loss_out[...] = jnp.where(
                     rows8 == 1,
-                    jnp.zeros(_PAD, jnp.float32) + loss_val,
-                    jnp.zeros(_PAD, jnp.float32) + acc_loss,
+                    jnp.zeros(_PAD, jnp.float32) + eloss,
+                    jnp.zeros(_PAD, jnp.float32) + sse,
                 )
             else:
                 factor = None
+                acc_loss = jnp.where(
+                    chunk_start, contrib, contrib + prev_loss
+                )
                 loss_out[...] = jnp.zeros(_PAD, jnp.float32) + acc_loss
 
             for k in range(nsite):

@@ -406,6 +406,12 @@ def _assert_trees_close(p_f, p_x):
         (256, 128, ("sgd", 0.05), "nseLoss", "sum"),  # per-batch SST scales
         (512, 256, ("adamw", 0.01), "mse", "sum"),    # r_b=2: multi-chunk batch
         (256, 128, ("lion", 0.003), "mae", "mean"),   # two-slot optimizer
+        # rmse joined the minibatch envelope late round 4: its deferred
+        # factor is batch-scoped (per-batch SSE reset + factor application
+        # at each batch's last group, where updates already defer)
+        (256, 128, ("adam", 0.01), "rmse", "sum"),    # nb=2 deferred factor
+        (300, 128, ("sgd", 0.05), "rmse", "mean"),    # padded tail batch
+        (512, 256, ("adam", 0.01), "rmse", "sum"),    # r_b=2 multi-chunk
     ],
 )
 def test_multisite_fused_minibatch_matches_xla(S, batchsize, opt, loss, agg):
@@ -440,10 +446,14 @@ def test_multisite_fused_minibatch_matches_xla(S, batchsize, opt, loss, agg):
     assert int(o_f["t"][0]) == epochs * nb
 
 
-def test_multisite_fused_minibatch_empty_batch_guard():
+@pytest.mark.parametrize("loss", ["mse", "rmse"])
+def test_multisite_fused_minibatch_empty_batch_guard(loss):
     """A fully-masked site batch must not step the optimizer, zero earlier
     batches' loss contributions, or decay moments — parity with the XLA
-    epoch's empty-batch guard (epoch.jl:35-37 analog)."""
+    epoch's empty-batch guard (epoch.jl:35-37 analog). rmse additionally
+    checks that the batch-scoped deferred factor (1/(2·rmse) with
+    rmse = 0 on the empty batch) cannot leak a non-finite update: the
+    accumulated grads it scales are exactly zero there."""
     model, params, state, tensors = _make(
         S=256, N=8, nan_frac=0.0, batchsize=128, site_idx=True
     )
@@ -458,7 +468,7 @@ def test_multisite_fused_minibatch_empty_batch_guard():
         mask=jax.tree.map(jnp.asarray, mask), weight=tensors.weight,
         n_samples=tensors.n_samples,
     )
-    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    logging = LoggingLoss(training_loss=loss, loss_types=(loss,))
     epochs = 2
     fused = make_fused_multisite_epoch(
         model, state, ("adam", 0.01), logging, shuffle=False,
@@ -543,9 +553,10 @@ def test_multisite_minibatch_envelope():
     assert not supports_fused_multisite(
         model, ("adam", 0.01), logging, tensors, shuffle="batches"
     )
-    # rmse's deferred factor is epoch-scoped: rejected for minibatches
+    # rmse joined the minibatch envelope late round 4 (batch-scoped
+    # deferred factor)
     rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
-    assert not supports_fused_multisite(
+    assert supports_fused_multisite(
         model, ("adam", 0.01), rmse, tensors, shuffle=False
     )
     # non-identity site order (custom loader): rejected

@@ -12,7 +12,11 @@ get optax's zero-grad moment decay). This script runs on the real TPU:
 3. read-forced marginal perf fused vs XLA at the requested scale.
 
 Usage: python tools/validate_multisite_minibatch_onchip.py \
-           [S] [N] [batch] [E_small] [E_big]
+           [S] [N] [batch] [E_small] [E_big] [loss]
+
+``loss`` defaults to mse; pass ``rmse`` to drive the late-round-4
+batch-scoped deferred-factor path (per-batch SSE reset + factor at each
+batch's last group).
 """
 
 import sys
@@ -67,7 +71,8 @@ def main():
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     e_small = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     e_big = int(sys.argv[5]) if len(sys.argv) > 5 else 64
-    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    loss_name = sys.argv[6] if len(sys.argv) > 6 else "mse"
+    logging = LoggingLoss(training_loss=loss_name, loss_types=(loss_name,))
     model, params, state, tensors = build(S, N, batch)
     nb = int(tensors.weight.shape[0])
     print(
