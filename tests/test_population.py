@@ -550,6 +550,17 @@ def test_population_over_multisite_fused_engine(monkeypatch):
         eval_every=1,
     )
     assert pop_mb.epoch_path == "population_vmap_fused", pop_mb.engine_reason
+    # rmse joined the minibatched envelope late round 4 (batch-scoped
+    # deferred factor): ensembles with training_loss="rmse" stay fused
+    pop_rmse = eh.population_train(
+        ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
+        batchsize=128, shuffle_each_epoch=False, split_data_at=0.75,
+        eval_every=1, training_loss="rmse", loss_types=["rmse"],
+    )
+    assert pop_rmse.epoch_path == "population_vmap_fused", (
+        pop_rmse.engine_reason
+    )
+    assert np.isfinite(pop_rmse.best_losses).all()
     # shuffled minibatches break the static site partition: XLA engine
     pop_sh = eh.population_train(
         ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
