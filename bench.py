@@ -100,6 +100,74 @@ def _median_rate(run_block, steps_per_block: int, repeats: int = REPEATS):
 # --------------------------------------------------------------------------
 
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak; kernels run f32 → conservative
+V5E_HBM_BW = 819e9  # bytes/s, v5e HBM bandwidth
+
+
+V5E_MXU_MACS = V5E_PEAK_FLOPS / 2.0  # MAC slots/s at full 128-lane tiles
+# VPU f32 FMA peak, assumed (8,128) lanes × 4 ALUs × 940 MHz: tiny
+# contractions (K,N ≤ ~32) are CHEAPER as full-lane broadcast-FMAs on the
+# VPU than as 128-padded MXU passes, and Mosaic lowers them there
+V5E_VPU_MACS = 8 * 128 * 4 * 940e6
+
+
+def _attainable_bounds(
+    passes, flops_per_step: float, bytes_per_step: float,
+):
+    """Shape-specific ATTAINABLE roofline for one training config (round-5
+    VERDICT item #2): the 197 TFLOP/s MXU peak assumes every contraction
+    fills all 128 lanes × 128 columns, which small-feature hybrid models
+    structurally cannot. Model: each dense pass ``(B, K, N)`` (B = streamed
+    rows, K = contraction, N = output columns) costs the CHEAPER of
+    - MXU: ``pad(B,8)·pad(K,128)·pad(N,128)`` MAC slots at 98.5e12 slots/s
+      (TPU (8,128) tiling; f32 contractions run as bf16 MXU passes at
+      default precision, so the bf16 peak is the right capacity), or
+    - VPU: ``B·K·N`` full-lane broadcast-FMAs at ~3.85e12 MACs/s
+    — the compiler's choice, assumed perfect. The per-step compute time is
+    the sum over passes (no MXU/VPU overlap assumed within a pass chain),
+    jointly bounded by HBM bytes/step against the 819 GB/s v5e bandwidth:
+    ``t = max(Σ t_pass, t_hbm)``. The bound EXCLUDES elementwise work
+    (activations, physics, optimizer), layout changes, and loop overheads —
+    i.e. it is optimistic, a true upper bound on steps/s.
+
+    Validated against round-4 measurements: the multisite kernel ([16,16]
+    features, 640k streamed samples) measures 4.77 TFLOP/s — 62% of its
+    7.7 TFLOP/s VPU-bound attainable — while its "MFU" reads 2.4%; the gap
+    between those two numbers is exactly what this field exists to explain.
+    """
+    def pad(v, m):
+        return -(-int(v) // m) * m
+
+    t_compute = 0.0
+    mxu_macs = 0
+    for b, k, n in passes:
+        t_mxu = pad(b, 8) * pad(k, 128) * pad(n, 128) / V5E_MXU_MACS
+        t_vpu = b * k * n / V5E_VPU_MACS
+        t_compute += min(t_mxu, t_vpu)
+        if t_mxu <= t_vpu:
+            mxu_macs += b * k * n
+    t_hbm = bytes_per_step / V5E_HBM_BW
+    t = max(t_compute, t_hbm)
+    steps = 1.0 / t
+    return {
+        "attainable_tflops": round(flops_per_step * steps / 1e12, 3),
+        "attainable_steps_per_s": round(steps, 1),
+        "attainable_bound": "compute" if t_compute >= t_hbm else "hbm",
+        "attainable_mxu_flop_share_pct": round(
+            100.0 * 2.0 * mxu_macs / flops_per_step, 1
+        ),
+        "hbm_bytes_per_step": int(bytes_per_step),
+    }
+
+
+def _mlp_passes(hidden, n_features: int, batch: int, n_out: int = 1):
+    """The dense passes of one MLP grad step, in ``_attainable_bounds``
+    (B, K, N) form: fwd [B,K]@[K,N], dgrad [B,N]@[N,K], wgrad [K,B]@[B,N]
+    (streamed rows, contraction, output columns)."""
+    dims = [n_features, *hidden, n_out]
+    passes = []
+    for k, n in zip(dims[:-1], dims[1:]):
+        passes += [(batch, k, n), (batch, n, k), (k, batch, n)]
+    return passes
 
 _PINNED_BASELINES = {
     # torch-CPU 1-thread steps/s; re-measured each run only as a drift
@@ -116,12 +184,21 @@ _PINNED_BASELINES = {
     # bf16 would be slower, so the f32 pin is the conservative denominator)
     "large_mlp_bf16": 175.0,
     "lstm": 285.0,
-    # forward-only ROWS/s (the inference row's unit). Re-pinned AGAIN
-    # 2026-08-18 after the drift check flagged 1.39x: fresh idle-machine
-    # medians-of-7 cluster at 11.0-12.1M with an in-bench clean reading of
-    # 12.83M (one median-of-3 fluke of 19.9M was unreproducible across 5
-    # follow-ups). Pin = the reproducible max, 12.83M.
-    "inference": 12_830_610.0,
+    # forward-only ROWS/s (the inference row's unit). ROOT-CAUSED and
+    # re-pinned 2026-08-19 (round 5): this rig's single vCPU is BIMODAL
+    # across time — the same hot-loop protocol reads ~13M rows/s in one
+    # process invocation and ~22.6M in another (burst-then-throttle /
+    # host-core placement; measured 12.4-14.6M idle-cold, 15.1-22.6M in a
+    # burst window, 13.0-13.6M in two immediately-following runs after the
+    # burst was spent). Every historical "drift" flag (1.39x, 1.707x) was
+    # this bimodality, not measurement error. No fixed pin can hold a
+    # +/-30% band on such a host, so the pin is the FASTEST clean
+    # measurement ever observed (max-of-medians over 5 rounds x 7 blocks,
+    # CPU pre-spun hot 8 s, idle load<0.1) and `entry()` computes
+    # vs_baseline against max(pin, live) — the published ratio can never
+    # overstate, whichever mode the host is in. Protocol:
+    # tools/measure_inference_baseline.py.
+    "inference": 22_573_000.0,
 }
 
 
@@ -143,6 +220,9 @@ def _epoch_bench(
     e_small: int = 8,
     flops_per_step: float = None,
     shuffle=True,
+    attainable_passes=None,
+    bytes_per_step: float = None,
+    bound_note: str = None,
 ):
     """Honest read-forced grad-steps/sec of the epoch program.
 
@@ -263,6 +343,17 @@ def _epoch_bench(
         extras["gflops_per_step"] = round(flops_per_step / 1e9, 4)
         extras["tflops"] = round(achieved / 1e12, 3)
         extras["mfu_pct"] = round(100.0 * achieved / V5E_PEAK_FLOPS, 3)
+        if attainable_passes is not None:
+            bounds = _attainable_bounds(
+                attainable_passes, flops_per_step,
+                bytes_per_step if bytes_per_step is not None else 0.0,
+            )
+            extras.update(bounds)
+            extras["pct_of_attainable"] = round(
+                100.0 * marginal / bounds["attainable_steps_per_s"], 2
+            )
+            if bound_note:
+                extras["bound_note"] = bound_note
     path = (
         ("fused_pallas_multisite" if is_ms else "fused_pallas")
         if use_fused else "xla_scan"
@@ -293,6 +384,16 @@ def bench_rbq10() -> float:
         # tunnel users actually see per dispatch)
         model, data, batch=512, epochs_per_call=1024,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, 512),
+        attainable_passes=_mlp_passes([16, 16], 2, 512),
+        # per-step tile reads: 512 rows × (2 x + ta + y + w) f32, ×3 for
+        # the shuffled copy's gather write+read
+        bytes_per_step=512 * 5 * 4 * 3,
+        bound_note=(
+            "dependency-bound: the in-kernel SGD chain floors at ~3.3 "
+            "us/step (tpu_notes 4b; the unroll experiment proved grid "
+            "sequencing is not the cost) — the compute bound is not the "
+            "binding constraint at this tiny shape"
+        ),
     )
 
 
@@ -332,6 +433,9 @@ def bench_multi_target() -> float:
     return _epoch_bench(
         model, data, batch=512, epochs_per_call=1024,  # see bench_rbq10
         flops_per_step=_mlp_flops_per_step([16, 16], 2, 512, n_out=2),
+        attainable_passes=_mlp_passes([16, 16], 2, 512, n_out=2),
+        bytes_per_step=512 * 7 * 4 * 3,  # 2 x + ta + 2 y + 2 w, shuffled
+        bound_note="dependency-bound, see rbq10",
     )
 
 
@@ -356,6 +460,13 @@ def bench_large_mlp() -> float:
         model, data, batch=64, epochs_per_call=64,
         flops_per_step=_mlp_flops_per_step(
             [1024, 512, 256, 128, 64], 2, 64
+        ),
+        attainable_passes=_mlp_passes([1024, 512, 256, 128, 64], 2, 64),
+        bytes_per_step=64 * 5 * 4 * 3,
+        bound_note=(
+            "batch 64 fills only half an (8,128)-sublane group per MXU "
+            "pass and is latency-bound; the b1024 row is the "
+            "throughput-bound shape"
         ),
     )
 
@@ -395,6 +506,10 @@ def bench_large_mlp_bf16() -> float:
         flops_per_step=_mlp_flops_per_step(
             [1024, 512, 256, 128, 64], 2, 64
         ),
+        attainable_passes=_mlp_passes([1024, 512, 256, 128, 64], 2, 64),
+        bytes_per_step=64 * 5 * 4 * 3,
+        bound_note="see large_mlp; bf16 operands do not change the bound "
+        "(f32 contractions already run as bf16 MXU passes)",
     )
 
 
@@ -430,6 +545,8 @@ def bench_large_mlp_b1024() -> float:
         flops_per_step=_mlp_flops_per_step(
             [1024, 512, 256, 128, 64], 2, 1024
         ),
+        attainable_passes=_mlp_passes([1024, 512, 256, 128, 64], 2, 1024),
+        bytes_per_step=1024 * 5 * 4 * 3,
     )
 
 
@@ -597,8 +714,20 @@ def bench_inference() -> float:
     }
 
 
-def baseline_inference(n_rows=131_072, reps=3) -> float:
-    """torch-CPU forward-only rows/s for the same model shape."""
+def baseline_inference(n_rows=131_072, rounds=5, blocks=7,
+                       spin_s=8.0) -> float:
+    """torch-CPU forward-only rows/s for the same model shape, under the
+    PINNED protocol (round 5): the CPU is pre-spun hot for ``spin_s``
+    seconds (the forward block is only ~10 ms — far too short to ramp a
+    frequency governor by itself, unlike the self-warming training
+    baselines), then ``rounds`` rounds of median-of-``blocks`` are taken
+    and the MAX of the round medians is returned — the fastest clean
+    reading, i.e. the conservative (lowest-ratio) denominator. The rig's
+    vCPU is bimodal across invocations (see ``_PINNED_BASELINES``), so a
+    single invocation may still land in the slow mode; ``entry()`` guards
+    the ratio with max(pin, live) regardless."""
+    import statistics
+
     torch = _torch_setup()
     g = torch.Generator().manual_seed(0)
     x = torch.randn(n_rows, 2, generator=g)
@@ -620,8 +749,21 @@ def baseline_inference(n_rows=131_072, reps=3) -> float:
             pred = rb * q10 ** (0.1 * (ta - 15.0))
             _ = pred.numpy()
 
-    block()  # warmup
-    return _median_rate(block, n_rows)
+    for _ in range(3):
+        block()  # warmup
+    a = torch.randn(512, 512)
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < spin_s:  # ramp the CPU hot
+        a = a @ a * 1e-3 + 1.0
+    medians = []
+    for _ in range(rounds):
+        rates = []
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            block()
+            rates.append(n_rows / (time.perf_counter() - t0))
+        medians.append(statistics.median(rates))
+    return max(medians)
 
 
 def bench_large_mlp_b1024_bf16() -> float:
@@ -659,6 +801,10 @@ def bench_large_mlp_b1024_bf16() -> float:
         flops_per_step=_mlp_flops_per_step(
             [1024, 512, 256, 128, 64], 2, 1024
         ),
+        attainable_passes=_mlp_passes([1024, 512, 256, 128, 64], 2, 1024),
+        bytes_per_step=1024 * 5 * 4 * 3,
+        bound_note="see large_mlp_b1024; the bound is unchanged by bf16 "
+        "operands",
     )
 
 
@@ -694,6 +840,15 @@ def bench_multisite() -> float:
         # marginal (the ~34 ms dispatch amortizes 4x further)
         model, data, batch=S, epochs_per_call=1024, e_small=8,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, S * N),
+        attainable_passes=_mlp_passes([16, 16], 2, S * N),
+        # full-site step, no shuffle: every (site, obs) tile read once
+        bytes_per_step=S * N * 5 * 4,
+        bound_note=(
+            "VPU-bound by shape: [16,16] contractions cannot fill 128-lane "
+            "MXU tiles, so the attainable bound is the full-lane VPU FMA "
+            "rate — 'mfu_pct' vs the 197 TFLOP/s MXU peak is structurally "
+            "~2.4% here and NOT the headroom"
+        ),
     )
 
 
@@ -727,6 +882,9 @@ def bench_multisite_minibatch() -> float:
         model, data, batch=B, epochs_per_call=256, e_small=8,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, B * N),
         shuffle=False,
+        attainable_passes=_mlp_passes([16, 16], 2, B * N),
+        bytes_per_step=B * N * 5 * 4,
+        bound_note="VPU-bound by shape, see multisite",
     )
 
 
@@ -756,9 +914,22 @@ def bench_lstm() -> float:
     )
     T, H, F, B = 10, 16, 2, 512
     lstm_flops = 6.0 * T * 4 * (F + H) * H * B  # 4 gates, fwd+bwd
+    # per timestep: gate fwd [B,F+H]@[F+H,4H], dgrad, wgrad (head excluded,
+    # matching lstm_flops)
+    gate_passes = [
+        (B, F + H, 4 * H), (B, 4 * H, F + H), (F + H, B, 4 * H),
+    ] * T
     return _epoch_bench(
         model, data, batch=B, epochs_per_call=1024,  # see bench_rbq10
         flops_per_step=lstm_flops,
+        attainable_passes=gate_passes,
+        # window tiles: B × (T·F x + ta + y + w) f32, ×3 shuffled copy
+        bytes_per_step=B * (T * 2 + 3) * 4 * 3,
+        bound_note=(
+            "sequential T-step chain; checkpointed-recompute BPTT "
+            "recomputes the gate forward (~+1 pass not in the analytic "
+            "FLOPs), so the true attainable is ~3/4 of this bound"
+        ),
     )
 
 
@@ -942,6 +1113,12 @@ def main():
             row.update(extras)
         pinned = _PINNED_BASELINES.get(name)
         base = pinned if pinned is not None else measured
+        if pinned is not None and measured == measured:
+            # the ratio denominator is the FASTEST CPU evidence available
+            # (pin or live re-measurement) — the published ratio can never
+            # overstate, whichever speed mode the host is in (round 5; the
+            # rig's vCPU is bimodal, see _PINNED_BASELINES)
+            base = max(pinned, measured)
         if base == base:  # not NaN
             row["baseline_steps_per_s"] = round(base, 2)
             row["baseline_ms_per_step"] = round(1000.0 / base, 4)
@@ -950,13 +1127,35 @@ def main():
             if pinned is not None and measured == measured:
                 drift = measured / pinned
                 row["baseline_drift"] = round(drift, 3)
-                if abs(drift - 1.0) > 0.3:
+                if drift > 1.3:
+                    # the pin UNDERSTATES the live CPU: the pin itself is
+                    # stale and must be re-measured. The ratio above
+                    # already uses the live value (no overstatement), but
+                    # the row self-flags so a violated pin can never ship
+                    # silently again (round-5 VERDICT item #1).
+                    row["invalid"] = True
+                    row["pin_status"] = "understated_pin"
                     print(
-                        f"# WARNING {name}: CPU baseline drifted "
-                        f"{drift:.2f}x from the pinned value "
-                        f"({measured:.1f} vs {pinned:.1f} steps/s)",
+                        f"# ERROR {name}: live CPU baseline {measured:.1f} "
+                        f"exceeds the pin {pinned:.1f} by {drift:.2f}x — "
+                        "row marked invalid; raise the pin "
+                        "(tools/measure_inference_baseline.py)",
                         file=sys.stderr,
                     )
+                elif drift < 0.7:
+                    # the live reading is in the host's SLOW mode: the
+                    # ratio keeps the (faster) pin as denominator — the
+                    # conservative claim — and the row says why the drift
+                    # band was exceeded.
+                    row["pin_status"] = "host_slow_mode"
+                    print(
+                        f"# NOTE {name}: live CPU baseline {measured:.1f} "
+                        f"is {drift:.2f}x the pin {pinned:.1f} (host slow "
+                        "mode); ratio uses the pin — conservative",
+                        file=sys.stderr,
+                    )
+                else:
+                    row["pin_status"] = "in_band"
         configs[name] = row
         return row
 

@@ -72,6 +72,16 @@ def main():
     e_small = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     e_big = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     loss_name = sys.argv[6] if len(sys.argv) > 6 else "mse"
+    from easyhybrid_tpu.ops.fused_multisite import _MS_LOSSES, _ms_loss_kind
+
+    if _ms_loss_kind(loss_name) is None:
+        # fail at the usage message, not deep inside kernel construction
+        sys.exit(
+            f"loss {loss_name!r} is outside the multisite fused envelope "
+            f"(supported: {', '.join(_MS_LOSSES)}). Usage: python "
+            "tools/validate_multisite_minibatch_onchip.py "
+            "[S] [N] [batch] [E_small] [E_big] [loss]"
+        )
     logging = LoggingLoss(training_loss=loss_name, loss_types=(loss_name,))
     model, params, state, tensors = build(S, N, batch)
     nb = int(tensors.weight.shape[0])
