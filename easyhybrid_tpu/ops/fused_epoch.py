@@ -68,12 +68,14 @@ residual penalties, forward-differentiated in-kernel; batch-statistic
 losses use centered sufficient statistics + scalar jvp partials),
 agg in {sum, mean},
 optimizer in {adam, adamw, sgd, rmsprop, adagrad, lion, adamax, nadam,
-adadelta, radam, amsgrad, lamb} with static hyperparameters — every rule
-in ``training.optimizers.OPTIMIZERS`` except the RNG-consuming noisy_sgd
-(adadelta's two EMAs ride the (m, v) slots; radam's rectification is a
-pure function of t; amsgrad carries an optional third ``u`` buffer set
-for nu_max; lamb's per-leaf trust ratio uses tile-wide norm dots — the
-zero-padded tile invariant makes the tile norm the leaf norm) —
+adadelta, radam, amsgrad, lamb, noisy_sgd} — EVERY rule in
+``training.optimizers.OPTIMIZERS`` (adadelta's two EMAs ride the (m, v)
+slots; radam's rectification is a pure function of t; amsgrad carries an
+optional third ``u`` buffer set for nu_max; lamb's per-leaf trust ratio
+uses tile-wide norm dots — the zero-padded tile invariant makes the tile
+norm the leaf norm; noisy_sgd's gradient noise is gradient-INDEPENDENT,
+so optax's exact stream is pre-generated XLA-side and streamed in as one
+per-leaf tile per step, round 5) —
 including per-branch dict specs (multi_transform labels) — no
 ``extra_loss`` beyond the declarative weight-L2. Multi-target losses
 with per-target NaN masks are supported. ``training.train`` auto-enables the
@@ -153,6 +155,14 @@ _OPT_DEFAULTS: Dict[str, Dict[str, float]] = {
         learning_rate=0.01, b1=0.9, b2=0.999, eps=1e-6, eps_root=0.0,
         weight_decay=0.0,
     ),
+    # round 5: the last OPTIMIZERS rule joins the kernel. Its gradient
+    # noise is INDEPENDENT of the gradients — a pure function of the
+    # initial key and the 1-based step count (optax add_noise,
+    # transforms/_adding.py) — so the exact optax stream is pre-generated
+    # XLA-side and streamed in as one per-leaf operand tile per step
+    # (the traced-hyper pattern); in-kernel the update is plain sgd on
+    # g + noise. See _noisy_sgd_noise / _NOISE_OPTS.
+    "noisy_sgd": dict(learning_rate=0.01, eta=0.01, gamma=0.55),
 }
 
 # rules whose update is NOT elementwise (needs whole-leaf reductions): the
@@ -164,6 +174,14 @@ _WHOLELEAF_OPTS = ("lamb",)
 # an extra (u) buffer set only when one of these is in the spec
 _SLOT3_OPTS = ("amsgrad",)
 
+# rules that consume a pre-generated per-step noise stream. Their noise is
+# sampled per LEAF of the update tree (optax tree.random_like splits one
+# sample key into num_leaves subkeys), so ``optax.flatten`` — one flat
+# vector leaf — changes the realized stream: train()'s flatten fast path
+# and the gate's flattened reference both exclude them, like the
+# whole-leaf rules. The multisite kernel has no noise operand: XLA there.
+_NOISE_OPTS = ("noisy_sgd",)
+
 _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     "adam": ("learning_rate", "b1", "b2", "eps"),
     "adamw": ("learning_rate", "b1", "b2", "eps"),
@@ -173,6 +191,9 @@ _OPT_POSITIONAL: Dict[str, Tuple[str, ...]] = {
     # optax.lion's 4th positional is mu_dtype, not weight_decay — stop at
     # b2 so tuple specs can never diverge between the two paths
     "lion": ("learning_rate", "b1", "b2"),
+    # optax.noisy_sgd's 4th positional is the RNG key: a spec naming one
+    # is NOT fused (the kernel pins optax's default jax.random.key(0))
+    "noisy_sgd": ("learning_rate", "eta", "gamma"),
     "adamax": ("learning_rate", "b1", "b2", "eps"),
     "nadam": ("learning_rate", "b1", "b2", "eps"),
     "adadelta": ("learning_rate", "rho", "eps"),
@@ -294,6 +315,11 @@ def parse_branch_specs(spec) -> Optional[Dict[str, Tuple[str, Dict[str, float]]]
     for k, sub in spec.items():
         parsed = parse_opt_spec(sub)
         if parsed is None:
+            return None
+        if parsed[0] in _NOISE_OPTS:
+            # per-branch noise would need multi_transform's masked-subtree
+            # key splitting (noise leaf count = the BRANCH's leaves, not
+            # the full tree) — XLA path, like any unfusable branch
             return None
         out[str(k)] = parsed
     out.setdefault(
@@ -521,10 +547,31 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
         return False
     if logging.agg_name not in ("sum", "mean"):
         return False
-    return (
-        parse_opt_spec(optimizer_spec) is not None
-        or parse_branch_specs(optimizer_spec) is not None
-    )
+    parsed = parse_opt_spec(optimizer_spec)
+    if parsed is None and parse_branch_specs(optimizer_spec) is None:
+        return False
+    if parsed is not None and parsed[0] in _NOISE_OPTS:
+        # The pre-generated noise stream is consumed 1:1 with optax's
+        # update CALLS, but the XLA path tree-select-discards all-masked
+        # batches — state (incl. add_noise's rng chain) does not advance
+        # there. Parity therefore needs data where NO batch can be fully
+        # masked under ANY shuffle permutation: statically guaranteed when
+        # the number of dead slots (every target masked at that sample,
+        # padding included — the permutation moves slots, not samples) is
+        # smaller than one batch.
+        if tensors is None:
+            return False
+        dead = None
+        for m in tensors.mask.values():
+            if isinstance(m, jax.core.Tracer):
+                return False  # cannot verify the mask statically
+            md = np.asarray(jax.device_get(m))
+            alive = md.reshape(md.shape[0], md.shape[1], -1).max(axis=-1)
+            d = alive <= 0.0
+            dead = d if dead is None else (dead & d)
+        if dead is None or int(dead.sum()) >= int(tensors.weight.shape[-1]):
+            return False
+    return True
 
 
 def init_fused_opt_state(params, optimizer_spec=None) -> Dict[str, Any]:
@@ -603,6 +650,41 @@ def _pad_to(g, shape: Tuple[int, int]):
             [g, jnp.zeros((g.shape[0], shape[1] - g.shape[1]), jnp.float32)], 1
         )
     return g
+
+
+def _noisy_sgd_noise(k_start, t_start, n_steps, orig_shapes, eta, gamma):
+    """Pre-generate ``optax.noisy_sgd``'s per-step SCALED gradient noise,
+    replicating ``add_noise``'s exact stream (optax 0.2.6,
+    transforms/_adding.py): per update, ``rng_key, sample_key =
+    jax.random.split(rng_key)``; per leaf ``i`` of the update tree,
+    ``jax.random.normal(jax.random.split(sample_key, n_leaves)[i],
+    leaf.shape, float32)``; scaled by ``sqrt(eta / t**gamma)`` with the
+    1-based step count ``t``. The chain starts at optax's default
+    ``jax.random.key(0)`` — pass ``k_start`` already fast-forwarded past
+    previously consumed draws (warm starts / later eval blocks) and
+    ``t_start`` = that consumed count. Returns one kernel-layout padded
+    array ``(n_steps, R, C)`` per leaf plus the advanced chain key."""
+    n_leaves = len(orig_shapes)
+
+    def step(kk, _):
+        kk2, s = jax.random.split(kk)
+        return kk2, jax.random.split(s, n_leaves)
+
+    k_end, keys = jax.lax.scan(step, k_start, None, length=n_steps)
+    t_idx = t_start.astype(jnp.float32) + jnp.arange(
+        1, n_steps + 1, dtype=jnp.float32
+    )
+    std = jnp.sqrt(eta / t_idx ** gamma)  # σ_t, optax's f32 formula
+    out = []
+    for i, oshape in enumerate(orig_shapes):
+        nz = jax.vmap(
+            lambda kk, _s=tuple(oshape): jax.random.normal(
+                kk, _s, jnp.float32
+            )
+        )(keys[:, i])
+        nz = nz * std.reshape((-1,) + (1,) * len(oshape))
+        out.append(jax.vmap(_to_kernel_buffer)(nz))
+    return out, k_end
 
 
 def _dot11(a, b):
@@ -783,6 +865,12 @@ def make_update_leaf(opt_name: str, hyper: Dict[str, float]):
     lr = hyper["learning_rate"]
 
     def update_leaf(pv, mv, vv, g, valid, t_new):
+        if opt_name == "noisy_sgd":
+            # p' = p − lr·(g + σ_t·N(0,1)): the pre-scaled noise tile was
+            # already added into g by the caller (run_kernel_epoch streams
+            # it per step), leaving a plain sgd apply here — exactly
+            # optax.chain(add_noise, scale_by_learning_rate)
+            return pv - (valid * lr) * g, mv, vv
         if opt_name == "sgd":
             mom = hyper.get("momentum", 0.0)
             if _is_static_hyper(mom) and mom == 0.0:
@@ -1104,6 +1192,10 @@ def make_fused_epoch(
     # optional third carried state slot (amsgrad nu_max): one extra buffer
     # set, seeded/carried/written exactly like the (m, v) moments
     has_u = spec_uses_slot3(optimizer_spec)
+    # noise-consuming rules (noisy_sgd): optax's exact per-step scaled
+    # noise is pre-generated XLA-side (_noisy_sgd_noise) and streamed into
+    # the kernel as one per-leaf operand tile per optimizer step
+    is_noisy = parsed is not None and parsed[0] in _NOISE_OPTS
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -2030,7 +2122,7 @@ def make_fused_epoch(
         p_bufs, m_bufs, v_bufs, u_bufs, t_buf,
         st_bufs, st_treedef, st_orig_shapes,
         treedef, orig_shapes, data, is_weight, update_fns,
-        epochs=1, stacked=False, hyper_buf=None, n_chunks=1,
+        epochs=1, stacked=False, hyper_buf=None, n_chunks=1, noise=None,
     ):
         """Run ``epochs`` epochs in ONE pallas_call over a 2-D grid
         ``(epochs, num_batches / unroll)`` — one kernel launch total, so the launch /
@@ -2136,6 +2228,26 @@ def make_fused_epoch(
         nf, nt = len(forcing), len(ys)
         npar, nst = len(p_bufs), len(st_bufs)
         buf_shapes = [_buffer_shape(s) for s in orig_shapes]
+        has_noise = noise is not None
+        noise_ops: List[Any] = []
+        if has_noise:
+            # per-leaf pre-scaled gradient noise (noisy_sgd): natural
+            # layout (epochs, num_batches, R, C), one tile consumed per
+            # optimizer step. Padded no-op batches (sub-batch grouping
+            # tails) get zero tiles — their updates are valid-gated off
+            # and they consume no real draw, exactly like the XLA path
+            # where they do not exist.
+            def group_noise(a):
+                if n_chunks > 1 or k_sub == 1:
+                    return a
+                pad = [(0, 0)] * a.ndim
+                pad[1] = (0, nb_eff - num_batches)
+                a = jnp.pad(a, pad)
+                return a.reshape(
+                    (a.shape[0], n_groups, k_sub) + a.shape[2:]
+                )
+
+            noise_ops = [group_noise(a) for a in noise]
 
         def read_forward(buf, orig_shape):
             """Padded buffer value → forward-pass shape: weights (out, in);
@@ -2155,6 +2267,8 @@ def make_fused_epoch(
             m_refs = refs[idx : idx + nt]; idx += nt
             if n_chunks > 1:
                 norm_ref = refs[idx]; idx += 1
+            if has_noise:
+                nz_refs = refs[idx : idx + npar]; idx += npar
             st_refs = refs[idx : idx + nst]; idx += nst
             p_in = refs[idx : idx + npar]; idx += npar
             m_in = refs[idx : idx + npar]; idx += npar
@@ -2334,6 +2448,11 @@ def make_fused_epoch(
                     acc_out[k][...] = accv
                     if l2_spec is not None and is_weight[k]:
                         accv = accv + l2_coeff * pb[k]
+                    if has_noise:
+                        # one noise tile per BATCH (block index i // C):
+                        # added to the accumulated gradient at every chunk,
+                        # effective only at the last one (lastf gate below)
+                        accv = accv + nz_refs[k][0, 0]
                     p_new, m_new, v_new, u_new = upds[k](
                         pb[k], mb[k], vb[k], ub[k], accv, valid,
                         t_base + t_run,
@@ -2425,6 +2544,11 @@ def make_fused_epoch(
                     g_pad = _pad_to(g, buf_shapes[k])
                     if l2_spec is not None and is_weight[k]:
                         g_pad = g_pad + l2_coeff * pb[k]
+                    if has_noise:
+                        g_pad = g_pad + (
+                            nz_refs[k][0, 0, j] if k_sub > 1
+                            else nz_refs[k][0, 0]
+                        )
                     pb[k], mb[k], vb[k], ub[k] = upds[k](
                         pb[k], mb[k], vb[k], ub[k], g_pad, valid,
                         t_base + t_run,
@@ -2471,6 +2595,25 @@ def make_fused_epoch(
                 memory_space=pltpu.VMEM,
             )
 
+        def noise_spec(arr):
+            # one (R, C) tile per optimizer STEP: chunked grids share each
+            # batch's tile across its C chunks (block index i // C); the
+            # grouped layout carries the k_sub sub-batch tiles in-block
+            if n_chunks > 1:
+                blk = (1, 1) + arr.shape[2:]
+                return pl.BlockSpec(
+                    blk,
+                    lambda e, i, _c=n_chunks: (e, i // _c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            blk = (1, 1) + arr.shape[2:]
+            nd = arr.ndim
+            return pl.BlockSpec(
+                blk,
+                lambda e, i, _n=nd: (e, i) + (0,) * (_n - 2),
+                memory_space=pltpu.VMEM,
+            )
+
         n_sets = 4 if has_u else 3  # carried buffer sets: p, m, v[, u]
         in_specs = (
             [batch_spec(x) for x in x_ts]
@@ -2478,6 +2621,7 @@ def make_fused_epoch(
             + [batch_spec(y) for y in ys]
             + [batch_spec(m) for m in masks]
             + [batch_spec(nm) for nm in norm_ops]
+            + [noise_spec(nz) for nz in noise_ops]
             + [full_spec(tuple(s.shape)) for s in st_bufs]
             + [full_spec(s) for s in buf_shapes] * n_sets
             + [full_spec(_PAD)]
@@ -2515,8 +2659,8 @@ def make_fused_epoch(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(*x_ts, *forcing, *ys, *masks, *norm_ops, *st_bufs, *p_bufs,
-          *m_bufs, *v_bufs, *u_bufs, t_buf, *hyper_operand)
+        )(*x_ts, *forcing, *ys, *masks, *norm_ops, *noise_ops, *st_bufs,
+          *p_bufs, *m_bufs, *v_bufs, *u_bufs, t_buf, *hyper_operand)
 
         new_p = list(outs[:npar])
         new_m = list(outs[npar : 2 * npar])
@@ -2630,6 +2774,35 @@ def make_fused_epoch(
         )
         cap = int(os.environ.get("EASYHYBRID_FUSED_STACK_MB", "256")) * 2**20
         single_launch = (not needs_stack) or (epochs * epoch_bytes <= cap)
+        if is_noisy:
+            # pre-generated noise costs one padded tile set per STEP in
+            # HBM; past the stack budget fall to one launch per epoch
+            # (the stacked-shuffle policy), where only num_batches tiles
+            # are live at a time
+            buf_shapes_l = [_buffer_shape(s) for s in orig_shapes]
+            noise_bytes = 4 * num_batches * sum(
+                int(np.prod(s)) for s in buf_shapes_l
+            )
+            single_launch = single_launch and (epochs * noise_bytes <= cap)
+            eta = parsed[1]["eta"]
+            gamma = parsed[1]["gamma"]
+            if traced_hyper is not None and hyper_vec is not None:
+                hv = jnp.asarray(hyper_vec, jnp.float32).reshape(-1)
+                for hk, hname in enumerate(traced_hyper):
+                    if hname == "eta":
+                        eta = hv[hk]
+                    elif hname == "gamma":
+                        gamma = hv[hk]
+            # fast-forward optax add_noise's key chain past the t0 draws
+            # already consumed (warm starts / later eval blocks): under the
+            # supports_fused_epoch guard every step is valid, so draws
+            # consumed == the step counter exactly
+            k0_noise = jax.lax.fori_loop(
+                0,
+                t0.astype(jnp.int32),
+                lambda _, kk: jax.random.split(kk)[0],
+                jax.random.key(0),
+            )
 
         if single_launch:
             if do_sample_shuffle:
@@ -2649,13 +2822,23 @@ def make_fused_epoch(
                 data = (tensors.x, tensors.forcing, tensors.y, tensors.mask,
                         tensors.weight)
                 stacked = False
+            noise = None
+            if is_noisy:
+                nz, _ = _noisy_sgd_noise(
+                    k0_noise, t0, epochs * num_batches, orig_shapes,
+                    eta, gamma,
+                )
+                noise = [
+                    a.reshape((epochs, num_batches) + a.shape[1:])
+                    for a in nz
+                ]
             (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_delta,
              last_loss) = run_kernel_epoch(
                 list(p_bufs), list(m_bufs), list(v_bufs), list(u_bufs),
                 t_base_buf(jnp.int32(0)),
                 st_bufs, st_treedef, st_orig_shapes, treedef, orig_shapes,
                 data, is_weight, update_fns, epochs=epochs, stacked=stacked,
-                hyper_buf=hyper_buf, n_chunks=n_chunks,
+                hyper_buf=hyper_buf, n_chunks=n_chunks, noise=noise,
             )
             t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
@@ -2665,29 +2848,39 @@ def make_fused_epoch(
                 xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
 
             def body(carry, perm):
-                pb, mb, vb, ub, stb, cum = carry
+                pb, mb, vb, ub, stb, cum, kn = carry
                 data = (
                     sample_shuffled(perm)
                     if do_sample_shuffle
                     else batch_shuffled(perm)
                 )
+                noise = None
+                if is_noisy:
+                    # the add_noise key chain threads THROUGH the scan —
+                    # each epoch's launch consumes num_batches draws (the
+                    # guard forbids empty batches, so cum tracks them 1:1)
+                    nz, kn = _noisy_sgd_noise(
+                        kn, t0 + cum, num_batches, orig_shapes, eta, gamma,
+                    )
+                    noise = [a[None] for a in nz]
                 pb, mb, vb, ub, stb, t_delta, mean_loss = run_kernel_epoch(
                     list(pb), list(mb), list(vb), list(ub), t_base_buf(cum),
                     list(stb), st_treedef, st_orig_shapes, treedef,
                     orig_shapes, data, is_weight, update_fns,
-                    hyper_buf=hyper_buf, n_chunks=n_chunks,
+                    hyper_buf=hyper_buf, n_chunks=n_chunks, noise=noise,
                 )
                 cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
                 return (
                     tuple(pb), tuple(mb), tuple(vb), tuple(ub), tuple(stb),
-                    cum,
+                    cum, kn,
                 ), mean_loss
 
-            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_cum), losses = (
+            kn0 = k0_noise if is_noisy else jax.random.key(0)
+            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_cum, _), losses = (
                 jax.lax.scan(
                     body,
                     (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs),
-                     tuple(u_bufs), tuple(st_bufs), jnp.int32(0)),
+                     tuple(u_bufs), tuple(st_bufs), jnp.int32(0), kn0),
                     xs,
                 )
             )
@@ -2941,12 +3134,16 @@ def fused_exactness_check(
                 state, sub, key,
             )
             opt_p = resolve_optimizer(optimizer_spec, params)
-            if branch is None and parsed[0] not in _WHOLELEAF_OPTS:
+            if branch is None and parsed[0] not in (
+                _WHOLELEAF_OPTS + _NOISE_OPTS
+            ):
                 # flatten only non-Mapping specs (a flattened params vector
                 # has no branch structure for multi_transform labels) that
                 # are ELEMENTWISE — flatten turns lamb's per-leaf trust
-                # ratio into one global norm, i.e. a wrong reference
-                # (train()'s fast path excludes these too: _flatten_safe)
+                # ratio into one global norm, and noisy_sgd's per-leaf
+                # noise draws into one flat-vector draw, i.e. a wrong
+                # reference (train()'s fast path excludes these too:
+                # _flatten_safe)
                 opt_p = optax.flatten(opt_p)
             xla_p = make_train_epoch(
                 model, logging, opt_p, shuffle=shuffle,

@@ -180,6 +180,13 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     parsed_opt = parse_opt_spec(optimizer_spec)
     if parsed_opt is None:
         return False
+    from .fused_epoch import _NOISE_OPTS
+
+    if parsed_opt[0] in _NOISE_OPTS:
+        # noisy_sgd's pre-generated noise stream (round 5) is plumbed
+        # through the GENERIC kernel only; this kernel has no per-step
+        # noise operand — XLA path
+        return False
     # Round 4 closed the optimizer envelope: lamb (a _WHOLELEAF_OPTS rule)
     # defers per-site updates to the whole-tile path, where the packed
     # tile IS the stacked leaf and the update's tile norms equal optax's

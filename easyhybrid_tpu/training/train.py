@@ -58,9 +58,11 @@ def _flatten_safe(spec) -> bool:
     semantics. Flatten concatenates every leaf into ONE vector, which only
     commutes with ELEMENTWISE update rules — lamb's per-leaf trust ratio
     silently becomes one global norm (found 2026-08-17; optax.flatten(lamb)
-    and lamb genuinely disagree). Prebuilt transforms can't be proven
+    and lamb genuinely disagree), and noisy_sgd's tree.random_like draws
+    one flat-vector noise leaf instead of per-leaf subkey draws — a
+    DIFFERENT realized stream. Prebuilt transforms can't be proven
     elementwise, so they are not flattened either."""
-    from ..ops.fused_epoch import _WHOLELEAF_OPTS
+    from ..ops.fused_epoch import _NOISE_OPTS, _WHOLELEAF_OPTS
 
     if isinstance(spec, str):
         name = spec.lower()
@@ -68,7 +70,7 @@ def _flatten_safe(spec) -> bool:
         name = spec[0].lower()
     else:
         return False  # Mapping (label tree) or prebuilt transform
-    return name not in _WHOLELEAF_OPTS
+    return name not in _WHOLELEAF_OPTS and name not in _NOISE_OPTS
 
 
 def kwargs_to_configs(

@@ -373,9 +373,17 @@ def test_parse_opt_spec_envelope():
     assert spec_uses_slot3({"nn": ("amsgrad", 0.01)})
     assert not spec_uses_slot3(("adadelta", 0.01))
     assert not spec_uses_slot3("adam")
-    # the RNG-consuming noisy_sgd is the one optax first-order rule that
-    # stays on the XLA path (no in-kernel RNG)
-    assert parse_opt_spec("noisy_sgd") is None
+    # round 5: noisy_sgd parses — its gradient-independent noise stream is
+    # pre-generated XLA-side and streamed into the kernel per step
+    assert parse_opt_spec(("noisy_sgd", 0.05, 0.02))[1]["eta"] == 0.02
+    assert parse_opt_spec("noisy_sgd")[1]["gamma"] == 0.55
+    # a spec naming its own RNG key is NOT fused (the kernel pins optax's
+    # default jax.random.key(0) stream)
+    assert parse_opt_spec(("noisy_sgd", {"key": 7})) is None
+    # per-branch noise would need masked-subtree key splitting: XLA path
+    from easyhybrid_tpu.ops.fused_epoch import parse_branch_specs
+
+    assert parse_branch_specs({"nn": "noisy_sgd"}) is None
 
 
 def test_fused_multinn_matches_xla():
@@ -1694,3 +1702,147 @@ def test_fused_lstm_two_pass_losses(loss):
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
     np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# round 5: noisy_sgd — the last OPTIMIZERS rule joins the kernel
+# --------------------------------------------------------------------------
+
+def test_noisy_sgd_noise_stream_matches_optax():
+    """_noisy_sgd_noise replicates optax.add_noise's exact draws: running
+    optax.noisy_sgd on ZERO gradients recovers -lr·(σ_t·noise), which must
+    equal the pre-generated stream — including a warm start that
+    fast-forwards the key chain."""
+    from easyhybrid_tpu.ops.fused_epoch import (
+        _from_kernel_buffer,
+        _noisy_sgd_noise,
+    )
+
+    params = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 10,
+        "b": jnp.ones((4,), jnp.float32),
+    }
+    lr, eta, gamma = 0.5, 0.01, 0.55
+    opt = optax.noisy_sgd(lr, eta, gamma)
+    st = opt.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    ref = []
+    for _ in range(5):
+        upd, st = opt.update(zeros, st, params)
+        ref.append([np.asarray(-u / lr) for u in jax.tree.leaves(upd)])
+
+    shapes = [l.shape for l in jax.tree.leaves(params)]
+    nz, _ = _noisy_sgd_noise(
+        jax.random.key(0), jnp.int32(0), 5, shapes, eta, gamma
+    )
+    for t in range(5):
+        for i, s in enumerate(shapes):
+            np.testing.assert_allclose(
+                np.asarray(_from_kernel_buffer(nz[i][t], s)),
+                ref[t][i], rtol=1e-6, atol=0,
+            )
+    # warm start: draws 3..5 from a chain fast-forwarded past 2 steps
+    k0 = jax.lax.fori_loop(
+        0, 2, lambda _, kk: jax.random.split(kk)[0], jax.random.key(0)
+    )
+    nz2, _ = _noisy_sgd_noise(k0, jnp.int32(2), 3, shapes, eta, gamma)
+    for t in range(3):
+        for i, s in enumerate(shapes):
+            np.testing.assert_allclose(
+                np.asarray(_from_kernel_buffer(nz2[i][t], s)),
+                ref[2 + t][i], rtol=1e-6, atol=0,
+            )
+
+
+@pytest.mark.parametrize("shuffle", [False, True, "batches"])
+def test_fused_noisy_sgd_matches_xla_epoch(shuffle):
+    """Fused noisy_sgd == UNFLATTENED optax.noisy_sgd (flatten would
+    change the realized noise stream — one flat-vector draw instead of
+    per-leaf subkey draws)."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    spec = ("noisy_sgd", 0.05, 0.01, 0.55)
+    assert supports_fused_epoch(model, spec, ll, tensors)
+    cp = lambda t: jax.tree.map(jnp.copy, t)
+
+    fused = make_fused_epoch(model, state, spec, ll, shuffle=shuffle,
+                             epochs_per_call=3)
+    p_f, _, _, loss_f = fused(
+        cp(params), init_fused_opt_state(params), cp(state), tensors,
+        jax.random.PRNGKey(1),
+    )
+    optimizer = optax.noisy_sgd(0.05, 0.01, 0.55)  # UNFLATTENED reference
+    xla = make_train_epoch(model, ll, optimizer, shuffle=shuffle,
+                           epochs_per_call=3)
+    p_x, _, _, loss_x = xla(
+        cp(params), optimizer.init(params), cp(state), tensors,
+        jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+
+
+def test_fused_noisy_sgd_warm_start_and_scan_mode(monkeypatch):
+    """The noise chain continues exactly across launches (2+2 == 4
+    epochs) and the per-epoch-launch scan fallback (stack cap exceeded)
+    equals the single-launch program."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    spec = ("noisy_sgd", 0.05, 0.01, 0.55)
+    cp = lambda t: jax.tree.map(jnp.copy, t)
+
+    fused2 = make_fused_epoch(model, state, spec, ll, shuffle=False,
+                              epochs_per_call=2)
+    p1, os1, _, _ = fused2(cp(params), init_fused_opt_state(params),
+                           cp(state), tensors, jax.random.PRNGKey(1))
+    p2, _, _, _ = fused2(p1, os1, cp(state), tensors, jax.random.PRNGKey(2))
+    fused4 = make_fused_epoch(model, state, spec, ll, shuffle=False,
+                              epochs_per_call=4)
+    p4, _, _, _ = fused4(cp(params), init_fused_opt_state(params),
+                         cp(state), tensors, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+    monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "0")
+    scan = make_fused_epoch(model, state, spec, ll, shuffle=True,
+                            epochs_per_call=3)
+    p_s, _, _, _ = scan(cp(params), init_fused_opt_state(params), cp(state),
+                        tensors, jax.random.PRNGKey(1))
+    monkeypatch.delenv("EASYHYBRID_FUSED_STACK_MB")
+    single = make_fused_epoch(model, state, spec, ll, shuffle=True,
+                              epochs_per_call=3)
+    p_l, _, _, _ = single(cp(params), init_fused_opt_state(params),
+                          cp(state), tensors, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
+def test_noisy_sgd_support_guard():
+    """The fused path needs data where NO batch can be fully masked under
+    any permutation (the XLA path's discarded updates do not consume
+    noise draws); it also needs the tensors to verify that."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    assert supports_fused_epoch(model, "noisy_sgd", ll, tensors)
+    assert not supports_fused_epoch(model, "noisy_sgd", ll, None)
+    # ≥ one batch's worth of dead slots → an empty batch is possible under
+    # some permutation (prepare_data drops all-NaN rows, so build the
+    # adversarial mask directly)
+    dead_mask = {
+        k: np.asarray(v).copy() for k, v in tensors.mask.items()
+    }
+    for v in dead_mask.values():
+        v.reshape(-1)[:200] = 0.0
+    bad = tensors._replace(
+        mask={k: jnp.asarray(v) for k, v in dead_mask.items()}
+    )
+    assert not supports_fused_epoch(model, "noisy_sgd", ll, bad)
+    # other rules are unaffected by the mask guard
+    assert supports_fused_epoch(model, ("adam", 0.01), ll, bad)
+    # train()'s flatten fast path must skip noise rules
+    from easyhybrid_tpu.training.train import _flatten_safe
+
+    assert not _flatten_safe("noisy_sgd")
+    assert not _flatten_safe(("noisy_sgd", 0.05))
+    assert _flatten_safe(("adam", 0.01))

@@ -652,10 +652,13 @@ def test_population_fused_sweep_engine_interpret_mode(monkeypatch):
     )
     assert pop_m.epoch_path == "population_vmap_fused", pop_m.engine_reason
     assert np.isfinite(pop_m.best_losses).all()
-    # an out-of-envelope optimizer still falls back gracefully
+    # round 5: noisy_sgd sweeps fuse too — the pre-generated optax noise
+    # stream vmaps per member (same draws when eta/gamma aren't swept;
+    # the traced lr rides the hyper tile)
     pop_n = eh.population_train(
         model, df, hyper={"learning_rate": [0.02, 0.005]},
         optimizer="noisy_sgd", nepochs=4, batchsize=64, eval_every=2,
         seed=2, data_seed=0,
     )
-    assert pop_n.epoch_path == "population_vmap"
+    assert pop_n.epoch_path == "population_vmap_fused", pop_n.engine_reason
+    assert np.isfinite(pop_n.best_losses).all()

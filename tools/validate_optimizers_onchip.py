@@ -94,6 +94,11 @@ def main():
         # sqrt/compare chains are their own Mosaic surface
         ("lamb", ("lamb", 0.01)),
         ("lamb+wd", ("lamb", {"learning_rate": 0.01, "weight_decay": 0.02})),
+        # round 5: noisy_sgd — the pre-generated optax noise stream rides
+        # a per-leaf per-step operand tile; the gate's XLA reference is
+        # UNFLATTENED optax.noisy_sgd (same jax.random.key(0) chain)
+        ("noisy_sgd", ("noisy_sgd", 0.02)),
+        ("noisy_sgd+h", ("noisy_sgd", 0.02, 0.05, 0.3)),
     ]
     results = []
     m, params, state, tensors = build_single()
