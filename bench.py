@@ -28,8 +28,9 @@ quick-start). The ``configs`` field carries the full scoreboard:
 * ``multisite``    — 10k vmapped sites × 64 obs, shared NN + per-site Q10
                      (no reference counterpart; framework-only)
 * ``multisite_minibatch`` — 10,240 sites in 2,560-site batches (nb=4,
-                     shuffle off): round-4 minibatched fused envelope;
-                     per-BATCH steps/s (no CPU row)
+                     shuffle ON — the reference's default loader
+                     semantics, fused round 5); per-BATCH steps/s
+                     (no CPU row)
 * ``lstm``         — sequence config: 4k rows, 10-step windows, LSTM(16)
                      (reference Q10_lstm.jl analog; torch-CPU baseline;
                      round 4: fused Pallas — recompute BPTT lifted the cap)
@@ -921,11 +922,15 @@ def bench_multisite() -> float:
 
 
 def bench_multisite_minibatch() -> float:
-    """Minibatched multisite (round 4): 10,240 sites × 64 obs trained in
-    2,560-site batches (nb=4, shuffle off — the fused kernel's static site
-    partition). Reports per-BATCH optimizer steps/s; the fused kernel's
-    per-batch deferred whole-tile updates measured 3.3× the XLA epoch's
-    marginal at this shape class."""
+    """Minibatched multisite: 10,240 sites × 64 obs trained in 2,560-site
+    batches (nb=4) with ``shuffle_each_epoch=True`` — the reference's
+    DEFAULT loader semantics (loaders.jl shuffle=true), fused since round
+    5 via the per-epoch slot-map permutation (one kernel launch per epoch,
+    packed tiles gathered/scattered around it). Reports per-BATCH
+    optimizer steps/s. The round-4 shuffle-off single-launch mode measured
+    3.3× the XLA epoch's marginal at this shape class; the shuffled mode
+    pays per-epoch launches + gathers, so its margin is the honest
+    headline for reference-default configs."""
     import easyhybrid_tpu as eh
 
     def rbq10(*, ta, rb, Q10, tref=15.0):
@@ -949,9 +954,11 @@ def bench_multisite_minibatch() -> float:
     return _epoch_bench(
         model, data, batch=B, epochs_per_call=256, e_small=8,
         flops_per_step=_mlp_flops_per_step([16, 16], 2, B * N),
-        shuffle=False,
+        shuffle=True,
         attainable_passes=_mlp_passes([16, 16], 2, B * N),
-        bytes_per_step=B * N * 5 * 4,
+        # per-epoch permuted copy: gather write + read on top of the
+        # stream read (the rbq10 row's shuffled-copy accounting)
+        bytes_per_step=B * N * 5 * 4 * 3,
         bound_note="VPU-bound by shape, see multisite",
     )
 

@@ -53,20 +53,29 @@ update's f32 tile-norm dots compute exactly optax's leaf norms.
 amsgrad: optax's nu_max rides an optional third carried buffer set
 (shared leaves + per-site packed tiles), exactly the generic kernel's
 scheme. Site batching: ONE site batch per epoch
-(``batchsize >= n_sites``, the standard full-batch multisite setup), or —
-round 4 — MINIBATCHED sites when ``batchsize`` is a multiple of 128 (one
-packed row), ``shuffle_each_epoch=False`` (the VMEM-packed site-major
-parameter tiles cannot re-partition sites per epoch), and the data's site
-order is the identity (``prepare_multisite_data``'s layout). Every loss
-above qualifies: batch-local scales stream per batch, and rmse's deferred
-factor (late round 4) is batch-scoped — per-batch SSE accumulators reset
-at each batch's first group and the ``agg/(2·n·r)`` factor applies at the
-batch's last group, exactly where minibatched updates already defer.
-Minibatched updates defer to each batch's last grid group
-as whole-tile per-site updates: out-of-batch packed rows carry zero
-gradients, which is EXACTLY optax's zero-grad moment decay for
-out-of-batch parameters, so parity with the XLA epoch is bit-for-bit in
-interpret mode.
+(``batchsize >= n_sites``, the standard full-batch multisite setup), or
+MINIBATCHED sites (round 4) with — round 5 — ANY batchsize and any
+standard shuffle mode (True / False / "batches"); the data's site order
+must be the identity (``prepare_multisite_data``'s layout). A dst→src
+SLOT map pads each batch's site axis to whole 128-lane packed rows
+(dead slots carry zero data/masks/params) and, for the shuffle modes,
+composes the XLA path's exact per-epoch site permutation
+(``epoch_permutation``, same stream for the same key): data and the
+packed per-site parameter tiles are gathered into slot order around ONE
+kernel launch per epoch (``lax.scan``), and the tiles scatter back to
+canonical site order after each launch — the kernel keeps its identity
+chunk ↔ packed-row mapping throughout. Unshuffled runs keep the single
+all-epochs launch (with a one-time static relayout when the batchsize
+is not a 128 multiple). Every loss above qualifies: batch-local scales
+stream per batch (recomputed per epoch under shuffle), and rmse's
+deferred factor (late round 4) is batch-scoped — per-batch SSE
+accumulators reset at each batch's first group and the ``agg/(2·n·r)``
+factor applies at the batch's last group, exactly where minibatched
+updates already defer. Minibatched updates defer to each batch's last
+grid group as whole-tile per-site updates: out-of-batch packed rows
+carry zero gradients, which is EXACTLY optax's zero-grad moment decay
+for out-of-batch parameters, so parity with the XLA epoch is
+bit-for-bit in interpret mode.
 
 The loss envelope: chunk-local per-element terms whose scale depends only
 on the static targets/masks (scale precomputed XLA-side, each chunk
@@ -194,21 +203,19 @@ def supports_fused_multisite(model, optimizer_spec, logging: LoggingLoss,
     # third buffer set (shared + per-site packed tiles). Every rule
     # parse_opt_spec accepts now runs in-kernel.
     if tensors is not None and int(tensors.weight.shape[0]) != 1:
-        # MINIBATCHED sites (round 4): supported when each batch's site
-        # count is a whole number of 128-lane packed rows AND the loss is
-        # batch-local (per-batch scales precompute). rmse joins late round
-        # 4: its deferred factor is BATCH-scoped here — per-batch SSE
+        # MINIBATCHED sites (round 4): the loss must be batch-local
+        # (per-batch scales precompute). rmse joins late round 4: its
+        # deferred factor is BATCH-scoped here — per-batch SSE
         # accumulators reset at each batch's first group and the factor
         # applies at the batch's last group, where updates already defer.
         # Updates defer to each batch's END as whole-tile per-site
         # updates, so out-of-batch sites get exactly optax's zero-grad
-        # moment decay.
-        if int(tensors.x.shape[-3]) % _SITE_LANES:
-            return False
-        if shuffle is not False:
-            # the VMEM-packed site-major parameter tiles map data chunk c
-            # to packed row c statically — sites cannot re-partition into
-            # different batches per epoch
+        # moment decay. Round 5 removed the 128-multiple-batchsize and
+        # shuffle=False requirements: a dst→src slot map pads each batch
+        # to whole packed rows and composes the per-epoch site
+        # permutation, with the packed tiles gathered/scattered around
+        # one launch per epoch (see make_fused_multisite_epoch).
+        if shuffle not in (True, False, "batches"):
             return False
         sidx = tensors.forcing.get("_site_idx")
         if sidx is not None:
@@ -256,9 +263,10 @@ def make_fused_multisite_epoch(
 
     With one site batch per epoch there is nothing to shuffle (the XLA
     path's sample shuffle only permutes BETWEEN batches), so any ``shuffle``
-    mode is accepted and the ``key`` is unused. MINIBATCHED sites (round 4)
-    require ``shuffle=False``: the site partition into batches is static
-    (see the module docstring's envelope).
+    mode is accepted and the ``key`` is unused. MINIBATCHED sites accept
+    ``shuffle`` in (True, False, "batches") — round 5: the shuffled modes
+    run one launch per epoch with the XLA path's exact per-epoch site
+    permutation composed into the slot map (module docstring).
     """
     base = model.base
     parsed = parse_opt_spec(optimizer_spec)
@@ -309,7 +317,8 @@ def make_fused_multisite_epoch(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, state_in, tensors, key):
-        del key  # site partitions are static: nothing to shuffle in-kernel
+        # key: consumed only by minibatched shuffle modes (round 5); the
+        # static site partitions (no shuffle / one batch) ignore it
         epochs = max(1, int(epochs_per_call))
 
         # ---- MINIBATCHED sites (round 4) ---------------------------------
@@ -332,35 +341,65 @@ def make_fused_multisite_epoch(
         # f32 norm dots compute exactly optax's leaf norms (padding slots
         # hold zero params/grads/moments and stay zero under lamb).
         deferred_site = deferred_loss or minibatch or opt_name == "lamb"
+        do_shuffle = minibatch and shuffle is True
+        do_bshuffle = minibatch and shuffle == "batches"
         if minibatch:
-            if shuffle is not False:
+            # Round 5 lifts the round-4 restrictions. A dst→src SLOT map
+            # mediates between the kernel's packed layout (each batch's
+            # site axis padded to whole 128-lane rows) and the data's
+            # layout: slot p = b·S_bp + j reads data slot b·S_b0 + j
+            # (dead for j >= S_b0 — zero data, zero masks), so ANY
+            # batchsize works. Shuffle modes COMPOSE the XLA path's exact
+            # per-epoch permutation (same epoch_permutation stream for the
+            # same key) into the map: data AND the packed per-site
+            # parameter tiles are gathered into slot order around ONE
+            # launch per epoch (lax.scan), and the tiles are scattered
+            # back to canonical site order after each launch — the kernel
+            # itself keeps its identity chunk ↔ packed-row mapping.
+            if shuffle not in (True, False, "batches"):
                 raise ValueError(
-                    "minibatched multisite sites need "
-                    "shuffle_each_epoch=False: the VMEM-packed site-major "
-                    "parameter tiles cannot re-partition sites per epoch"
+                    "fused multisite epoch supports shuffle="
+                    f"True/False/'batches', got {shuffle!r}"
                 )
-            s_b = int(tensors.x.shape[-3])
-            if s_b % _SITE_LANES:
-                raise ValueError(
-                    "minibatched multisite sites need batchsize to be a "
-                    f"multiple of {_SITE_LANES}"
-                )
-            batch_masks = {
-                t: tensors.mask[t] for t in target_names
-            }  # (nb, S_b, N) — per-batch loss scales computed below
-            from ..data.loaders import EpochTensors as _ET
-
-            def _flat(a):
-                return a.reshape((1, a.shape[0] * a.shape[1]) + a.shape[2:])
-
-            tensors = _ET(
-                x=_flat(tensors.x),
-                forcing={k: _flat(v) for k, v in tensors.forcing.items()},
-                y={k: _flat(v) for k, v in tensors.y.items()},
-                mask={k: _flat(v) for k, v in tensors.mask.items()},
-                weight=_flat(tensors.weight),
-                n_samples=tensors.n_samples,
+            s_b0 = int(tensors.x.shape[-3])
+            s_b = _ceil_to(s_b0, _SITE_LANES)  # kernel-facing batch width
+            n0 = nb * s_b0          # XLA slot count (perm space)
+            n_slots = nb * s_b      # padded slot count (r·128)
+            base_src_np = (
+                np.arange(nb, dtype=np.int32)[:, None] * s_b0
+                + np.minimum(np.arange(s_b, dtype=np.int32), s_b0 - 1)[None]
+            ).reshape(-1)
+            base_dead_np = np.broadcast_to(
+                np.arange(s_b) >= s_b0, (nb, s_b)
+            ).reshape(-1)
+            identity_slots = (s_b == s_b0) and not (do_shuffle or do_bshuffle)
+            flat0 = dict(
+                x=tensors.x.reshape((n0,) + tensors.x.shape[2:]),
+                forcing={k: v.reshape((n0,) + v.shape[2:])
+                         for k, v in tensors.forcing.items()},
+                y={k: v.reshape((n0,) + v.shape[2:])
+                   for k, v in tensors.y.items()},
+                mask={k: v.reshape((n0,) + v.shape[2:])
+                      for k, v in tensors.mask.items()},
             )
+
+            def slot_data(src, dead):
+                """dst-slot views of the flattened data (n_slots, ...);
+                the identity map skips the gathers entirely."""
+                if src is None:
+                    return flat0
+
+                def g(a):
+                    v = jnp.take(a, src, axis=0)
+                    dm = dead.reshape((-1,) + (1,) * (v.ndim - 1))
+                    return jnp.where(dm, jnp.zeros_like(v), v)
+
+                return dict(
+                    x=g(flat0["x"]),
+                    forcing={k: g(v) for k, v in flat0["forcing"].items()},
+                    y={k: g(v) for k, v in flat0["y"].items()},
+                    mask={k: g(v) for k, v in flat0["mask"].items()},
+                )
 
         # ---- split params: shared leaves vs per-site globals -------------
         site_names = tuple(params["globals"].keys())
@@ -419,8 +458,15 @@ def make_fused_multisite_epoch(
         # (the exactness gate slices to 2 batches): whole-tile deferred
         # updates at batch ends still decay the out-of-data rows exactly
         # like optax, and the row-select only reads rows < r (the data
-        # chunks), so extra rows are update-only
-        r_rows = max(r, -(-n_sites_total // _SITE_LANES))
+        # chunks), so extra rows are update-only. With the round-5 slot
+        # map the tail sites (ids >= n0, uncovered by the data) occupy the
+        # rows immediately after the n_slots data slots in SLOT layout —
+        # r grows by the tail's row count so the map stays injective.
+        if minibatch:
+            tail_sites = max(0, n_sites_total - n0)
+            r_rows = r + -(-tail_sites // _SITE_LANES)
+        else:
+            r_rows = max(r, -(-n_sites_total // _SITE_LANES))
         r_pad = _ceil_to(max(r_eff, r_rows), 8)
         sp_bufs = [
             _pack_site_leaf(params["globals"][g], n_sites_total, r_rows, r_pad)
@@ -442,46 +488,93 @@ def make_fused_multisite_epoch(
         )
         nsite = len(sp_bufs)
 
+        # ---- slot ↔ canonical tile permutation (round 5) ------------------
+        # canonical layout: site i at flat position i (_pack_site_leaf).
+        # SLOT layout (what the launch consumes): position p < n_slots
+        # holds site src_full[p]; positions >= n_slots hold the tail sites
+        # n0, n0+1, … (data-uncovered, update-only rows). Dead slots (the
+        # per-batch 128-alignment padding) hold zeros — zero params with
+        # zero masks produce zero grads, and whole-tile decay keeps their
+        # zero moments zero, so they never leak into real sites.
+        if minibatch:
+            L_flat = r_pad * _SITE_LANES
+            tail_src_np = n0 + np.arange(L_flat - n_slots, dtype=np.int32)
+
+            def slot_src_full(src):
+                return jnp.concatenate(
+                    [jnp.asarray(src, jnp.int32),
+                     jnp.asarray(tail_src_np)]
+                )
+
+            def tile_to_slots(tile, src_full, dead_full):
+                flat = tile.reshape(-1)
+                v = jnp.take(flat, jnp.clip(src_full, 0, L_flat - 1))
+                return jnp.where(dead_full, 0.0, v).reshape(
+                    r_pad, _SITE_LANES
+                )
+
+            def tile_to_canonical(tile_s, src_full, dead_full):
+                flat = tile_s.reshape(-1)
+                idx = jnp.where(dead_full, L_flat, src_full)  # dead → drop
+                return (
+                    jnp.zeros((L_flat,), jnp.float32)
+                    .at[idx].set(flat, mode="drop")
+                    .reshape(r_pad, _SITE_LANES)
+                )
+
+            # tail positions are never dead: tail_src < L_flat always
+            # (n0 <= n_slots ⟹ n0 + L_flat - n_slots - 1 < L_flat)
+            dead_full_base = jnp.asarray(
+                np.concatenate(
+                    [base_dead_np, np.zeros(L_flat - n_slots, bool)]
+                )
+            )
+
         # ---- data relayout: site batch → chunked time-major blocks -------
-        # tensors: x (1, S, N, F), forcing/y/mask (1, S, N), weight (1, S)
-        x_all = tensors.x[0]
-        s_dim, n_dim = x_all.shape[0], x_all.shape[1]
+        # inputs: x (S_dim, N, F), forcing/y/mask (S_dim, N) — S_dim is the
+        # padded slot count for minibatched sites, the raw site-batch width
+        # otherwise
+        n_dim = int(tensors.x.shape[-2])
         s_pad = r * _SITE_LANES
         n_pad = _ceil_to(n_dim, 8)
         m_cols = n_pad * _SITE_LANES
+        n_feat = int(tensors.x.shape[-1])
 
-        def chunk_time_site(a2):
-            """(S, N) → (r, N_pad, 128) blocks in (time, site) layout."""
-            a2 = jnp.pad(a2, ((0, s_pad - s_dim), (0, n_pad - n_dim)))
-            return jnp.transpose(
-                a2.reshape(r, _SITE_LANES, n_pad), (0, 2, 1)
+        def make_data_ops(x_all, forcing_all, y_all, mask_all):
+            s_dim = x_all.shape[0]
+
+            def chunk_time_site(a2):
+                """(S, N) → (r, N_pad, 128) blocks in (time, site)."""
+                a2 = jnp.pad(a2, ((0, s_pad - s_dim), (0, n_pad - n_dim)))
+                return jnp.transpose(
+                    a2.reshape(r, _SITE_LANES, n_pad), (0, 2, 1)
+                )
+
+            # x: (S, N, F) → (r, F, M) feature-major, column t·128 + s
+            xp = jnp.pad(
+                x_all, ((0, s_pad - s_dim), (0, n_pad - n_dim), (0, 0))
             )
+            x_c = jnp.transpose(
+                xp.reshape(r, _SITE_LANES, n_pad, n_feat), (0, 3, 2, 1)
+            ).reshape(r, n_feat, m_cols)
+            f_c = [chunk_time_site(forcing_all[f]) for f in forcing_names]
+            y_c = [chunk_time_site(y_all[t]) for t in target_names]
+            m_c = [chunk_time_site(mask_all[t]) for t in target_names]
 
-        # x: (S, N, F) → (r, F, M) feature-major, column index t·128 + s
-        xp = jnp.pad(x_all, ((0, s_pad - s_dim), (0, n_pad - n_dim), (0, 0)))
-        n_feat = xp.shape[-1]
-        x_chunks = jnp.transpose(
-            xp.reshape(r, _SITE_LANES, n_pad, n_feat), (0, 3, 2, 1)
-        ).reshape(r, n_feat, m_cols)
+            # group chunks for the unrolled grid: (n_groups, unroll, ...);
+            # tail-padding chunks carry zero masks — they contribute nothing
+            def group(a):
+                a = jnp.pad(
+                    a, ((0, r_eff - r),) + ((0, 0),) * (a.ndim - 1)
+                )
+                return a.reshape((n_groups, unroll) + a.shape[1:])
 
-        forcing_chunks = [
-            chunk_time_site(tensors.forcing[f][0]) for f in forcing_names
-        ]
-        y_chunks = [chunk_time_site(tensors.y[t][0]) for t in target_names]
-        mask_chunks = [chunk_time_site(tensors.mask[t][0]) for t in target_names]
-
-        # group chunks for the unrolled grid: (n_groups, unroll, ...);
-        # tail-padding chunks carry zero masks so they contribute nothing
-        def group(a):
-            a = jnp.pad(
-                a, ((0, r_eff - r),) + ((0, 0),) * (a.ndim - 1)
+            return (
+                group(x_c),
+                [group(a) for a in f_c],
+                [group(a) for a in y_c],
+                [group(a) for a in m_c],
             )
-            return a.reshape((n_groups, unroll) + a.shape[1:])
-
-        x_chunks = group(x_chunks)
-        forcing_chunks = [group(a) for a in forcing_chunks]
-        y_chunks = [group(a) for a in y_chunks]
-        mask_chunks = [group(a) for a in mask_chunks]
 
         # ---- loss normalization + validity tile (batch-static) ----------
         # row 0 lane j: the per-target elementwise loss scale sc_j (see the
@@ -525,26 +618,29 @@ def make_fused_multisite_epoch(
             # [1, 1]: 1/n for the deferred rmse factor (single target)
             return tile.at[1, 1].set(1.0 / jnp.maximum(counts[0], 1.0))
 
-        if minibatch:
-            # per-BATCH scales, streamed per grid group (repeat within
-            # each batch's groups)
-            tiles = jax.vmap(
-                lambda mb, yb: _batch_scale_tile(
-                    dict(zip(target_names, mb)), dict(zip(target_names, yb))
-                )
-            )(
-                jnp.stack([batch_masks[t] for t in target_names], 1),
-                jnp.stack(
-                    [tensors.y[t][0].reshape(nb, s_b, -1)
-                     for t in target_names], 1
-                ),
-            )  # (nb, 8, 128)
-            scale_stream = jnp.repeat(tiles, n_groups_b, axis=0)
-        else:
-            scale_tile = _batch_scale_tile(
-                {t: tensors.mask[t][0] for t in target_names},
-                {t: tensors.y[t][0] for t in target_names},
-            )
+        def make_scale_op(mask_d, y_d):
+            """Scale/validity tiles from SLOT-layout masks/targets
+            (dead slots carry zero masks, so counts/SST/validity equal the
+            XLA path's per-batch values): one streamed tile per grid group
+            (minibatch) or the single full-batch tile."""
+            if minibatch:
+                tiles = jax.vmap(
+                    lambda mb, yb: _batch_scale_tile(
+                        dict(zip(target_names, mb)),
+                        dict(zip(target_names, yb)),
+                    )
+                )(
+                    jnp.stack(
+                        [mask_d[t].reshape(nb, s_b, -1)
+                         for t in target_names], 1
+                    ),
+                    jnp.stack(
+                        [y_d[t].reshape(nb, s_b, -1)
+                         for t in target_names], 1
+                    ),
+                )  # (nb, 8, 128)
+                return jnp.repeat(tiles, n_groups_b, axis=0)
+            return _batch_scale_tile(mask_d, y_d)
 
         # ---- state buffers (same scheme as the generic kernel) -----------
         st_leaves, st_treedef = jax.tree.flatten(state_in)
@@ -572,7 +668,7 @@ def make_fused_multisite_epoch(
                 return jnp.zeros((n_pad, _SITE_LANES), jnp.float32) + v[0, 0]
             return jnp.broadcast_to(v, (n_pad, _SITE_LANES))
 
-        nf, nt = len(forcing_chunks), n_targets
+        nf, nt = len(forcing_names), n_targets
 
         def kernel(*refs):
             idx = 0
@@ -985,13 +1081,8 @@ def make_fused_multisite_epoch(
                 memory_space=pltpu.VMEM,
             )
 
-        in_specs = (
-            [chunk_spec(x_chunks)]
-            + [chunk_spec(a) for a in forcing_chunks]
-            + [chunk_spec(a) for a in y_chunks]
-            + [chunk_spec(a) for a in mask_chunks]
-            + [chunk_spec(scale_stream) if minibatch else full_spec(_PAD)]
-            + [full_spec(tuple(s.shape)) for s in st_bufs]
+        in_specs_fixed = (
+            [full_spec(tuple(s.shape)) for s in st_bufs]
             + [full_spec(s) for s in buf_shapes] * (4 if use_u else 3)
             + [full_spec((r_pad, _SITE_LANES))]
             * ((4 if use_u else 3) * nsite)
@@ -1016,35 +1107,165 @@ def make_fused_multisite_epoch(
             + [jax.ShapeDtypeStruct((r_pad, _SITE_LANES), jnp.float32)]
             * n_sacc
         )
+        nsets = 4 if use_u else 3
 
-        outs = pl.pallas_call(
-            kernel,
-            grid=(epochs, n_groups),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(
-            x_chunks, *forcing_chunks, *y_chunks, *mask_chunks,
-            scale_stream if minibatch else scale_tile,
-            *st_bufs, *sh_bufs, *shm_bufs, *shv_bufs, *shu_bufs,
-            *sp_bufs, *spm_bufs, *spv_bufs, *spu_bufs, t_base_tile,
+        def run_launch(data_ops, scale_op, sh_sets, sp_sets, t_tile,
+                       epochs_l):
+            """One pallas_call over ``(epochs_l, n_groups)``; carried
+            buffer sets in, carried sets + step delta + loss tile out."""
+            x_c, f_c, y_c, m_c = data_ops
+            in_specs = (
+                [chunk_spec(x_c)]
+                + [chunk_spec(a) for a in f_c]
+                + [chunk_spec(a) for a in y_c]
+                + [chunk_spec(a) for a in m_c]
+                + [chunk_spec(scale_op) if minibatch else full_spec(_PAD)]
+                + in_specs_fixed
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(epochs_l, n_groups),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(
+                x_c, *f_c, *y_c, *m_c, scale_op, *st_bufs,
+                *sh_sets[0], *sh_sets[1], *sh_sets[2],
+                *(sh_sets[3] if use_u else ()),
+                *sp_sets[0], *sp_sets[1], *sp_sets[2],
+                *(sp_sets[3] if use_u else ()),
+                t_tile,
+            )
+            i = 0
+            sh_new = tuple(
+                tuple(outs[i + k * npar : i + (k + 1) * npar])
+                for k in range(nsets)
+            )
+            i += nsets * npar
+            sp_new = tuple(
+                tuple(outs[i + k * nsite : i + (k + 1) * nsite])
+                for k in range(nsets)
+            )
+            i += nsets * nsite
+            i += npar  # grad accumulators: scratch, discarded
+            t_delta = outs[i]; i += 1
+            loss_tile = outs[i]  # (trailing sacc scratch tiles ignored)
+            return sh_new, sp_new, t_delta, loss_tile
+
+        sh_sets0 = (tuple(sh_bufs), tuple(shm_bufs), tuple(shv_bufs)) + (
+            (tuple(shu_bufs),) if use_u else ()
+        )
+        sp_sets0 = (tuple(sp_bufs), tuple(spm_bufs), tuple(spv_bufs)) + (
+            (tuple(spu_bufs),) if use_u else ()
         )
 
-        i = 0
-        new_sh = outs[i : i + npar]; i += npar
-        new_shm = outs[i : i + npar]; i += npar
-        new_shv = outs[i : i + npar]; i += npar
+        if do_shuffle or do_bshuffle:
+            # ---- shuffled site minibatches (round 5): one launch per
+            # epoch inside a lax.scan — data and the packed per-site
+            # tiles are gathered into that epoch's slot order (the XLA
+            # path's exact permutation for the same key), the kernel runs
+            # with its identity chunk ↔ row mapping, and the tiles are
+            # scattered back to canonical site order for the next epoch
+            from ..training.epoch import epoch_permutation
+
+            keys = (
+                jax.random.split(key, epochs) if epochs > 1 else key[None]
+            )
+            base_src = jnp.asarray(base_src_np)
+            base_dead = jnp.asarray(base_dead_np)
+
+            def body(carry, key_e):
+                sh_sets, sp_can, cum = carry
+                if do_shuffle:
+                    perm = epoch_permutation(key_e, n0)
+                else:  # "batches": permute whole site batches
+                    bperm = epoch_permutation(key_e, nb)
+                    perm = (
+                        bperm[:, None] * s_b0
+                        + jnp.arange(s_b0, dtype=bperm.dtype)[None, :]
+                    ).reshape(-1)
+                src = jnp.take(perm, base_src)
+                src_full = slot_src_full(src)
+                sp_slot = tuple(
+                    tuple(tile_to_slots(t, src_full, dead_full_base)
+                          for t in s_)
+                    for s_ in sp_can
+                )
+                d = slot_data(src, base_dead)
+                data_ops = make_data_ops(
+                    d["x"], d["forcing"], d["y"], d["mask"]
+                )
+                scale_op = make_scale_op(d["mask"], d["y"])
+                t_tile = jnp.zeros(_PAD, jnp.float32) + (
+                    t0 + cum
+                ).astype(jnp.float32)
+                sh_new, sp_new, t_delta, loss_tile = run_launch(
+                    data_ops, scale_op, sh_sets, sp_slot, t_tile, 1
+                )
+                sp_can_new = tuple(
+                    tuple(tile_to_canonical(t, src_full, dead_full_base)
+                          for t in s_)
+                    for s_ in sp_new
+                )
+                cum = cum + jnp.round(t_delta[0, 0]).astype(jnp.int32)
+                el = loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]
+                return (sh_new, sp_can_new, cum), el
+
+            (sh_out, sp_out, t_cum_i), losses = jax.lax.scan(
+                body, (sh_sets0, sp_sets0, jnp.int32(0)), keys
+            )
+            final_loss = losses[-1]
+        else:
+            if minibatch and not identity_slots:
+                # non-128-multiple batchsize, no shuffle: the STATIC
+                # 128-alignment relayout permutes once around a single
+                # all-epochs launch
+                src_full = slot_src_full(jnp.asarray(base_src_np))
+                sp_in = tuple(
+                    tuple(tile_to_slots(t, src_full, dead_full_base)
+                          for t in s_)
+                    for s_ in sp_sets0
+                )
+                d = slot_data(
+                    jnp.asarray(base_src_np), jnp.asarray(base_dead_np)
+                )
+            else:
+                src_full = None
+                sp_in = sp_sets0
+                d = (
+                    slot_data(None, None)
+                    if minibatch
+                    else dict(
+                        x=tensors.x[0],
+                        forcing={f: tensors.forcing[f][0]
+                                 for f in forcing_names},
+                        y={t: tensors.y[t][0] for t in target_names},
+                        mask={t: tensors.mask[t][0]
+                              for t in target_names},
+                    )
+                )
+            data_ops = make_data_ops(d["x"], d["forcing"], d["y"], d["mask"])
+            scale_op = make_scale_op(d["mask"], d["y"])
+            sh_out, sp_new, t_delta, loss_tile = run_launch(
+                data_ops, scale_op, sh_sets0, sp_in, t_base_tile, epochs
+            )
+            if src_full is not None:
+                sp_out = tuple(
+                    tuple(tile_to_canonical(t, src_full, dead_full_base)
+                          for t in s_)
+                    for s_ in sp_new
+                )
+            else:
+                sp_out = sp_new
+            t_cum_i = jnp.round(t_delta[0, 0]).astype(jnp.int32)
+            final_loss = (
+                loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]
+            )
+        new_sh, new_shm, new_shv = sh_out[0], sh_out[1], sh_out[2]
+        new_sp, new_spm, new_spv = sp_out[0], sp_out[1], sp_out[2]
         if use_u:
-            new_shu = outs[i : i + npar]; i += npar
-        new_sp = outs[i : i + nsite]; i += nsite
-        new_spm = outs[i : i + nsite]; i += nsite
-        new_spv = outs[i : i + nsite]; i += nsite
-        if use_u:
-            new_spu = outs[i : i + nsite]; i += nsite
-        i += npar  # grad accumulators: scratch, discarded
-        t_delta = outs[i]; i += 1
-        loss_tile = outs[i]  # (trailing sacc scratch tiles ignored)
+            new_shu, new_spu = sh_out[3], sp_out[3]
 
         def rebuild(sh_list, sp_list):
             tree = jax.tree.unflatten(
@@ -1063,13 +1284,12 @@ def make_fused_multisite_epoch(
         new_opt_state = {
             "m": rebuild(new_shm, new_spm),
             "v": rebuild(new_shv, new_spv),
-            "t": (t0 + jnp.round(t_delta[0, 0]).astype(jnp.int32)).reshape(1),
+            "t": (t0 + t_cum_i).reshape(1),
         }
         if use_u:
             new_opt_state["u"] = rebuild(new_shu, new_spu)
         # deferred rmse stores the raw sse at row 0 and the finished rmse
-        # value at row 1 (the last group's transform)
-        final_loss = loss_tile[1, 0] if deferred_loss else loss_tile[0, 0]
+        # value at row 1 (the last group's transform) — final_loss above
         if minibatch:
             final_loss = final_loss / nb  # mean over batches (XLA parity)
         return new_params, new_opt_state, state_in, final_loss

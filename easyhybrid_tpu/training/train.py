@@ -456,13 +456,14 @@ def train(
                 model, cfg.optimizer, logging_loss, train_tensors,
                 shuffle=False,
             ):
-                # only the shuffle mode disqualified the multisite kernel:
-                # tell the user the one flag that unlocks it
+                # only the shuffle MODE disqualified the multisite kernel
+                # (round 5 fused True/False/"batches"; an exotic mode like
+                # "per_shard" still falls back): name the flag
                 engine_reason = (
                     "minibatched multisite with shuffle_each_epoch="
                     f"{cfg.shuffle_each_epoch!r}: the fused multisite "
-                    "kernel needs shuffle_each_epoch=False (static site "
-                    "partition)"
+                    "kernel supports shuffle_each_epoch in "
+                    "(True, False, 'batches')"
                 )
             else:
                 engine_reason = (

@@ -12,10 +12,11 @@ training vmaps the shared model over a site axis:
 * on TPU the dedicated fused multisite Pallas kernel runs ALL epochs in
   one launch (``TrainResults.epoch_path == "fused_pallas_multisite"``):
   VMEM-resident packed per-site parameters, 128-site chunks, every
-  ``parse_opt_spec`` optimizer. Minibatched sites keep the kernel when
-  ``batchsize`` is a multiple of 128 and ``shuffle_each_epoch=False``;
-  any other config falls back to the XLA scan epoch and
-  ``TrainResults.engine_reason`` names the flag that decided it.
+  ``parse_opt_spec`` optimizer. Minibatched sites keep the kernel at ANY
+  ``batchsize`` and shuffle in (True, False, "batches") since round 5 —
+  shuffled epochs run one launch per epoch with the site permutation
+  composed into the kernel's slot map; ``TrainResults.engine_reason``
+  names whatever flag decides the engine.
 
 Here each site's TRUE Q10 differs (drawn from [1.4, 2.8]) — the test is
 whether per-site Q10s are recovered jointly with one shared rb-NN.

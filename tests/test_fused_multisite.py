@@ -186,9 +186,9 @@ def test_multisite_supports_envelope():
     model, params, state, tensors = _make(S=64, N=4)
     logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
     assert supports_fused_multisite(model, ("adam", 0.01), logging, tensors)
-    # minibatched sites with a batch NOT a multiple of 128 lanes: reject
-    # (128-multiple minibatches joined the envelope in round 4 — see
-    # test_multisite_minibatch_envelope)
+    # minibatched sites with a batch NOT a multiple of 128 lanes joined
+    # the envelope in round 5 (per-batch slot padding); unknown shuffle
+    # modes are still out
     from easyhybrid_tpu.data.prepare import HybridData
 
     small = jax.tree.map(jnp.asarray, build_epoch_tensors(
@@ -198,7 +198,13 @@ def test_multisite_supports_envelope():
             y={"reco": np.ones((64, 4), np.float32)},
         ), 32,
     ))
-    assert not supports_fused_multisite(model, ("adam", 0.01), logging, small)
+    assert supports_fused_multisite(model, ("adam", 0.01), logging, small)
+    assert supports_fused_multisite(
+        model, ("adam", 0.01), logging, small, shuffle=True
+    )
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), logging, small, shuffle="per_shard"
+    )
     # rmse joined the envelope in round 4 (deferred-factor scheme,
     # single target); batch-statistic losses stay out
     rmse = LoggingLoss(training_loss="rmse", loss_types=("rmse",))
@@ -546,12 +552,16 @@ def test_multisite_minibatch_envelope():
     assert supports_fused_multisite(
         model, ("adam", 0.01), logging, tensors, shuffle=False
     )
-    # any shuffle mode re-partitions sites: rejected
-    assert not supports_fused_multisite(
+    # round 5: shuffled site minibatches join the envelope (per-epoch
+    # slot-map permutation around one launch per epoch); unknown modes out
+    assert supports_fused_multisite(
         model, ("adam", 0.01), logging, tensors, shuffle=True
     )
-    assert not supports_fused_multisite(
+    assert supports_fused_multisite(
         model, ("adam", 0.01), logging, tensors, shuffle="batches"
+    )
+    assert not supports_fused_multisite(
+        model, ("adam", 0.01), logging, tensors, shuffle="per_shard"
     )
     # rmse joined the minibatch envelope late round 4 (batch-scoped
     # deferred factor)
@@ -676,3 +686,98 @@ def test_multisite_rmse_envelope_bounds():
     ll_stat = LoggingLoss(training_loss="pearsonLoss",
                           loss_types=("pearsonLoss",))
     assert not supports_fused_multisite(model, ("adam", 0.01), ll_stat)
+
+
+# --------------------------------------------------------------------------
+# round 5: shuffled site minibatches + arbitrary batchsizes
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "S,batchsize,opt,loss,shuffle",
+    [
+        (200, 100, ("adam", 0.01), "mse", False),   # non-128-mult, static
+        (256, 128, ("adam", 0.01), "mse", True),    # shuffled, aligned
+        (200, 100, ("sgd", 0.05), "mse", True),     # shuffled + padded
+        (256, 128, ("adam", 0.01), "mae", "batches"),  # batch-order shuffle
+        (256, 128, ("adam", 0.01), "rmse", True),   # deferred factor
+        (200, 100, ("lamb", 0.01), "mse", True),    # whole-tile trust ratio
+        (256, 128, ("amsgrad", 0.01), "mse", True),  # third buffer set
+    ],
+)
+def test_multisite_minibatch_shuffle_and_padding_match_xla(
+    S, batchsize, opt, loss, shuffle
+):
+    """Round 5 lifts the round-4 minibatch restrictions: ANY batchsize
+    (per-batch 128-alignment slot padding) and shuffle in (True, False,
+    'batches') — the shuffled modes compose the XLA path's exact per-epoch
+    site permutation (same epoch_permutation stream for the same key) into
+    the slot map, one launch per epoch, packed tiles gathered/scattered
+    around it. Trajectories must match the XLA epoch for the same key."""
+    model, params, state, tensors = _make(
+        S=S, N=6, batchsize=batchsize, site_idx=True
+    )
+    logging = LoggingLoss(training_loss=loss, loss_types=("mse",))
+    assert supports_fused_multisite(
+        model, opt, logging, tensors, shuffle=shuffle
+    )
+    epochs = 3
+    fused = make_fused_multisite_epoch(
+        model, state, opt, logging, shuffle=shuffle,
+        epochs_per_call=epochs, interpret=True,
+    )
+    p_f, o_f, _, l_f = fused(
+        jax.tree.map(jnp.copy, params),
+        init_fused_opt_state(params, opt),
+        state, tensors, jax.random.PRNGKey(7),
+    )
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+    from easyhybrid_tpu.training.train import _flatten_safe
+
+    optimizer = resolve_optimizer(opt)
+    if _flatten_safe(opt):
+        optimizer = optax.flatten(optimizer)
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=shuffle, epochs_per_call=epochs
+    )
+    p_x, _, _, l_x = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, jax.random.PRNGKey(7),
+    )
+    _assert_trees_close(p_f, p_x)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=2e-4)
+    nb = int(tensors.weight.shape[0])
+    assert int(o_f["t"][0]) == epochs * nb
+
+
+def test_multisite_shuffled_warm_start_continues_chain():
+    """Two 2-epoch shuffled calls == one 4-epoch call when the keys line
+    up (the scan's per-epoch permutations must consume the key stream the
+    way the XLA loop does, and the canonical scatter-back must round-trip
+    the packed tiles exactly)."""
+    model, params, state, tensors = _make(
+        S=200, N=6, batchsize=100, site_idx=True
+    )
+    logging = LoggingLoss(training_loss="mse", loss_types=("mse",))
+    k1, k2 = jax.random.PRNGKey(11), jax.random.PRNGKey(12)
+    fused2 = make_fused_multisite_epoch(
+        model, state, ("adam", 0.01), logging, shuffle=True,
+        epochs_per_call=2, interpret=True,
+    )
+    p1, o1, _, _ = fused2(
+        jax.tree.map(jnp.copy, params), init_fused_opt_state(params),
+        state, tensors, k1,
+    )
+    p2, o2, _, _ = fused2(p1, o1, state, tensors, k2)
+    from easyhybrid_tpu.training.optimizers import resolve_optimizer
+
+    optimizer = optax.flatten(resolve_optimizer(("adam", 0.01)))
+    xla = make_train_epoch(
+        model, logging, optimizer, shuffle=True, epochs_per_call=2
+    )
+    px1, ox1, _, _ = xla(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jax.tree.map(jnp.copy, state), tensors, k1,
+    )
+    px2, _, _, _ = xla(px1, ox1, jax.tree.map(jnp.copy, state), tensors, k2)
+    _assert_trees_close(p2, px2)
+    assert int(o2["t"][0]) == 8  # 2 batches × 4 epochs

@@ -561,12 +561,14 @@ def test_population_over_multisite_fused_engine(monkeypatch):
         pop_rmse.engine_reason
     )
     assert np.isfinite(pop_rmse.best_losses).all()
-    # shuffled minibatches break the static site partition: XLA engine
+    # round 5: shuffled minibatches stay fused (per-epoch slot-map
+    # permutation around one launch per epoch)
     pop_sh = eh.population_train(
         ms, data, seeds=[0, 1], optimizer="adam", nepochs=2,
         batchsize=128, split_data_at=0.75, eval_every=1,
     )
-    assert pop_sh.epoch_path == "population_vmap"
+    assert pop_sh.epoch_path == "population_vmap_fused", pop_sh.engine_reason
+    assert np.isfinite(pop_sh.best_losses).all()
     # a 1-D member mesh composes with the multisite kernel too (round 4
     # late: shard_map over the member axis, shared site data replicated)
     pop_m = eh.population_train(

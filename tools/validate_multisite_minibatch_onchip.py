@@ -12,11 +12,14 @@ get optax's zero-grad moment decay). This script runs on the real TPU:
 3. read-forced marginal perf fused vs XLA at the requested scale.
 
 Usage: python tools/validate_multisite_minibatch_onchip.py \
-           [S] [N] [batch] [E_small] [E_big] [loss]
+           [S] [N] [batch] [E_small] [E_big] [loss] [shuffle]
 
 ``loss`` defaults to mse; pass ``rmse`` to drive the late-round-4
 batch-scoped deferred-factor path (per-batch SSE reset + factor at each
-batch's last group).
+batch's last group). ``shuffle`` in {off (default), on, batches} — "on"
+drives the round-5 per-epoch slot-map permutation path (one launch per
+epoch, packed tiles gathered/scattered around it); a non-128-multiple
+``batch`` additionally exercises the round-5 per-batch padding relayout.
 """
 
 import sys
@@ -72,6 +75,10 @@ def main():
     e_small = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     e_big = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     loss_name = sys.argv[6] if len(sys.argv) > 6 else "mse"
+    shuffle_arg = sys.argv[7] if len(sys.argv) > 7 else "off"
+    shuffle = {"off": False, "on": True, "batches": "batches"}.get(shuffle_arg)
+    if shuffle is None:
+        sys.exit(f"shuffle {shuffle_arg!r} must be off/on/batches")
     from easyhybrid_tpu.ops.fused_multisite import _MS_LOSSES, _ms_loss_kind
 
     if _ms_loss_kind(loss_name) is None:
@@ -87,17 +94,17 @@ def main():
     nb = int(tensors.weight.shape[0])
     print(
         "backend:", jax.default_backend(),
-        f"| S={S} N={N} batch={batch} nb={nb}",
+        f"| S={S} N={N} batch={batch} nb={nb} shuffle={shuffle!r}",
     )
     assert nb > 1, "pick batch < S to exercise the minibatched path"
     assert supports_fused_multisite(
-        model, ("adam", 0.01), logging, tensors, shuffle=False
+        model, ("adam", 0.01), logging, tensors, shuffle=shuffle
     )
 
     t0 = time.perf_counter()
     ok, diff = fused_exactness_check(
         model, params, state, ("adam", 0.01), logging, tensors,
-        epochs_per_call=4, shuffle=False,
+        epochs_per_call=4, shuffle=shuffle,
     )
     print(f"gate: ok={ok} worst_rel={diff:.3e}  ({time.perf_counter()-t0:.1f}s)")
     if not ok:
@@ -112,13 +119,13 @@ def main():
 
     def fused_builder(E):
         return make_fused_multisite_epoch(
-            model, state, ("adam", 0.01), logging, shuffle=False,
+            model, state, ("adam", 0.01), logging, shuffle=shuffle,
             epochs_per_call=E,
         )
 
     def xla_builder(E):
         return make_train_epoch(
-            model, logging, opt_flat, shuffle=False, epochs_per_call=E,
+            model, logging, opt_flat, shuffle=shuffle, epochs_per_call=E,
         )
 
     # ---- direct full-data parity (3 epochs on the real chip) -------------
