@@ -345,3 +345,30 @@ def test_theme_renders_and_matches_reference_palette(tmp_path):
         fig.savefig(tmp_path / "theme.png")
         plt.close(fig)
     assert matplotlib.rcParams["font.size"] != 16  # context restores
+
+
+def test_docs_site_builds(tmp_path):
+    """The static docs-site generator (the reference's Documenter/Vitepress
+    HTML-site analog, built in CI) renders every nav page with working
+    intra-site links."""
+    import pathlib
+    import re
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    out = tmp_path / "site"
+    res = subprocess.run(
+        [sys.executable, str(root / "tools" / "build_docs_site.py"),
+         str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    pages = sorted(p.name for p in out.glob("*.html"))
+    assert "index.html" in pages and "api_reference.html" in pages
+    assert len(pages) >= 14
+    # every nav href resolves to a built page
+    html = (out / "index.html").read_text()
+    for target in set(re.findall(r'href="([a-z_]+\.html)"', html)):
+        assert (out / target).exists(), target
+    assert (out / "style.css").exists() and (out / "pygments.css").exists()
