@@ -125,23 +125,66 @@ def _train_second_order(
     loss_with_state = make_loss_fn(model, logging_loss)
 
     # any registered name / (name, args) / prebuilt transform; leftover
-    # train kwargs become solver-constructor kwargs
-    optimizer = optax.with_extra_args_support(
-        resolve_second_order(cfg.optimizer, **solve_kwargs)
+    # train kwargs become solver-constructor kwargs. A plain CALLABLE that
+    # is not an optax transform is an ARBITRARY USER SOLVER — the
+    # reference routes any non-Optimisers algorithm object into
+    # Optimization.jl's solve() (train.jl:148-157, train_optimization.jl);
+    # the analog protocol here is ``solver(objective, params,
+    # **solve_kwargs) -> params`` (or ``(params, info)``), where
+    # ``objective(params) -> scalar loss`` is jax-differentiable, so
+    # jax.value_and_grad / jax.hessian / scipy bridges all work inside it.
+    custom_solver = callable(cfg.optimizer) and not isinstance(
+        cfg.optimizer, optax.GradientTransformation
     )
-    opt_state = optimizer.init(params)
+    if custom_solver:
+        solver = cfg.optimizer
+        if maxiters is not None:
+            solve_kwargs = {**solve_kwargs, "maxiters": maxiters}
+        optimizer = None
+        opt_state = None
+        reuse_value_grad = False
+    else:
+        optimizer = optax.with_extra_args_support(
+            resolve_second_order(cfg.optimizer, **solve_kwargs)
+        )
+        opt_state = optimizer.init(params)
 
-    # linesearch solvers carry (value, grad) in their state, saving one
-    # fwd+bwd per step; plain transforms fall back to value_and_grad
-    def _state_has(field):
-        import optax.tree_utils as otu
+        # linesearch solvers carry (value, grad) in their state, saving
+        # one fwd+bwd per step; plain transforms fall back to
+        # value_and_grad
+        def _state_has(field):
+            import optax.tree_utils as otu
 
-        try:
-            return otu.tree_get(opt_state, field) is not None
-        except KeyError:
-            return False
+            try:
+                return otu.tree_get(opt_state, field) is not None
+            except KeyError:
+                return False
 
-    reuse_value_grad = _state_has("value") and _state_has("grad")
+        reuse_value_grad = _state_has("value") and _state_has("grad")
+
+    def solve_once(p, batch):
+        """One whole solver call on one problem (custom-solver path)."""
+
+        def scalar_loss(pp):
+            loss, _ = loss_with_state(pp, state, batch)
+            return loss
+
+        out = solver(scalar_loss, p, **solve_kwargs)
+        if isinstance(out, tuple):
+            out = out[0]
+        ref_leaves = jax.tree.leaves(p)
+        new_leaves = jax.tree.leaves(out)
+        if len(new_leaves) != len(ref_leaves) or any(
+            jnp.shape(a) != jnp.shape(b)
+            for a, b in zip(new_leaves, ref_leaves)
+        ):
+            raise ValueError(
+                "custom solver must return params with the same tree "
+                "structure/shapes it was given (or a (params, info) tuple)"
+            )
+        return jax.tree.map(
+            lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype), out, p
+        )
 
     evaluator = make_evaluator(model, logging_loss, jit=cfg.jit)
 
@@ -190,7 +233,23 @@ def _train_second_order(
 
     t0 = time.perf_counter()
 
-    if cfg.full_batch:
+    if cfg.full_batch and custom_solver:
+        # the reference's solve() shape: ONE whole-problem solver call on
+        # the full training split, snapshot after (iteration budgets /
+        # callbacks are the solver's own business)
+        params = solve_once(params, train_eval_batch)
+        snapshot = snapshot_of(params, state)
+        stopper.update(history, snapshot, params, state, 1, cfg.keep_history)
+        if grad_probe is not None:
+            grad_history.append(
+                _grad_norms(grad_probe(params, state, train_eval_batch))
+            )
+        if cfg.show_progress:
+            log.info(
+                "custom solver done  best val=%.6g  (%.1fs)",
+                stopper.best_loss, time.perf_counter() - t0,
+            )
+    elif cfg.full_batch:
         # one problem over the full training split; evaluate every
         # eval_every iterations (parity: train_optimization.jl:66-80)
         step = make_step(train_eval_batch)
@@ -237,10 +296,17 @@ def _train_second_order(
                         {k: jnp.asarray(v) for k, v in mask.items()},
                     ),
                 )
-                step = make_step(batch)
-                fresh_opt_state = optimizer.init(params)
-                for _ in range(cfg.inner_maxiters):
-                    params, fresh_opt_state, value = step(params, fresh_opt_state)
+                if custom_solver:
+                    # Le-et-al minibatch scheme with a user solver: one
+                    # whole solve per fixed minibatch
+                    params = solve_once(params, batch)
+                else:
+                    step = make_step(batch)
+                    fresh_opt_state = optimizer.init(params)
+                    for _ in range(cfg.inner_maxiters):
+                        params, fresh_opt_state, value = step(
+                            params, fresh_opt_state
+                        )
             snapshot = snapshot_of(params, state)
             stopper.update(history, snapshot, params, state, epoch, cfg.keep_history)
             if grad_probe is not None:
@@ -292,7 +358,10 @@ def _train_second_order(
         epoch_path="second_order",
         loop_mode="eager",
         engine_reason=(
-            "second_order: second-order optimizer requested "
+            "second_order: custom solver callable — whole-problem "
+            "solve() calls (reference train.jl:148-157 routing)"
+            if custom_solver
+            else "second_order: second-order optimizer requested "
             "(linesearch solvers run the eager full/minibatch driver)"
         ),
     )

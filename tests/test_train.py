@@ -418,6 +418,61 @@ def test_second_order_prebuilt_instance(rbq10_model, rbq10_df):
     assert res.grad_history is not None
 
 
+def test_second_order_custom_callable_solver(rbq10_model, rbq10_df):
+    """Round 5: an ARBITRARY solver callable (anything, not just
+    optax-shaped transforms) routes through the second-order driver —
+    full arbitrary-solver parity with the reference's Optimization.jl
+    solve() routing (train.jl:148-157). Protocol: solver(objective,
+    params, **solve_kwargs) -> params or (params, info); objective is
+    jax-differentiable, so scipy bridges work."""
+    import jax.flatten_util as fu
+    import jax.numpy as jnp
+
+    calls = []
+
+    def scipy_solver(objective, params, **kw):
+        from scipy.optimize import minimize
+
+        calls.append(kw)
+        flat0, unravel = fu.ravel_pytree(params)
+        vg = jax.jit(jax.value_and_grad(lambda v: objective(unravel(v))))
+
+        def fun(v):
+            val, g = vg(jnp.asarray(v, jnp.float32))
+            return float(val), np.asarray(g, np.float64)
+
+        res = minimize(
+            fun, np.asarray(flat0, np.float64), jac=True,
+            method="L-BFGS-B", options={"maxiter": 150},
+        )
+        return unravel(jnp.asarray(res.x, jnp.float32)), res
+
+    res = eh.train(
+        rbq10_model, rbq10_df, optimizer=scipy_solver, second_order=True,
+        full_batch=True, show_progress=False,
+    )
+    assert res.epoch_path == "second_order"
+    assert "custom solver" in res.engine_reason
+    assert np.isfinite(res.best_loss)
+    first_val = float(res.val_history[0]["mse"]["sum"])
+    assert res.best_loss <= first_val  # the solve improved on init
+    assert len(calls) == 1  # full_batch: ONE whole-problem solve
+    # minibatch scheme: one solve per fixed minibatch per epoch
+    res_mb = eh.train(
+        rbq10_model, rbq10_df, optimizer=scipy_solver, second_order=True,
+        full_batch=False, nepochs=2, batchsize=1000, show_progress=False,
+    )
+    assert np.isfinite(res_mb.best_loss)
+    assert len(calls) > 2
+    # a solver returning the wrong structure raises a clear error
+    with pytest.raises(ValueError, match="same tree structure"):
+        eh.train(
+            rbq10_model, rbq10_df,
+            optimizer=lambda obj, p, **kw: jnp.zeros((3,)),
+            second_order=True, full_batch=True, show_progress=False,
+        )
+
+
 def test_patience_counts_snapshots(rbq10_model, rbq10_df):
     """patience counts eval snapshots, not epochs: with eval_every=N and
     patience=P, early stopping needs P non-improving SNAPSHOTS, i.e. up to

@@ -72,6 +72,8 @@ def build_multisite(S=512, N=32):
 
 
 def main():
+    # optional case filter: substrings of case labels (e.g. "noisy")
+    filters = [a.lower() for a in sys.argv[1:]]
     print("backend:", jax.default_backend())
     ll = LoggingLoss(training_loss="mse", loss_types=("mse",))
 
@@ -100,6 +102,8 @@ def main():
         ("noisy_sgd", ("noisy_sgd", 0.02)),
         ("noisy_sgd+h", ("noisy_sgd", 0.02, 0.05, 0.3)),
     ]
+    if filters:
+        cases = [c for c in cases if any(f in c[0].lower() for f in filters)]
     results = []
     m, params, state, tensors = build_single()
     for label, opt in cases:
@@ -112,10 +116,15 @@ def main():
         print(f"{label:14s} gate: ok={ok} rel={d:.2e} ({dt:.0f}s)", flush=True)
         results.append((label, ok, d))
 
-    ms, ps, st, ts = build_multisite()
-    for label, opt in [("ms/lion", ("lion", 0.003)),
-                       ("ms/nadam", ("nadam", 0.01)),
-                       ("ms/adadelta", ("adadelta", 0.5))]:
+    ms_cases = [("ms/lion", ("lion", 0.003)),
+                ("ms/nadam", ("nadam", 0.01)),
+                ("ms/adadelta", ("adadelta", 0.5))]
+    if filters:
+        ms_cases = [c for c in ms_cases
+                    if any(f in c[0].lower() for f in filters)]
+    if ms_cases:
+        ms, ps, st, ts = build_multisite()
+    for label, opt in ms_cases:
         t0 = time.perf_counter()
         ok, d = fused_exactness_check(
             ms, ps, st, opt, ll, ts, epochs_per_call=4, shuffle=True,
