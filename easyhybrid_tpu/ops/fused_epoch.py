@@ -3134,16 +3134,14 @@ def fused_exactness_check(
                 state, sub, key,
             )
             opt_p = resolve_optimizer(optimizer_spec, params)
-            if branch is None and parsed[0] not in (
-                _WHOLELEAF_OPTS + _NOISE_OPTS
-            ):
-                # flatten only non-Mapping specs (a flattened params vector
-                # has no branch structure for multi_transform labels) that
-                # are ELEMENTWISE — flatten turns lamb's per-leaf trust
-                # ratio into one global norm, and noisy_sgd's per-leaf
-                # noise draws into one flat-vector draw, i.e. a wrong
-                # reference (train()'s fast path excludes these too:
-                # _flatten_safe)
+            from ..training.train import _flatten_safe
+
+            if _flatten_safe(optimizer_spec, params):
+                # mirror the PRODUCTION XLA path's flatten decision exactly
+                # (train.py::build_xla_epoch): elementwise non-Mapping
+                # specs below the measured size threshold flatten; lamb's
+                # per-leaf trust ratio, noisy_sgd's per-leaf noise draws,
+                # and large trees (ravel traffic) do not
                 opt_p = optax.flatten(opt_p)
             xla_p = make_train_epoch(
                 model, logging, opt_p, shuffle=shuffle,

@@ -53,15 +53,32 @@ _TRAIN_FIELDS = {f.name for f in dataclasses.fields(TrainConfig)}
 _DATA_FIELDS = {f.name for f in dataclasses.fields(DataConfig)}
 
 
-def _flatten_safe(spec) -> bool:
+#: params above this size skip the optax.flatten fast path: flatten ravels
+#: + concatenates + splits the WHOLE tree every step, which is pure HBM
+#: traffic the update math doesn't need. Measured on-chip (1× v5e,
+#: 2026-08-19, tools/probe_b1024_ceiling.py, b1024 tower / 1.2M params):
+#: bare adam step 51.8% MFU unflattened vs 44.0% flattened (~15% tax).
+#: Small hybrid models (the quick-start class) measure FASTER flattened
+#: (one flat update vector instead of ~2 ops per pytree leaf), which is
+#: why the fast path exists — the threshold sits safely between the two
+#: measured regimes.
+_FLATTEN_MAX_PARAMS = 65536
+
+
+def _flatten_safe(spec, params=None) -> bool:
     """Whether the ``optax.flatten`` fast path preserves the optimizer's
-    semantics. Flatten concatenates every leaf into ONE vector, which only
-    commutes with ELEMENTWISE update rules — lamb's per-leaf trust ratio
-    silently becomes one global norm (found 2026-08-17; optax.flatten(lamb)
-    and lamb genuinely disagree), and noisy_sgd's tree.random_like draws
-    one flat-vector noise leaf instead of per-leaf subkey draws — a
-    DIFFERENT realized stream. Prebuilt transforms can't be proven
-    elementwise, so they are not flattened either."""
+    semantics AND pays off. Flatten concatenates every leaf into ONE
+    vector, which only commutes with ELEMENTWISE update rules — lamb's
+    per-leaf trust ratio silently becomes one global norm (found
+    2026-08-17; optax.flatten(lamb) and lamb genuinely disagree), and
+    noisy_sgd's tree.random_like draws one flat-vector noise leaf instead
+    of per-leaf subkey draws — a DIFFERENT realized stream. Prebuilt
+    transforms can't be proven elementwise, so they are not flattened
+    either. With ``params`` given, trees above
+    :data:`_FLATTEN_MAX_PARAMS` also skip it (flatten's per-step
+    ravel/concat traffic measurably beats its dispatch savings there —
+    see the constant's measurement note); for elementwise rules the
+    decision is perf-only, never numerics."""
     from ..ops.fused_epoch import _NOISE_OPTS, _WHOLELEAF_OPTS
 
     if isinstance(spec, str):
@@ -70,7 +87,13 @@ def _flatten_safe(spec) -> bool:
         name = spec[0].lower()
     else:
         return False  # Mapping (label tree) or prebuilt transform
-    return name not in _WHOLELEAF_OPTS and name not in _NOISE_OPTS
+    if name in _WHOLELEAF_OPTS or name in _NOISE_OPTS:
+        return False
+    if params is not None:
+        n = sum(int(np.prod(jnp.shape(l))) for l in jax.tree.leaves(params))
+        if n > _FLATTEN_MAX_PARAMS:
+            return False
+    return True
 
 
 def kwargs_to_configs(
@@ -527,10 +550,11 @@ def train(
     def build_xla_epoch():
         nonlocal params, state
         optimizer = resolve_optimizer(cfg.optimizer, params)
-        if _flatten_safe(cfg.optimizer):
+        if _flatten_safe(cfg.optimizer, params):
             # one flat update vector per step instead of ~2 ops per pytree
             # leaf — measurably faster for small hybrid models on TPU;
-            # incompatible with per-branch label trees (dict specs).
+            # incompatible with per-branch label trees (dict specs) and a
+            # measured LOSS above _FLATTEN_MAX_PARAMS (ravel traffic).
             import optax
 
             optimizer = optax.flatten(optimizer)

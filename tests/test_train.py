@@ -653,3 +653,21 @@ def test_deferred_keep_history_matches_eager(rbq10_model, rbq10_df):
     for a, b in zip(res_d.monitored["Q10"], res_e.monitored["Q10"]):
         for q in ("q25", "q50", "q75"):
             np.testing.assert_allclose(a[q], b[q], rtol=1e-4)
+
+
+def test_flatten_fast_path_size_rule():
+    """optax.flatten ravels the whole tree every step — measured on-chip
+    to cost ~15% at 1.2M params (tools/probe_b1024_ceiling.py) while
+    WINNING for small models, so the fast path is size-gated."""
+    import jax.numpy as jnp
+
+    from easyhybrid_tpu.training.train import _FLATTEN_MAX_PARAMS, _flatten_safe
+
+    small = {"w": jnp.zeros((10, 10))}
+    big = {"w": jnp.zeros((512, 512))}
+    assert (512 * 512) > _FLATTEN_MAX_PARAMS
+    assert _flatten_safe(("adam", 0.01), small)
+    assert not _flatten_safe(("adam", 0.01), big)
+    assert _flatten_safe(("adam", 0.01))  # no params: name rule only
+    assert not _flatten_safe(("lamb", 0.01), small)
+    assert not _flatten_safe("noisy_sgd", small)

@@ -64,13 +64,15 @@ def _params(seed0=0):
     return ws, x, y
 
 
-def _marginal_rate(make_prog, k_small=64, k_big=256, reps=3):
-    """read-forced marginal steps/s between two in-program step counts."""
+def _marginal_rate(make_prog, k_small=512, k_big=4096, reps=5):
+    """READ-FORCED marginal steps/s between two in-program step counts.
+    On this tunnel ``block_until_ready`` does NOT force execution — only a
+    readback drains the queue (docs/tpu_notes.md §2), so the timer brackets
+    a float() of the program's scalar output."""
     progs = {k: make_prog(k) for k in (k_small, k_big)}
 
     def run(k):
-        out = progs[k]()
-        return jax.block_until_ready(out)
+        return float(progs[k]())
 
     run(k_small)  # compile both
     run(k_big)
@@ -138,6 +140,49 @@ def bare_train_step():
                 0, k, lambda _, c: one_step(c), (ws, bs)
             )
             return out[0][0].sum()
+
+        return prog
+
+    return _marginal_rate(make_prog)
+
+
+def bare_adam_step(flatten: bool):
+    """The swish train step with optax.adam — optionally wrapped in
+    optax.flatten (the framework's elementwise fast path): at 1.2M params
+    flatten ravels + concatenates + splits the whole tree EVERY step,
+    which is pure HBM traffic the update math doesn't need."""
+    import optax
+
+    ws, x, y = _params()
+    bs = [jnp.zeros((o,), jnp.float32) for o in DIMS[1:]]
+    opt = optax.adam(1e-4)
+    if flatten:
+        opt = optax.flatten(opt)
+
+    def loss(params):
+        ws_, bs_ = params
+        h = x
+        for k, (w, b) in enumerate(zip(ws_, bs_)):
+            h = h @ w + b
+            if k < len(ws_) - 1:
+                h = h * jax.nn.sigmoid(h)
+        return jnp.mean((h - y) ** 2)
+
+    def one_step(carry):
+        params, ost = carry
+        g = jax.grad(loss)(params)
+        upd, ost = opt.update(g, ost, params)
+        return optax.apply_updates(params, upd), ost
+
+    ost0 = opt.init((ws, bs))
+
+    def make_prog(k):
+        @jax.jit
+        def prog():
+            out = jax.lax.fori_loop(
+                0, k, lambda _, c: one_step(c), ((ws, bs), ost0)
+            )
+            return out[0][0][0].sum()
 
         return prog
 
@@ -219,6 +264,14 @@ def main():
     r2 = bare_train_step()
     print(f"bare train step   : {r2:10.1f} steps/s  "
           f"{r2*fps/1e12:6.2f} TF/s  {100*r2*fps/PEAK:5.2f}% MFU",
+          flush=True)
+    r3 = bare_adam_step(flatten=False)
+    print(f"bare adam step    : {r3:10.1f} steps/s  "
+          f"{r3*fps/1e12:6.2f} TF/s  {100*r3*fps/PEAK:5.2f}% MFU",
+          flush=True)
+    r4 = bare_adam_step(flatten=True)
+    print(f"bare adam+flatten : {r4:10.1f} steps/s  "
+          f"{r4*fps/1e12:6.2f} TF/s  {100*r4*fps/PEAK:5.2f}% MFU",
           flush=True)
     print("(bench.py large_mlp_b1024 fused w=256 reference: ~13-15k "
           "steps/s, 29-33% MFU)")
