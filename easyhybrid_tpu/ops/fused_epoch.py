@@ -215,6 +215,13 @@ def spec_uses_slot3(optimizer_spec) -> bool:
     return False
 
 
+def spec_uses_noise(optimizer_spec) -> bool:
+    """Whether the parsed spec is an RNG-consuming noise rule (noisy_sgd).
+    Per-branch dicts never qualify (parse_branch_specs rejects them)."""
+    parsed = parse_opt_spec(optimizer_spec)
+    return parsed is not None and parsed[0] in _NOISE_OPTS
+
+
 def parse_opt_spec(spec) -> Optional[Tuple[str, Dict[str, float]]]:
     """Parse an optimizer spec into ``(name, hyperparams)`` if the fused
     kernel supports it, else None. Defaults match ``resolve_optimizer``
@@ -578,7 +585,10 @@ def init_fused_opt_state(params, optimizer_spec=None) -> Dict[str, Any]:
     """Moments + step counter for the in-kernel optimizer (adam layout;
     sgd/rmsprop simply ignore the unused slots). When ``optimizer_spec``
     names a :data:`_SLOT3_OPTS` rule (amsgrad), a third ``u`` slot tree is
-    added (optax ``nu_max``)."""
+    added (optax ``nu_max``). When it names a :data:`_NOISE_OPTS` rule,
+    the add_noise key chain is carried as raw uint32 key data
+    (``noise_key``) so later eval blocks advance it O(steps-in-call)
+    instead of replaying all prior splits from key(0)."""
     out = {
         "m": jax.tree.map(jnp.zeros_like, params),
         "v": jax.tree.map(jnp.zeros_like, params),
@@ -586,6 +596,8 @@ def init_fused_opt_state(params, optimizer_spec=None) -> Dict[str, Any]:
     }
     if optimizer_spec is not None and spec_uses_slot3(optimizer_spec):
         out["u"] = jax.tree.map(jnp.zeros_like, params)
+    if optimizer_spec is not None and spec_uses_noise(optimizer_spec):
+        out["noise_key"] = jax.random.key_data(jax.random.key(0))
     return out
 
 
@@ -2793,16 +2805,22 @@ def make_fused_epoch(
                         eta = hv[hk]
                     elif hname == "gamma":
                         gamma = hv[hk]
-            # fast-forward optax add_noise's key chain past the t0 draws
-            # already consumed (warm starts / later eval blocks): under the
-            # supports_fused_epoch guard every step is valid, so draws
-            # consumed == the step counter exactly
-            k0_noise = jax.lax.fori_loop(
-                0,
-                t0.astype(jnp.int32),
-                lambda _, kk: jax.random.split(kk)[0],
-                jax.random.key(0),
-            )
+            if "noise_key" in opt_state:
+                # the chain key after t0 draws rides in the opt state
+                # (init_fused_opt_state with the spec) — O(1) resume
+                k0_noise = jax.random.wrap_key_data(opt_state["noise_key"])
+            else:
+                # legacy/bare opt states: fast-forward optax add_noise's
+                # key chain past the t0 draws already consumed (warm
+                # starts / later eval blocks): under the
+                # supports_fused_epoch guard every step is valid, so
+                # draws consumed == the step counter exactly
+                k0_noise = jax.lax.fori_loop(
+                    0,
+                    t0.astype(jnp.int32),
+                    lambda _, kk: jax.random.split(kk)[0],
+                    jax.random.key(0),
+                )
 
         if single_launch:
             if do_sample_shuffle:
@@ -2824,7 +2842,7 @@ def make_fused_epoch(
                 stacked = False
             noise = None
             if is_noisy:
-                nz, _ = _noisy_sgd_noise(
+                nz, k_noise_end = _noisy_sgd_noise(
                     k0_noise, t0, epochs * num_batches, orig_shapes,
                     eta, gamma,
                 )
@@ -2842,18 +2860,26 @@ def make_fused_epoch(
             )
             t_cum = jnp.round(t_delta[0, 0]).astype(jnp.int32)
         else:
+            # the per-epoch-launch scan is reached either by the stacked-
+            # shuffle budget or (noisy_sgd) by the noise-tile budget; the
+            # latter can trigger with shuffle OFF, where the data must
+            # pass through untouched every epoch
             if do_sample_shuffle:
                 xs = jax.vmap(lambda k: epoch_permutation(k, n))(keys)
-            else:
+            elif do_batch_shuffle:
                 xs = jax.vmap(lambda k: epoch_permutation(k, num_batches))(keys)
+            else:
+                xs = jnp.zeros((epochs, 1), jnp.int32)
 
             def body(carry, perm):
                 pb, mb, vb, ub, stb, cum, kn = carry
-                data = (
-                    sample_shuffled(perm)
-                    if do_sample_shuffle
-                    else batch_shuffled(perm)
-                )
+                if do_sample_shuffle:
+                    data = sample_shuffled(perm)
+                elif do_batch_shuffle:
+                    data = batch_shuffled(perm)
+                else:
+                    data = (tensors.x, tensors.forcing, tensors.y,
+                            tensors.mask, tensors.weight)
                 noise = None
                 if is_noisy:
                     # the add_noise key chain threads THROUGH the scan —
@@ -2876,7 +2902,8 @@ def make_fused_epoch(
                 ), mean_loss
 
             kn0 = k0_noise if is_noisy else jax.random.key(0)
-            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_cum, _), losses = (
+            (p_bufs, m_bufs, v_bufs, u_bufs, st_bufs, t_cum,
+             k_noise_end), losses = (
                 jax.lax.scan(
                     body,
                     (tuple(p_bufs), tuple(m_bufs), tuple(v_bufs),
@@ -2906,6 +2933,9 @@ def make_fused_epoch(
                 treedef,
                 [_from_kernel_buffer(a, s) for a, s in zip(u_bufs, orig_shapes)],
             )
+        if is_noisy and "noise_key" in opt_state:
+            # mirror the input structure exactly (scan-carry stability)
+            new_opt_state["noise_key"] = jax.random.key_data(k_noise_end)
         if any_bn_train:
             state_out = jax.tree.unflatten(
                 st_treedef,

@@ -174,9 +174,13 @@ def _train_second_order(
             out = out[0]
         ref_leaves = jax.tree.leaves(p)
         new_leaves = jax.tree.leaves(out)
-        if len(new_leaves) != len(ref_leaves) or any(
-            jnp.shape(a) != jnp.shape(b)
-            for a, b in zip(new_leaves, ref_leaves)
+        if (
+            jax.tree.structure(out) != jax.tree.structure(p)
+            or len(new_leaves) != len(ref_leaves)
+            or any(
+                jnp.shape(a) != jnp.shape(b)
+                for a, b in zip(new_leaves, ref_leaves)
+            )
         ):
             raise ValueError(
                 "custom solver must return params with the same tree "

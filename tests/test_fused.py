@@ -1804,6 +1804,18 @@ def test_fused_noisy_sgd_warm_start_and_scan_mode(monkeypatch):
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
 
+    # the spec-built opt state carries the chain key (O(1) resume instead
+    # of the O(t0) split replay) — must realize the SAME stream
+    os_k = init_fused_opt_state(params, spec)
+    assert "noise_key" in os_k
+    pk1, osk1, _, _ = fused2(cp(params), os_k, cp(state), tensors,
+                             jax.random.PRNGKey(1))
+    assert "noise_key" in osk1
+    pk2, _, _, _ = fused2(pk1, osk1, cp(state), tensors,
+                          jax.random.PRNGKey(2))
+    for a, b in zip(jax.tree.leaves(pk2), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
     monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "0")
     scan = make_fused_epoch(model, state, spec, ll, shuffle=True,
                             epochs_per_call=3)
@@ -1815,6 +1827,31 @@ def test_fused_noisy_sgd_warm_start_and_scan_mode(monkeypatch):
     p_l, _, _, _ = single(cp(params), init_fused_opt_state(params),
                           cp(state), tensors, jax.random.PRNGKey(1))
     for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
+def test_fused_noisy_sgd_scan_mode_keeps_shuffle_off(monkeypatch):
+    """Regression: noisy_sgd can enter the per-epoch-launch scan fallback
+    via the NOISE-tile budget with shuffle=False — the scan body must pass
+    the data through untouched (it used to batch-shuffle unconditionally,
+    silently training on permuted batches)."""
+    model, params, state, tensors = _setup()
+    ll = eh.LoggingLoss(training_loss="mse", loss_types=("mse",))
+    spec = ("noisy_sgd", 0.05, 0.01, 0.55)
+    cp = lambda t: jax.tree.map(jnp.copy, t)
+
+    monkeypatch.setenv("EASYHYBRID_FUSED_STACK_MB", "0")
+    scan = make_fused_epoch(model, state, spec, ll, shuffle=False,
+                            epochs_per_call=2)
+    p_s, _, _, _ = scan(cp(params), init_fused_opt_state(params), cp(state),
+                        tensors, jax.random.PRNGKey(1))
+    monkeypatch.delenv("EASYHYBRID_FUSED_STACK_MB")
+    optimizer = optax.noisy_sgd(0.05, 0.01, 0.55)
+    xla = make_train_epoch(model, ll, optimizer, shuffle=False,
+                           epochs_per_call=2)
+    p_x, _, _, _ = xla(cp(params), optimizer.init(params), cp(state),
+                       tensors, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
 
 

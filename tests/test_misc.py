@@ -372,3 +372,23 @@ def test_docs_site_builds(tmp_path):
     for target in set(re.findall(r'href="([a-z_]+\.html)"', html)):
         assert (out / target).exists(), target
     assert (out / "style.css").exists() and (out / "pygments.css").exists()
+    # cross-SECTION links between same-basename pages resolve by the
+    # source page's directory (tutorials/overview.md's research link must
+    # not collapse onto itself)
+    tut = (out / "tutorials_overview.html").read_text()
+    body = tut.split("<main>")[1]
+    assert 'href="research_overview.html"' in body
+    # no unresolved nav-page .md links survive in any built body
+    for page in out.glob("*.html"):
+        b = page.read_text().split("<main>")[1]
+        for md_target in re.findall(r'href="([^"#:]+\.md)[#"]', b):
+            base = md_target.split("/")[-1]
+            known = [
+                "README.md", "get_started.md", "overview.md",
+                "custom_models.md", "losses.md", "sequences_lstm.md",
+                "second_order.md", "hyperparameter_tuning.md",
+                "scaling_tpu.md", "cluster_jobs.md",
+                "synthetic_respiration.md", "tpu_notes.md", "BASELINE.md",
+                "api.md", "api_reference.md",
+            ]
+            assert base not in known, f"{page.name}: unresolved {md_target}"

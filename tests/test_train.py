@@ -471,6 +471,14 @@ def test_second_order_custom_callable_solver(rbq10_model, rbq10_df):
             optimizer=lambda obj, p, **kw: jnp.zeros((3,)),
             second_order=True, full_batch=True, show_progress=False,
         )
+    # ... even when the wrong structure has MATCHING leaf count/shapes
+    # (e.g. a list of the leaves instead of the dict pytree)
+    with pytest.raises(ValueError, match="same tree structure"):
+        eh.train(
+            rbq10_model, rbq10_df,
+            optimizer=lambda obj, p, **kw: jax.tree.leaves(p),
+            second_order=True, full_batch=True, show_progress=False,
+        )
 
 
 def test_patience_counts_snapshots(rbq10_model, rbq10_df):

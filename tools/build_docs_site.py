@@ -16,6 +16,7 @@ rot silently.
 """
 
 import pathlib
+import posixpath
 import re
 import sys
 
@@ -135,18 +136,26 @@ def build_nav(active_md: str) -> str:
 _LINK_RE = re.compile(r'href="([^"#:]+\.md)(#[^"]*)?"')
 
 
-def rewrite_links(html: str, known: dict) -> str:
+def rewrite_links(html: str, known: dict, src_rel: str) -> str:
     """Relative .md links → their site html names (unknown ones keep the
-    md target so they still work on the repo host)."""
+    md target so they still work on the repo host). Targets resolve
+    against the SOURCE page's directory first — pages sharing a basename
+    (tutorials/overview.md vs research/overview.md) must not collide."""
+    src_dir = posixpath.dirname(src_rel)
 
     def sub(m):
         target, frag = m.group(1), m.group(2) or ""
+        for cand in (
+            posixpath.normpath(posixpath.join(src_dir, target)),
+            posixpath.normpath(target),  # repo-root-relative links
+        ):
+            if cand in known:
+                return f'href="{out_name(cand)}{frag}"'
+        # last resort: a basename that is UNIQUE across the nav
         base = target.split("/")[-1]
-        for md in known:
-            if md == target or md.endswith("/" + target) or (
-                md.split("/")[-1] == base
-            ):
-                return f'href="{out_name(md)}{frag}"'
+        hits = [md for md in known if md.split("/")[-1] == base]
+        if len(hits) == 1:
+            return f'href="{out_name(hits[0])}{frag}"'
         return m.group(0)
 
     return _LINK_RE.sub(sub, html)
@@ -175,7 +184,7 @@ def main() -> int:
                 return 1
             md.reset()
             body = md.convert(src.read_text())
-            body = rewrite_links(body, known)
+            body = rewrite_links(body, known, rel)
             html = PAGE.format(
                 title=title, body=body, nav=build_nav(rel), root="",
             )
