@@ -562,21 +562,16 @@ def supports_fused_epoch(model, optimizer_spec, logging: LoggingLoss,
         # update CALLS, but the XLA path tree-select-discards all-masked
         # batches — state (incl. add_noise's rng chain) does not advance
         # there. Parity therefore needs data where NO batch can be fully
-        # masked under ANY shuffle permutation: statically guaranteed when
-        # the number of dead slots (every target masked at that sample,
-        # padding included — the permutation moves slots, not samples) is
-        # smaller than one batch.
-        if tensors is None:
-            return False
-        dead = None
-        for m in tensors.mask.values():
-            if isinstance(m, jax.core.Tracer):
-                return False  # cannot verify the mask statically
-            md = np.asarray(jax.device_get(m))
-            alive = md.reshape(md.shape[0], md.shape[1], -1).max(axis=-1)
-            d = alive <= 0.0
-            dead = d if dead is None else (dead & d)
-        if dead is None or int(dead.sum()) >= int(tensors.weight.shape[-1]):
+        # masked under ANY shuffle permutation — exactly the invariant
+        # `can_skip_empty_guard` proves for the XLA path's empty-batch
+        # guard (the one whose skip would desynchronize the stream).
+        from ..training.epoch import can_skip_empty_guard
+
+        if tensors is None or any(
+            isinstance(m, jax.core.Tracer) for m in tensors.mask.values()
+        ):
+            return False  # cannot verify the mask statically
+        if not can_skip_empty_guard(tensors):
             return False
     return True
 

@@ -356,6 +356,7 @@ def test_docs_site_builds(tmp_path):
     import subprocess
     import sys
 
+    pytest.importorskip("markdown")  # in the test extra; absent on minimal rigs
     root = pathlib.Path(__file__).resolve().parent.parent
     out = tmp_path / "site"
     res = subprocess.run(

@@ -87,7 +87,7 @@ def main():
             f"loss {loss_name!r} is outside the multisite fused envelope "
             f"(supported: {', '.join(_MS_LOSSES)}). Usage: python "
             "tools/validate_multisite_minibatch_onchip.py "
-            "[S] [N] [batch] [E_small] [E_big] [loss]"
+            "[S] [N] [batch] [E_small] [E_big] [loss] [shuffle off|on|batches]"
         )
     logging = LoggingLoss(training_loss=loss_name, loss_types=(loss_name,))
     model, params, state, tensors = build(S, N, batch)
