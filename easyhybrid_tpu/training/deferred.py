@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses.metrics import best_direction
+from ..losses.specs import agg_name as _spec_agg_name
 from ..losses.specs import loss_name
 from .early_stopping import EarlyStopping
 from .history import EpochSnapshot, TrainingHistory, _agg_loss
@@ -105,9 +106,12 @@ def can_defer(cfg, n_samples: Optional[int] = None) -> bool:
     return not defer_blockers(cfg, n_samples)
 
 
-def _first_loss_agg(metrics, agg_name: str):
-    """Aggregated scalar of the FIRST metric — device analog of
-    history._agg_loss."""
+def _first_loss_agg(metrics, agg_name: str, metric=None):
+    """Aggregated scalar of the monitored metric — device analog of
+    history._agg_loss (by-NAME lookup: jit round-trips key-sort the
+    dicts, so positional `first` is the alphabetically-first metric)."""
+    if metric is not None and metric in metrics:
+        return metrics[metric][agg_name]
     first = next(iter(metrics.values()))
     return first[agg_name]
 
@@ -142,7 +146,7 @@ def run_deferred_loop(
     ``grad_history`` is a list of per-snapshot gradient-norm dicts.
     """
     metric = loss_name(cfg.loss_types[0] if cfg.loss_types else cfg.training_loss)
-    agg_name = cfg.agg if isinstance(cfg.agg, str) else getattr(cfg.agg, "__name__", "sum")
+    agg_name = _spec_agg_name(cfg.agg)  # compute_loss's dict-key derivation
     maximize = best_direction(metric) == "max"
     patience = cfg.patience
     monitor_names = tuple(cfg.monitor_names or ())
@@ -232,7 +236,7 @@ def run_deferred_loop(
             epoch = es["epoch"] + eval_every
             p, o, s, _ = epoch_fn(params, opt_state, state, tensors, shuffle_key)
             m_tr, m_va, out_tr, out_va = eval_full(p, s, teb, veb)
-            val = _first_loss_agg(m_va, agg_name)
+            val = _first_loss_agg(m_va, agg_name, metric)
             best = es["best_val"]
             better = (val > best) if maximize else (val < best)
 
@@ -310,8 +314,6 @@ def run_deferred_loop(
         m_tr0, m_va0, out_va0, params, state, train_eval_batch
     )
     row_treedef = jax.tree.structure(tree0)
-    metrics_treedef = jax.tree.structure(tree0["metrics"])
-    n_metric = metrics_treedef.num_leaves
     # hist rows padded up to a power-of-two bucket: the block program's
     # shape signature then only changes when nepochs crosses a bucket
     # boundary, so different epoch counts share one compiled executable
@@ -327,7 +329,7 @@ def run_deferred_loop(
     es = {
         "key": key,
         "epoch": jnp.int32(0),
-        "best_val": _first_loss_agg(m_va0, agg_name) + 0.0,
+        "best_val": _first_loss_agg(m_va0, agg_name, metric) + 0.0,
         "best_epoch": jnp.int32(0),
         "best_params": copy_tree(params),
         "best_state": copy_tree(state),
@@ -420,9 +422,9 @@ def run_deferred_loop(
             grad_history.append(dict(grads_i))
         if i == 0:
             stopper = EarlyStopping(snap, {}, {}, cfg)
-            best_val = _agg_loss(snap.l_val, agg_name)
+            best_val = _agg_loss(snap.l_val, agg_name, metric)
             continue
-        val = _agg_loss(snap.l_val, agg_name)
+        val = _agg_loss(snap.l_val, agg_name, metric)
         better = (val > best_val) if maximize else (val < best_val)
         if better:
             best_val = val

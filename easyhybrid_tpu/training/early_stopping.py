@@ -11,6 +11,7 @@ import logging
 from typing import Any, Optional
 
 from ..losses.metrics import is_better
+from ..losses.specs import agg_name as _spec_agg_name
 from ..losses.specs import loss_name
 from ..utils.host import to_host as _to_host
 from .history import EpochSnapshot, TrainingHistory, _agg_loss
@@ -24,13 +25,14 @@ log = logging.getLogger("easyhybrid_tpu")
 
 class EarlyStopping:
     def __init__(self, init_snapshot: EpochSnapshot, params, state, cfg):
-        self.agg_name = (
-            cfg.agg if isinstance(cfg.agg, str) else getattr(cfg.agg, "__name__", "sum")
-        )
+        # the SAME derivation compute_loss uses for the dict key — a
+        # divergent fallback ("sum" vs "agg", no lstrip) was a KeyError
+        # for underscore-named callable aggs
+        self.agg_name = _spec_agg_name(cfg.agg)
         self.metric = loss_name(
             cfg.loss_types[0] if cfg.loss_types else cfg.training_loss
         )
-        self.best_loss = _agg_loss(init_snapshot.l_val, self.agg_name)
+        self.best_loss = _agg_loss(init_snapshot.l_val, self.agg_name, self.metric)
         self.best_params = _to_host(params)
         self.best_state = _to_host(state)
         self.best_epoch = 0
@@ -56,7 +58,7 @@ class EarlyStopping:
         snapshot is stripped to its scalar metric dicts before appending so
         long runs with plotting/monitoring enabled don't accumulate
         O(nepochs × dataset) prediction arrays on host."""
-        current = _agg_loss(snapshot.l_val, self.agg_name)
+        current = _agg_loss(snapshot.l_val, self.agg_name, self.metric)
         if keep_history:
             history.append(snapshot)
         else:

@@ -23,9 +23,17 @@ class EpochSnapshot:
     y_hat_val: Optional[Dict[str, Any]] = None
 
 
-def _agg_loss(metrics: Dict[str, Dict[str, float]], agg_name: str) -> float:
-    """Aggregated scalar of the FIRST metric (parity: extract_agg_loss,
-    early_stopping.jl:46-48)."""
+def _agg_loss(
+    metrics: Dict[str, Dict[str, float]], agg_name: str,
+    metric: Optional[str] = None,
+) -> float:
+    """Aggregated scalar of the monitored metric (parity: extract_agg_loss,
+    early_stopping.jl:46-48 — the first ``loss_types`` entry). The lookup
+    must be BY NAME: metric dicts that round-tripped through a jitted
+    program come back key-sorted, so the positionally-first entry is the
+    alphabetically-first metric, not ``loss_types[0]``."""
+    if metric is not None and metric in metrics:
+        return float(metrics[metric][agg_name])
     first = next(iter(metrics.values()))
     return float(first[agg_name])
 

@@ -105,14 +105,24 @@ def _train_second_order(
     train_eval_batch = _full_batch(train_data)
     val_eval_batch = _full_batch(val_data)
 
-    from .train import _jit_init
+    from .train import _get_ps_st, _jit_init, fit_input_norm
 
-    try:
-        params, state = _jit_init(model, init_key)
-    except (TypeError, ValueError):
-        # unhashable custom model (jax raises ValueError for non-hashable
-        # static args, older versions TypeError): eager fallback
-        params, state = model.init(init_key)
+    # warm start + static input-norm fitting mirror the optax path
+    # (train.py) exactly — train_from was silently ignored here before,
+    # re-optimizing from a fresh init, and input_batchnorm="static"
+    # models solved with unfitted identity stats
+    warm = _get_ps_st(cfg.train_from)
+    if warm is not None:
+        params, state = jax.tree.map(jnp.asarray, warm)
+    else:
+        try:
+            params, state = _jit_init(model, init_key)
+        except (TypeError, ValueError):
+            # unhashable custom model (jax raises ValueError for
+            # non-hashable static args, older versions TypeError):
+            # eager fallback
+            params, state = model.init(init_key)
+    state = fit_input_norm(model, state, train_data)
     if cfg.promote_f64:
         params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
 
@@ -258,10 +268,11 @@ def _train_second_order(
         # eval_every iterations (parity: train_optimization.jl:66-80)
         step = make_step(train_eval_batch)
         iters = int(maxiters or cfg.nepochs)
+        eval_every = max(1, int(cfg.eval_every))  # clamp like the optax path
         epoch = 0
         for it in range(1, iters + 1):
             params, opt_state, value = step(params, opt_state)
-            if it % cfg.eval_every == 0 or it == iters:
+            if it % eval_every == 0 or it == iters:
                 epoch += 1
                 snapshot = snapshot_of(params, state)
                 stopper.update(

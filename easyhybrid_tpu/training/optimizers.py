@@ -153,6 +153,16 @@ def resolve_optimizer(spec, params: Optional[Any] = None) -> optax.GradientTrans
         transforms: Dict[str, optax.GradientTransformation] = {}
         label_of: Dict[Any, str] = {}
         for key, sub in spec.items():
+            if is_second_order(sub):
+                # linesearch transforms need update(..., value, grad,
+                # value_fn) kwargs the first-order scan epoch never
+                # passes — fail here, not as a TypeError inside jit
+                raise ValueError(
+                    f"per-branch optimizer {sub!r} for {key!r} is a "
+                    "second-order/linesearch solver; those cannot be "
+                    "per-branch rules — use optimizer=<solver> with "
+                    "second_order=True for the whole model instead"
+                )
             transforms[str(key)] = _resolve_single(sub)
         default = transforms.setdefault(
             "__default__", optax.adam(1.0e-3)

@@ -118,9 +118,9 @@ def kwargs_to_configs(
         if k in _TRAIN_FIELDS:
             train_cfg = train_cfg.replace(**{k: v})
         elif k in _DATA_FIELDS:
+            # incl. sequence_kwargs, normalized later by
+            # merged_sequence_kwargs
             data_cfg = data_cfg.replace(**{k: v})
-        elif k == "sequence_kwargs":
-            data_cfg = data_cfg.replace(sequence_kwargs=dict(v) if v else None)
         else:
             leftovers[k] = v
     return train_cfg, data_cfg, leftovers
@@ -254,18 +254,36 @@ def _obs_pred_frames(data: HybridData, outputs, targets):
         )
         return obs, pred
 
-    shape = shapes[0]
-    idx = np.indices(shape).reshape(len(shape), -1)
-    index_cols = {"sample": idx[0]}
-    if len(shape) > 1:
-        index_cols["step"] = idx[1]
-    obs = pd.DataFrame({**index_cols, **{t: flat_obs(t) for t in targets}})
-    pred = pd.DataFrame(
-        {
-            **index_cols,
-            **{f"{t}_pred": flat_pred(t) for t in targets if t in outputs},
-        }
-    )
+    # group targets by shape — heterogeneous targets (e.g. a windowed
+    # (N, T) target next to a per-sample (N,) one) cannot share one ravel
+    # index; each group gets its own long frame, outer-merged on the
+    # index columns (per-sample values broadcast across a window's steps)
+    def group_frames(ts, shape):
+        idx = np.indices(shape).reshape(len(shape), -1)
+        index_cols = {"sample": idx[0]}
+        if len(shape) > 1:
+            index_cols["step"] = idx[1]
+        o = pd.DataFrame({**index_cols, **{t: flat_obs(t) for t in ts}})
+        p = pd.DataFrame(
+            {
+                **index_cols,
+                **{f"{t}_pred": flat_pred(t) for t in ts if t in outputs},
+            }
+        )
+        return o, p
+
+    by_shape: Dict[tuple, list] = {}
+    for t, s in zip(targets, shapes):
+        by_shape.setdefault(tuple(s), []).append(t)
+    obs = pred = None
+    for s, ts in by_shape.items():
+        o, p = group_frames(ts, s)
+        if obs is None:
+            obs, pred = o, p
+            continue
+        keys = [c for c in ("sample", "step") if c in obs and c in o]
+        obs = obs.merge(o, on=keys, how="outer")
+        pred = pred.merge(p, on=keys, how="outer")
     return obs, pred
 
 
@@ -429,9 +447,13 @@ def train(
     import os
 
     use_pallas = cfg.use_pallas
-    if use_pallas not in ("auto", None, True, False):
+    if use_pallas != "auto" and use_pallas is not None and not (
+        use_pallas is True or use_pallas is False
+    ):
         # normalize stray truthy/falsy values (e.g. 1, "on") so the gate
         # block below always runs and is_multisite_fused is always bound
+        # — identity checks, because 1 == True would dodge an `in` test
+        # and then fail the `is True` force check below
         use_pallas = bool(use_pallas)
     if os.environ.get("EASYHYBRID_PALLAS") == "1" and use_pallas in ("auto", None):
         use_pallas = True

@@ -166,6 +166,14 @@ def test_train_with_use_pallas_flag():
         model, df, nepochs=1, batchsize=64, use_pallas=1, show_progress=False,
     )
     assert np.isfinite(res1.best_loss)
+    # ... and 1 means FORCED, exactly like True (1 == True used to dodge
+    # the normalization, silently downgrading to the auto backend gate
+    # which disqualifies the kernel on CPU)
+    res_true = eh.train(
+        model, df, nepochs=1, batchsize=64, use_pallas=True,
+        show_progress=False,
+    )
+    assert res1.epoch_path == res_true.epoch_path
     res0 = eh.train(
         model, df, nepochs=1, batchsize=64, use_pallas=0, show_progress=False,
     )

@@ -679,3 +679,140 @@ def test_flatten_fast_path_size_rule():
     assert _flatten_safe(("adam", 0.01))  # no params: name rule only
     assert not _flatten_safe(("lamb", 0.01), small)
     assert not _flatten_safe("noisy_sgd", small)
+
+
+def test_early_stopping_monitors_first_loss_type():
+    """Regression: metric dicts round-tripped through a jitted program come
+    back KEY-SORTED, so the stopper must look up loss_types[0] by NAME —
+    positional `first` silently monitored the alphabetically-first metric
+    (and its is_better direction came from a DIFFERENT metric)."""
+    from easyhybrid_tpu.config.train_config import TrainConfig
+    from easyhybrid_tpu.training.early_stopping import EarlyStopping
+    from easyhybrid_tpu.training.history import EpochSnapshot, TrainingHistory
+
+    cfg = TrainConfig(loss_types=("rmse", "mae"), patience=None)
+
+    def snap(rmse, mae):
+        # key-sorted exactly like a jit output: "mae" iterates first
+        return EpochSnapshot(
+            l_train={"mae": {"reco": mae, "sum": mae},
+                     "rmse": {"reco": rmse, "sum": rmse}},
+            l_val={"mae": {"reco": mae, "sum": mae},
+                   "rmse": {"reco": rmse, "sum": rmse}},
+        )
+
+    stopper = EarlyStopping(snap(rmse=1.0, mae=5.0), {}, {}, cfg)
+    assert stopper.metric == "rmse"
+    assert stopper.best_loss == 1.0  # the rmse scalar, not mae's 5.0
+    hist = TrainingHistory()
+    # rmse worsens while mae improves: best must STAY at epoch 0
+    stopper.update(hist, snap(rmse=2.0, mae=0.5), {}, {}, 1, False)
+    assert stopper.best_epoch == 0 and stopper.best_loss == 1.0
+    # rmse improves: best moves
+    stopper.update(hist, snap(rmse=0.7, mae=9.0), {}, {}, 2, False)
+    assert stopper.best_epoch == 2 and stopper.best_loss == 0.7
+
+
+def test_early_stopping_callable_agg_underscore_name():
+    """Regression: the stopper's agg-key derivation must match
+    compute_loss's (losses.specs.agg_name: lstrip('_'), fallback 'agg') —
+    a divergent copy KeyError-ed on underscore-named callable aggs."""
+    from easyhybrid_tpu.config.train_config import TrainConfig
+    from easyhybrid_tpu.training.early_stopping import EarlyStopping
+    from easyhybrid_tpu.training.history import EpochSnapshot
+
+    def _my_agg(xs):
+        return sum(xs)
+
+    cfg = TrainConfig(loss_types=("mse",), agg=_my_agg, patience=None)
+    s = EpochSnapshot(
+        l_train={"mse": {"reco": 1.0, "my_agg": 1.0}},
+        l_val={"mse": {"reco": 1.0, "my_agg": 1.0}},
+    )
+    stopper = EarlyStopping(s, {}, {}, cfg)  # used to KeyError('_my_agg')
+    assert stopper.agg_name == "my_agg" and stopper.best_loss == 1.0
+
+
+def test_train_monitors_first_loss_type_e2e(rbq10_model, rbq10_df):
+    """e2e: with loss_types=("r2", "mse") the returned best_loss is the
+    MAXIMIZED r2 over the history (r2 sorts after mse, so the positional
+    bug would minimize mse and report ITS scalar)."""
+    r = eh.train(
+        rbq10_model, rbq10_df, nepochs=8, batchsize=64,
+        loss_types=("r2", "mse"), optimizer=("adam", 0.01),
+        show_progress=False, patience=None,
+    )
+    r2s = [h["r2"]["sum"] for h in r.val_history]
+    assert r.best_loss == pytest.approx(max(r2s), rel=1e-6)
+    assert r.best_epoch == int(np.argmax(r2s))
+
+
+def test_second_order_warm_start_and_input_norm(rbq10_model, rbq10_df):
+    """Regression: the second-order driver ignored cfg.train_from (fresh
+    init) and never fitted the static input norm (identity stats)."""
+    warm = eh.train(
+        rbq10_model, rbq10_df, nepochs=5, batchsize=64,
+        optimizer=("adam", 0.01), show_progress=False,
+    )
+    r = eh.train(
+        rbq10_model, rbq10_df, optimizer="lbfgs", full_batch=True,
+        nepochs=2, train_from=warm, show_progress=False,
+    )
+    # input_batchnorm=True ("static" stats) must be fitted, not identity
+    norm = r.state["nn"]["norm"]
+    assert float(np.abs(np.asarray(norm["mean"])).max()) > 1e-3
+    # the warm start is visible in the INITIAL snapshot: it must equal the
+    # warm model's loss, far below a fresh init's
+    fresh = eh.train(
+        rbq10_model, rbq10_df, optimizer="lbfgs", full_batch=True,
+        nepochs=2, show_progress=False,
+    )
+    warm_init = r.val_history[0]["mse"]["sum"]
+    fresh_init = fresh.val_history[0]["mse"]["sum"]
+    assert warm_init <= warm.val_history[-1]["mse"]["sum"] * 1.01
+    assert warm_init < fresh_init
+
+
+def test_second_order_eval_every_zero_clamped(rbq10_model, rbq10_df):
+    """eval_every=0 clamps to 1 on the full-batch solver loop (the optax
+    path already clamped; this one ZeroDivisionError-ed)."""
+    r = eh.train(
+        rbq10_model, rbq10_df, optimizer="lbfgs", full_batch=True,
+        nepochs=2, eval_every=0, show_progress=False,
+    )
+    assert np.isfinite(r.best_loss)
+
+
+def test_per_branch_second_order_rejected(rbq10_model, rbq10_df):
+    """A per-branch dict naming a linesearch solver must fail with a clear
+    error, not a TypeError deep inside jit (linesearch update() needs
+    value/grad/value_fn kwargs the scan epoch never passes)."""
+    with pytest.raises(ValueError, match="second-order"):
+        eh.train(
+            rbq10_model, rbq10_df, nepochs=1,
+            optimizer={"globals": "lbfgs", "nn": ("adam", 0.01)},
+            show_progress=False,
+        )
+
+
+def test_obs_pred_frames_heterogeneous_target_shapes():
+    """Targets with different shapes (windowed (N, T) next to per-sample
+    (N,)) build per-shape long frames outer-merged on the index columns —
+    one shared ravel index crashed pandas after the whole run finished."""
+    from types import SimpleNamespace
+
+    from easyhybrid_tpu.training.train import _obs_pred_frames
+
+    n, t = 4, 3
+    y1 = np.arange(n * t, dtype=np.float32).reshape(n, t)
+    y2 = np.arange(n, dtype=np.float32) * 10.0
+    data = SimpleNamespace(n_samples=n, y={"y1": y1, "y2": y2})
+    outputs = {"y1": y1 + 0.5, "y2": y2 + 0.5}
+    obs, pred = _obs_pred_frames(data, outputs, ("y1", "y2"))
+    assert len(obs) == n * t and len(pred) == n * t
+    assert {"sample", "step", "y1", "y2"} <= set(obs.columns)
+    # the per-sample target broadcasts across the window steps
+    row = obs[(obs["sample"] == 2) & (obs["step"] == 1)]
+    assert float(row["y2"].iloc[0]) == 20.0
+    assert float(row["y1"].iloc[0]) == y1[2, 1]
+    assert {"y1_pred", "y2_pred"} <= set(pred.columns)
