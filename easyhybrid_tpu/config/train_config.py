@@ -124,8 +124,9 @@ def validate_config(cfg: TrainConfig) -> None:
         raise ValueError("patience must be positive (or None to disable)")
     if not (cfg.return_model in ("best", "final")):
         raise ValueError("return_model must be 'best' or 'final'")
-    if isinstance(cfg.training_loss, str):
-        check_training_loss(cfg.training_loss)
+    # any spec form: best_direction resolves LossSpec wrappers by name,
+    # so SymbolicLoss("r2") is rejected like the bare string
+    check_training_loss(cfg.training_loss)
     if not cfg.loss_types:
         raise ValueError("loss_types must not be empty")
 

@@ -51,20 +51,26 @@ def _read_hdf5_backed(path: str) -> Optional[pd.DataFrame]:
     except OSError:
         return None  # not an HDF5/netCDF-4 file
     with f:
-        cols = {}
-        n = None
+        # two passes: the record/time dimension is the MOST COMMON 1-D
+        # length (same rule as _read_netcdf3) — anchoring to the first
+        # dataset visited would latch onto a short auxiliary coord (e.g.
+        # an alphabetically-early 'bnds' of length 2) and drop every
+        # real time-series variable
+        datasets = []
 
-        def visit(name, obj):
-            nonlocal n
+        def collect(name, obj):
             if isinstance(obj, h5py.Dataset) and obj.ndim == 1:
-                if n is None:
-                    n = obj.shape[0]
-                if obj.shape[0] == n:
-                    cols[name.split("/")[-1]] = _fill_to_nan(obj[...], obj.attrs)
+                datasets.append((name, obj))
 
-        f.visititems(visit)
-        if not cols:
+        f.visititems(collect)
+        if not datasets:
             raise ValueError(f"no 1-D variables found in {path}")
+        lengths = [d.shape[0] for _, d in datasets]
+        n = max(set(lengths), key=lengths.count)
+        cols = {}
+        for name, obj in datasets:
+            if obj.shape[0] == n:
+                cols[name.split("/")[-1]] = _fill_to_nan(obj[...], obj.attrs)
         return pd.DataFrame(cols)
 
 

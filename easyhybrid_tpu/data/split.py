@@ -122,8 +122,14 @@ def split_data(
         )
         train_ids = {unique_ids[i] for i in tr_u}
         val_ids = {unique_ids[i] for i in va_u}
-        train_idx = np.array([i for i, v in enumerate(ids) if v in train_ids])
-        val_idx = np.array([i for i, v in enumerate(ids) if v in val_ids])
+        # dtype pinned: np.array([]) defaults to float64, which take()
+        # rejects when a partition is empty (e.g. 2 ids at 0.8)
+        train_idx = np.array(
+            [i for i, v in enumerate(ids) if v in train_ids], dtype=np.intp
+        )
+        val_idx = np.array(
+            [i for i, v in enumerate(ids) if v in val_ids], dtype=np.intp
+        )
         log.info(
             "Splitting by id: %d unique | train ids %d | val ids %d",
             len(unique_ids),

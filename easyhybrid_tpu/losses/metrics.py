@@ -179,7 +179,9 @@ METRICS: Dict[str, Callable] = {
 
 #: metrics whose best direction is "larger is better"
 #: (reference loss_fn.jl:186-188)
-MAXIMIZE_METRICS = frozenset({"pearson", "r2", "nse", "kge", "pbkge"})
+# a MUTABLE set: register_metric(maximize=True) adds in place, so modules
+# that imported the set by value (from-imports) see custom metrics too
+MAXIMIZE_METRICS = {"pearson", "r2", "nse", "kge", "pbkge"}
 
 
 def register_metric(name: str, fn: Callable, *, maximize: bool = False) -> None:
@@ -190,8 +192,8 @@ def register_metric(name: str, fn: Callable, *, maximize: bool = False) -> None:
     """
     METRICS[name] = fn
     if maximize:
-        global MAXIMIZE_METRICS
-        MAXIMIZE_METRICS = MAXIMIZE_METRICS | {name}
+        MAXIMIZE_METRICS.add(name)  # in place — rebinding would strand
+        # stale from-imports of the set in other modules
 
 
 # --------------------------------------------------------------------------
@@ -263,6 +265,10 @@ def loss_fn(y_hat: Array, y: Array, mask, loss_type: LossType):
             )
     yh, ys, m = _sanitize(y_hat, y, mask)
     if sigma is not None:
+        # masked rows typically carry NaN sigma too; fill with a neutral
+        # 1.0 (division-safe) so (0-0)/sigma terms stay exactly zero
+        # instead of poisoning the loss with NaN*0
+        sigma = jnp.where(m > 0, sigma, 1.0)
         if callable(loss_type):
             return loss_type(yh, ys, m, sigma=sigma)
         if isinstance(loss_type, tuple):
@@ -307,7 +313,15 @@ def loss_fn(y_hat: Array, y: Array, mask, loss_type: LossType):
 # --------------------------------------------------------------------------
 
 def best_direction(loss_type) -> str:
-    """'min' or 'max' — which direction is better for this metric."""
+    """'min' or 'max' — which direction is better for this metric.
+    LossSpec wrappers resolve through their display name, so e.g.
+    ``SymbolicLoss("r2")`` is maximize-direction like the bare string
+    (and ``check_training_loss`` rejects it as a training loss)."""
+    if not isinstance(loss_type, str):
+        from .specs import LossSpec, loss_name
+
+        if isinstance(loss_type, LossSpec):
+            loss_type = loss_name(loss_type)
     name = loss_type if isinstance(loss_type, str) else None
     return "max" if name in MAXIMIZE_METRICS else "min"
 

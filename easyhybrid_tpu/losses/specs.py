@@ -146,6 +146,15 @@ class ElementwiseLoss(LossSpec):
 
         from .metrics import _sanitize, masked_sum
 
+        if isinstance(y, tuple):
+            # like named registry metrics (metrics.loss_fn): elementwise
+            # losses have no sigma semantics — without this, the (y, sigma)
+            # tuple would silently stack into a (2, N) target
+            raise ValueError(
+                f"elementwise loss {self.name or self.fn!r} does not "
+                "support (y, sigma) targets; use a custom callable "
+                "f(y_hat, y, mask, sigma=...)"
+            )
         yh, ys, m = _sanitize(y_hat, y, mask)
         s = masked_sum(self.elementwise(yh, ys), m)
         if self.normalize == "mean":

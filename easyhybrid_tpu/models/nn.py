@@ -320,7 +320,11 @@ class LSTMNet(Module):
             "wi": glorot_uniform(k_ih, self.in_dim, 4 * h, self.dtype),
             "wh": glorot_uniform(k_hh, h, 4 * h, self.dtype),
             "b": jnp.zeros((4 * h,), self.dtype),
-            "head": Dense(h, self.out_dim, self.output_activation).init(k_head)[0],
+            # head follows the net's param dtype — a float32 head under
+            # dtype=bfloat16 would make a mixed-dtype parameter pytree
+            "head": Dense(
+                h, self.out_dim, self.output_activation, dtype=self.dtype
+            ).init(k_head)[0],
         }
         state = {}
         if self.input_batchnorm:
@@ -439,6 +443,14 @@ def construct_nn(
         return hidden_layers
     if isinstance(hidden_layers, dict):
         if "lstm" in hidden_layers:
+            if compute_dtype is not None:
+                # MLP-style cast-per-layer mixed precision is not
+                # implemented for the recurrent scan — reject instead of
+                # silently returning a full-float32 model
+                raise ValueError(
+                    "compute_dtype is not supported with the "
+                    "{'lstm': n} spec; LSTM hybrids run float32"
+                )
             return LSTMNet(
                 in_dim,
                 out_dim,

@@ -300,3 +300,46 @@ def test_to_dataset_requires_xarray(rbq10_model, rbq10_df):
         import pytest as _pytest
         with _pytest.raises(ImportError):
             eh.to_dataset(res, which="val")
+
+
+def test_split_by_id_empty_partition_dtype():
+    """Regression: an empty id partition built a float64 index array,
+    crashing take() — 2 unique ids at split_data_at=0.8 leaves val empty."""
+    import pandas as pd
+
+    import easyhybrid_tpu as eh
+
+    df = pd.DataFrame({
+        "a": np.arange(10, dtype=np.float32),
+        "reco": np.arange(10, dtype=np.float32),
+        "site": ["s1"] * 5 + ["s2"] * 5,
+    })
+
+    def mech(*, a, p):
+        return {"reco": p * a}
+
+    m = eh.construct_hybrid_model(
+        predictors=["a"], forcing=[], targets=["reco"],
+        mechanistic_model=mech, parameters={"p": (1.0, 0.0, 2.0)},
+        neural_param_names=["p"], hidden_layers=[4],
+    )
+    tr, va = eh.split_data(df, m, split_by_id="site", split_data_at=0.8,
+                           shuffleobs=False)
+    assert tr.n_samples == 10 and va.n_samples == 0
+
+
+def test_hdf5_netcdf_uses_modal_record_length(tmp_path):
+    """Regression: the netCDF-4 reader anchored to the FIRST 1-D dataset
+    visited (alphabetical), so a short auxiliary coord (e.g. 'bnds')
+    dropped every real time-series variable."""
+    h5py = pytest.importorskip("h5py")
+
+    from easyhybrid_tpu.data.netcdf import load_timeseries_netcdf
+
+    p = tmp_path / "t.nc"
+    with h5py.File(p, "w") as f:
+        f["aaa_bnds"] = np.arange(2.0)  # alphabetically first, length 2
+        f["tair"] = np.arange(100.0)
+        f["rsds"] = np.arange(100.0) * 2
+    df = load_timeseries_netcdf(str(p))
+    assert set(df.columns) == {"tair", "rsds"} and len(df) == 100

@@ -341,3 +341,70 @@ def test_elementwise_loss_as_training_loss(rbq10_model, rbq10_df):
     logging_mae = eh.LoggingLoss(training_loss="mae", train_mode=True)
     mae, _ = eh.compute_loss(model, params, state, batch, logging_mae)
     np.testing.assert_allclose(float(loss), 0.5 * float(mae), rtol=1e-5)
+
+
+def test_sigma_nan_at_masked_rows_is_sanitized():
+    """Regression: sigma was forwarded raw — NaN sigma at masked-out rows
+    (the typical missing-data layout) poisoned the loss via NaN*0."""
+    import jax.numpy as jnp
+
+    from easyhybrid_tpu.losses.metrics import loss_fn, masked_mean
+
+    y = jnp.array([1.0, 2.0, jnp.nan, 4.0])
+    sigma = jnp.array([0.5, 0.5, jnp.nan, 0.5])
+    y_hat = jnp.array([1.0, 2.5, 9.0, 4.5])
+    mask = jnp.isfinite(y)
+
+    def chi2(yh, yv, m, sigma=1.0):
+        return masked_mean(((yh - yv) / sigma) ** 2, m)
+
+    val = float(loss_fn(y_hat, (y, sigma), mask, chi2))
+    assert np.isfinite(val)
+    np.testing.assert_allclose(val, ((0.5/0.5)**2 + (0.5/0.5)**2) / 3, rtol=1e-6)
+
+
+def test_elementwise_loss_rejects_sigma_tuple():
+    """Regression: ElementwiseLoss silently stacked a (y, sigma) tuple into
+    a (2, N) target; it must reject like named registry metrics do."""
+    import jax.numpy as jnp
+
+    from easyhybrid_tpu.losses.metrics import pinball
+
+    y = jnp.ones(4)
+    with pytest.raises(ValueError, match="sigma"):
+        pinball(0.5)(jnp.ones(4), (y, y), jnp.ones(4))
+
+
+def test_best_direction_resolves_loss_specs():
+    """Regression: LossSpec-wrapped maximize metrics bypassed the
+    training-loss direction guard (best_direction only knew raw strings)."""
+    from easyhybrid_tpu.losses.metrics import best_direction, check_training_loss
+    from easyhybrid_tpu.losses.specs import SymbolicLoss
+
+    assert best_direction(SymbolicLoss("r2")) == "max"
+    assert best_direction(SymbolicLoss("mse")) == "min"
+    with pytest.raises(ValueError, match="maximized"):
+        check_training_loss(SymbolicLoss("r2"))
+    # ... and through the user-facing config validation (it used to gate
+    # the check on isinstance(str), so spec wrappers bypassed it)
+    from easyhybrid_tpu.config.train_config import TrainConfig, validate_config
+
+    with pytest.raises(ValueError, match="maximized"):
+        validate_config(TrainConfig(training_loss=SymbolicLoss("r2")))
+    validate_config(TrainConfig(training_loss=SymbolicLoss("mse")))
+
+
+def test_register_metric_maximize_visible_to_from_imports():
+    """Regression: register_metric rebound MAXIMIZE_METRICS, so modules
+    holding a from-import of the set never saw custom maximize metrics."""
+    from easyhybrid_tpu.losses import metrics as M
+    from easyhybrid_tpu.losses.metrics import MAXIMIZE_METRICS as imported_set
+
+    name = "_test_maxmetric"
+    try:
+        M.register_metric(name, lambda yh, y, m: 1.0, maximize=True)
+        assert name in imported_set  # the SAME object must have gained it
+        assert M.best_direction(name) == "max"
+    finally:
+        M.METRICS.pop(name, None)
+        M.MAXIMIZE_METRICS.discard(name)

@@ -134,3 +134,25 @@ def test_mixed_precision_compute():
     assert ybf.dtype == jnp.float32  # f32 accumulation/output
     np.testing.assert_allclose(np.asarray(y32), np.asarray(ybf), atol=0.05)
     assert params["layers"][0]["w"].dtype == jnp.float32
+
+
+def test_lstm_head_follows_param_dtype():
+    """Regression: the LSTM output head initialized float32 regardless of
+    the net's dtype, yielding a mixed-dtype parameter pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    net = LSTMNet(3, 2, hidden_size=4, dtype=jnp.bfloat16)
+    params, _ = net.init(jax.random.PRNGKey(0))
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(params))
+
+
+def test_construct_nn_rejects_compute_dtype_with_lstm():
+    """Regression: compute_dtype was silently dropped for the
+    {'lstm': n} spec — a bfloat16 request returned a float32 model."""
+    import jax.numpy as jnp
+
+    from easyhybrid_tpu.models.nn import construct_nn
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        construct_nn({"lstm": 8}, 3, 1, compute_dtype=jnp.bfloat16)
