@@ -72,7 +72,12 @@ def poplot(
     else:
         fig = ax.figure
     ax.scatter(obs, pred, s=4, alpha=0.4, linewidths=0)
-    lims = [np.nanmin([obs.min(), pred.min()]), np.nanmax([obs.max(), pred.max()])]
+    # nan-aware: obs typically carries NaN at masked rows — a plain .min()
+    # would turn the limits NaN and silently drop the 1:1 line
+    lims = [
+        np.nanmin([np.nanmin(obs), np.nanmin(pred)]),
+        np.nanmax([np.nanmax(obs), np.nanmax(pred)]),
+    ]
     ax.plot(lims, lims, "k--", lw=1, label="1:1")
     mef = _modeling_efficiency(obs, pred)
     ax.set_xlabel(f"observed {target}")

@@ -79,9 +79,18 @@ def _single_forward(model):
     if cached is not None:
         return cached
 
+    # closure holds a WEAK ref: a strong capture would make the cache
+    # entry immortal (value → closure → key keeps the weak-key dict from
+    # ever evicting). Every caller that can trigger a (re)trace holds the
+    # model strongly (predict_fn closes over it; predict/ensemble_predict
+    # take it as an argument), so the deref can't observe None mid-trace.
+    model_ref = weakref.ref(model)
+
     @jax.jit
     def forward(params, state, x, forcing):
-        outputs, _ = model.apply(params, state, (x, forcing), training=False)
+        outputs, _ = model_ref().apply(
+            params, state, (x, forcing), training=False
+        )
         return _flatten_outputs(outputs)
 
     try:
@@ -145,10 +154,13 @@ def _ensemble_forward(model):
     if cached is not None:
         return cached
 
+    model_ref = weakref.ref(model)  # weak for the same reason as
+    # _single_forward: a strong closure would pin the weak-key entry
+
     @jax.jit
     def forward(stacked_params, stacked_state, x, forcing):
         def one(p, s):
-            out, _ = model.apply(p, s, (x, forcing), training=False)
+            out, _ = model_ref().apply(p, s, (x, forcing), training=False)
             return _flatten_outputs(out)
 
         outs = jax.vmap(one)(stacked_params, stacked_state)  # (K, B, ...)

@@ -393,3 +393,49 @@ def test_docs_site_builds(tmp_path):
                 "api.md", "api_reference.md",
             ]
             assert base not in known, f"{page.name}: unresolved {md_target}"
+
+
+def test_inference_cache_releases_dropped_models(rbq10_df):
+    """Regression: the per-model jitted forwards were cached in a
+    WeakKeyDictionary whose VALUE (the jitted closure) strongly captured
+    the model — the key could never be collected, so every model trained
+    in a loop pinned its compiled executables for the process lifetime."""
+    import gc
+    import weakref
+
+    import jax
+
+    from easyhybrid_tpu.training import inference as inf
+
+    def rbq10(*, ta, rb, Q10, tref=15.0):
+        return {"reco": rb * Q10 ** (0.1 * (ta - tref))}
+
+    model = eh.construct_hybrid_model(
+        predictors=["sw_pot", "dsw_pot"], forcing=["ta"], targets=["reco"],
+        mechanistic_model=rbq10,
+        parameters={"rb": (3.0, 0.0, 13.0), "Q10": (2.0, 1.0, 4.0)},
+        neural_param_names=["rb"], global_param_names=["Q10"],
+        hidden_layers=[4],
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    out = eh.predict(model, params, state, rbq10_df.head(32), batch_size=32)
+    assert out["reco"].shape == (32,)
+    assert model in inf._SINGLE_FORWARDS  # cache populated
+
+    ref = weakref.ref(model)
+    del model, params, state, out
+    gc.collect()
+    assert ref() is None, "dropped model still pinned by the forward cache"
+
+
+def test_poplot_nan_obs_keeps_identity_line():
+    """Regression: NaN observations (masked rows) turned the axis limits
+    NaN via plain .min()/.max(), silently dropping the 1:1 line."""
+    pytest.importorskip("matplotlib")
+    from easyhybrid_tpu.plotting.plots import poplot
+
+    obs = np.array([1.0, np.nan, 3.0, 4.0])
+    pred = np.array([1.1, 2.0, np.nan, 4.2])
+    ax = poplot(obs, pred, target="t")
+    (line,) = [ln for ln in ax.get_lines() if ln.get_label() == "1:1"]
+    assert np.all(np.isfinite(line.get_xdata()))
