@@ -441,14 +441,16 @@ def construct_hybrid_model(
                 raise ValueError(f"neural parameter {n!r} not in parameter table")
         nns = []
         preds_frozen = []
+        # a Mapping hidden_layers is per-branch sizes when its keys are the
+        # branch names; otherwise it is one shared spec dict for every
+        # branch (e.g. {'lstm': n}) — indexing by branch would KeyError
+        per_branch_hl = isinstance(hidden_layers, Mapping) and set(
+            predictors
+        ) <= set(hidden_layers)
         for nn_name, preds in predictors.items():
             preds = _as_tuple(preds)
             preds_frozen.append((nn_name, preds))
-            hl = (
-                hidden_layers[nn_name]
-                if isinstance(hidden_layers, Mapping)
-                else hidden_layers
-            )
+            hl = hidden_layers[nn_name] if per_branch_hl else hidden_layers
             act = (
                 activation[nn_name] if isinstance(activation, Mapping) else activation
             )

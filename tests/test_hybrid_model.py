@@ -267,3 +267,24 @@ def test_jit_grad_through_hybrid(rbq10_model):
     assert np.all(np.isfinite(q10_grad)) and np.any(q10_grad != 0)
     nn_leaves = jax.tree.leaves(g["nn"])
     assert any(np.any(np.asarray(l) != 0) for l in nn_leaves)
+
+
+def test_multi_nn_shared_lstm_spec():
+    """Regression: a shared {'lstm': n} spec dict for a MultiNN model was
+    indexed as a per-branch mapping, KeyError-ing on the branch name; it
+    must apply to every branch (per-branch mappings still work — see
+    test_multi_nn_per_branch_hidden_layers)."""
+    from easyhybrid_tpu.models.nn import LSTMNet
+
+    m = eh.construct_hybrid_model(
+        predictors={"a": ["p1"], "b": ["p2"]},
+        forcing=["f"],
+        targets=["t"],
+        mechanistic_model=mech,
+        parameters=PARAMS,
+        global_param_names=["c"],
+        hidden_layers={"lstm": 4},
+    )
+    assert isinstance(m.nn_dict["a"], LSTMNet)
+    assert isinstance(m.nn_dict["b"], LSTMNet)
+    assert m.nn_dict["a"].hidden_size == 4
