@@ -102,6 +102,13 @@ def _train_second_order(
         sequence_kwargs=sequence_kwargs,
         seed=cfg.random_seed,
     )
+    if val_data.n_samples == 0:
+        # same guard as the optax path — _full_batch on an empty split
+        # would otherwise die with a bare ZeroDivisionError
+        raise ValueError(
+            "validation split is empty; lower split_data_at (< 1.0) or pass "
+            "a pre-split (train, val) tuple"
+        )
     train_eval_batch = _full_batch(train_data)
     val_eval_batch = _full_batch(val_data)
 

@@ -816,3 +816,15 @@ def test_obs_pred_frames_heterogeneous_target_shapes():
     assert float(row["y2"].iloc[0]) == 20.0
     assert float(row["y1"].iloc[0]) == y1[2, 1]
     assert {"y1_pred", "y2_pred"} <= set(pred.columns)
+
+
+def test_empty_val_split_clear_error_both_drivers(rbq10_model, rbq10_df):
+    """Regression: the second-order driver lacked the empty-validation
+    guard the optax path has — split_data_at=1.0 crashed with a bare
+    ZeroDivisionError inside build_epoch_tensors."""
+    with pytest.raises(ValueError, match="validation split is empty"):
+        eh.train(rbq10_model, rbq10_df, nepochs=1, split_data_at=1.0,
+                 show_progress=False)
+    with pytest.raises(ValueError, match="validation split is empty"):
+        eh.train(rbq10_model, rbq10_df, nepochs=1, split_data_at=1.0,
+                 optimizer="lbfgs", full_batch=True, show_progress=False)
